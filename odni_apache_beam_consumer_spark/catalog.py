@@ -1,0 +1,78 @@
+"""Table catalog: schema-first loading of the driver's parquet tables.
+
+The reference has no schema system at all (``/root/reference/main.py`` —
+records flow as opaque bytes into ``beam.Map(print)``).  This engine is
+schema-first: every table is loaded with an explicit, asserted schema so a
+bad file fails at plan time, not mid-job at 100 TB.
+
+``events.ts`` is written as parquet timestamp[ns]; Spark reads it as
+TIMESTAMP (microsecond precision) — the generator emits second-granularity
+values so no precision is lost, and the DuckDB oracle casts TIMESTAMP_NS to
+TIMESTAMP identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins: at any
+# scale factor these stay tiny relative to the fact tables (region=5,
+# nation=25 rows regardless of sf).
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects unless nanosAsLong is set. The driver may hand us
+        # a session without it — set it at runtime (it is a dynamic conf).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long ns
+    # (spark.sql.legacy.parquet.nanosAsLong) — convert to TIMESTAMP with
+    # exact integer division (ns -> us), identical to the oracle's
+    # CAST(ts AS TIMESTAMP) truncation. Pure JVM expression, stays
+    # vectorized / codegen'd.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views (for spark.sql-based operators)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

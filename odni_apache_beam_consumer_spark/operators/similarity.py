@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+* Brute-force cosine top-k: the exact baseline. Query side is broadcast
+  (top-k query sets are small by construction); the corpus is scanned once,
+  partition-parallel, and per-query top-k is taken with a window — no
+  global sort.
+* Sign-LSH (random-hyperplane-style) bucketing: the scale path. Vectors
+  are bucketed by the sign pattern of their leading components (a
+  deterministic stand-in for sampled hyperplanes — swap in stored random
+  projections for production recall); candidate generation is then an
+  equi-join on the bucket key, turning the O(Q x N) cross product into
+  O(sum over buckets), the same shape as a partitioned ANN index.
+
+All arithmetic uses higher-order array functions (zip_with + aggregate)
+over ``array<double>`` — JVM-side, no Python. The fold is left-to-right,
+which matches DuckDB's ``list_dot_product`` evaluation order, so cosine
+values are bit-reproducible against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_vec(df: DataFrame, vec_col: str = "embedding", out: str = "vec") -> DataFrame:
+    """Cast float vector to array<double> (all scoring happens in double)."""
+    return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+
+
+def with_self_dot(df: DataFrame, vec_col: str = "vec", out: str = "dd") -> DataFrame:
+    return df.withColumn(out, dot(vec_col, vec_col))
+
+
+def cosine(dot_ab: Column, dd_a: Column, dd_b: Column) -> Column:
+    return dot_ab / (F.sqrt(dd_a) * F.sqrt(dd_b))
+
+
+def sign_bucket(vec_col_name: str, nbits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign pattern of the first ``nbits``
+    components, as a '0'/'1' string (1-indexed, matching DuckDB lists)."""
+    return F.expr(
+        f"array_join(transform(sequence(1, {nbits}), "
+        f"i -> IF(element_at({vec_col_name}, i) >= CAST(0.0 AS DOUBLE), '1', '0')), '')"
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (self excluded).
+
+    ``bucket_bits=None`` -> exact brute force (broadcast queries x corpus).
+    ``bucket_bits=n``    -> sign-LSH candidate join on the n-bit bucket.
+    Ranking is on cosine rounded to 6dp with id tiebreak (deterministic,
+    oracle-reproducible).
+    """
+    q = with_self_dot(with_vec(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("dd").alias("qdd")
+    )
+    c = with_self_dot(with_vec(corpus, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv"), F.col("dd").alias("cdd")
+    )
+    if bucket_bits is None:
+        joined = c.crossJoin(F.broadcast(q))
+    else:
+        qb = q.withColumn("bucket", sign_bucket("qv", bucket_bits))
+        cb = c.withColumn("bucket", sign_bucket("cv", bucket_bits))
+        joined = cb.join(F.broadcast(qb), "bucket")
+    scored = (
+        joined.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(dot("qv", "cv"), F.col("qdd"), F.col("cdd")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bucket_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate (a < b) pairs with cosine >= threshold, candidate-
+    limited to same sign-LSH bucket (the blocked/banded scale path)."""
+    v = with_self_dot(with_vec(df, vec_col)).withColumn("bucket", sign_bucket("vec", bucket_bits))
+    a = v.select(
+        F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("dd").alias("da"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("dd").alias("db"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(dot("va", "vb"), F.col("da"), F.col("db")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

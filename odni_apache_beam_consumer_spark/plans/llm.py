@@ -1,0 +1,558 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal column plumbing (the north-star additions; BASELINE.json:6).
+
+Every query here has a full DuckDB oracle: the dedup/similarity operators
+are built on portable md5-based hashing and deterministic bucketing
+(see operators/dedup.py, operators/similarity.py), so even MinHash-LSH and
+SimHash — usually "rows-only" territory — are value-hash-checked against
+the oracle.
+
+The dedup corpus is the documents table augmented with deterministic
+perturbed copies (every 10th doc, first token dropped, id+1000000) so the
+near-dup operators have real positives to find at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators import dedup as D
+from odni_apache_beam_consumer_spark.operators import similarity as S
+from odni_apache_beam_consumer_spark.operators.text_ops import (
+    LANG_MARKERS,
+    STOPWORDS,
+    marker_count,
+    stopword_count,
+    with_tokens,
+)
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# Deterministic near-dup injection (same expression on both sides).
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies of every 10th doc (near-dup positives)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+        )
+    )
+    return d.unionByName(perturbed)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+dup AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id + 2000000, text FROM corpus)
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM dup GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash aggregation (map-side partial agg: one
+    row per distinct hash per executor — the optimal 100 TB shape).
+
+    Input is the corpus unioned with a full copy of itself, so every group
+    has >= 2 members and the keep-min-id policy is actually exercised.
+    """
+    c = dedup_corpus(spark, sf_dir)
+    dup = c.unionByName(c.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    return D.exact_dedup_groups(dup)
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS hu(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh GROUP BY doc_id, h // 3
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs (3-word shingles,
+    12 hashes, 4 bands x 3 rows). See operators/dedup.py for the shuffle
+    shape; the band self-join key includes the full band signature so
+    buckets stay tiny and skew-safe."""
+    return D.minhash_lsh_pairs(
+        dedup_corpus(spark, sf_dir), shingle_words=3, num_hashes=12, rows_per_band=3
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM corpus),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                    substr(md5(tok), 1 + b // 4, 1)) - 1) /
+                    (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+                  AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, UNNEST(range(0, 64)) AS bu(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         STRING_AGG(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, blk, substr(simhash, 1 + blk * 16, 16) AS blk_sig
+  FROM sig, UNNEST(range(0, 4)) AS ku(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.blk_sig = b.blk_sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN sig_a[i:i] = sig_b[i:i] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(1, 65),
+      i -> CASE WHEN sig_a[i:i] = sig_b[i:i] THEN 0 ELSE 1 END)) <= 8
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 4x16-bit block candidate
+    generation (pigeonhole), exact Hamming <= 8 filter."""
+    return D.simhash_pairs(dedup_corpus(spark, sf_dir), max_hamming=8, n_blocks=4)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(c / (sa.nsh + sb.nsh - c), 6) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard >= 0.5 via inverted-index self-join."""
+    return D.ngram_jaccard_pairs(dedup_corpus(spark, sf_dir), shingle_words=5, threshold=0.5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd,
+         array_to_string(list_transform(range(1, 9),
+             i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)), 6) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)), 6) >= 0.9
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket candidates + cosine >= 0.9."""
+    return S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9, bucket_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.vec) / (sqrt(q.qdd) * sqrt(c.dd)), 6) AS cosine
+  FROM q JOIN v c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for every 100th vector as query.
+
+    Queries are broadcast; the corpus is scanned once partition-parallel;
+    per-query top-k via row_number (WindowGroupLimit pushdown), never a
+    global sort. This is the exact baseline the ANN variant is judged
+    against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    res = S.cosine_topk(q, emb, k=5)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "ann_lsh_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd,
+         array_to_string(list_transform(range(1, 9),
+             i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd, bucket FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.vec) / (sqrt(q.qdd) * sqrt(c.dd)), 6) AS cosine
+  FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's 8-bit
+    sign-LSH bucket — the equi-join scale path (O(bucket) not O(N) per
+    query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    res = S.cosine_topk(q, emb, k=5, bucket_bits=8)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(embedding[1]), 6) AS c0,
+       ROUND(AVG(embedding[2]), 6) AS c1,
+       ROUND(AVG(embedding[3]), 6) AS c2,
+       ROUND(AVG(embedding[4]), 6) AS c3
+FROM embeddings GROUP BY label
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the leading components (array element agg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[
+            F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), i + 1)), 6).alias(
+                f"c{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (explode -> hash agg -> top-k)."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS tk, length(trim(text)) AS nchars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct,
+         len(list_filter(tk, x -> list_contains({STOPWORDS!r}, x))) AS n_stop,
+         nchars
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+       ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+       ROUND((nchars - n_tokens + 1) / n_tokens, 6) AS avg_token_len,
+       ROUND(0.5 * (n_distinct / n_tokens)
+             + 0.3 * (n_stop / n_tokens)
+             + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+FROM s
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: lexical diversity + stopword ratio +
+    length saturation — all whole-stage-codegen column arithmetic."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        stopword_count("tk").alias("n_stop"),
+        F.length(F.trim("text")).alias("nchars"),
+    )
+    nt = F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("n_distinct") / nt, 6).alias("distinct_ratio"),
+        F.round(F.col("n_stop") / nt, 6).alias("stopword_ratio"),
+        F.round((F.col("nchars") - nt + 1) / nt, 6).alias("avg_token_len"),
+        F.round(
+            0.5 * (F.col("n_distinct") / nt)
+            + 0.3 * (F.col("n_stop") / nt)
+            + 0.2 * F.least(nt / F.lit(100.0), F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS tk FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         len(list_filter(tk, x -> list_contains({LANG_MARKERS['de']!r}, x))) AS c_de,
+         len(list_filter(tk, x -> list_contains({LANG_MARKERS['en']!r}, x))) AS c_en,
+         len(list_filter(tk, x -> list_contains({LANG_MARKERS['es']!r}, x))) AS c_es,
+         len(list_filter(tk, x -> list_contains({LANG_MARKERS['fr']!r}, x))) AS c_fr,
+         len(list_filter(tk, x -> list_contains({LANG_MARKERS['zh']!r}, x))) AS c_zh
+  FROM t
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE GREATEST(c_de, c_en, c_es, c_fr, c_zh)
+           WHEN c_de THEN 'de' WHEN c_en THEN 'en' WHEN c_es THEN 'es'
+           WHEN c_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+  FROM scores
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (demo lists over the synthetic vocabulary;
+    real per-language lists drop in unchanged), output as a confusion
+    matrix against the labeled lang column. Tie-break: first language in
+    (de, en, es, fr, zh) order, mirrored exactly in the oracle CASE."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    scores = d.select(
+        "doc_id",
+        "lang",
+        *[marker_count("tk", LANG_MARKERS[lg]).alias(f"c_{lg}") for lg in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in LANG_MARKERS])
+    pred = F.when(F.col("c_de") == best, "de")
+    for lg in ["en", "es", "fr"]:
+        pred = pred.when(F.col(f"c_{lg}") == best, lg)
+    pred = pred.otherwise("zh")
+    return (
+        scores.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id, i, md5(array_to_string(tk[i:i+2], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+nsh AS (SELECT doc_id, MAX(i) AS max_i FROM sh GROUP BY doc_id),
+wins AS (
+  SELECT s.doc_id,
+         MIN(s.h) OVER (PARTITION BY s.doc_id ORDER BY s.i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         s.i, n.max_i
+  FROM sh s JOIN nsh n ON n.doc_id = s.doc_id
+)
+SELECT doc_id,
+       COUNT(DISTINCT fp) AS n_fingerprints,
+       MIN(fp) AS min_fp,
+       MAX(fp) AS max_fp
+FROM wins WHERE i <= max_i - 3
+GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: md5 of 3-word shingles, minimum over
+    each sliding window of 4 consecutive shingle hashes, distinct mins
+    kept per document (the MOSS/winnowing selection rule)."""
+    d = with_tokens(load_table(spark, sf_dir, "documents")).where(F.size("tk") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")
+        ).alias("i0", "shingle"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("shingle").alias("h"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
+    maxi = W.partitionBy("doc_id")
+    wins = sh.select(
+        "doc_id",
+        "i",
+        F.min("h").over(win).alias("fp"),
+        F.max("i").over(maxi).alias("max_i"),
+    )
+    return (
+        wins.where(F.col("i") <= F.col("max_i") - 3)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         AS n_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6)
+         AS avg_tokens_per_doc
+FROM documents GROUP BY source
+""",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digits / punctuation runs),
+    aggregated per source."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return d.select("source", ntok.alias("ntok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("ntok"), 6).alias("avg_tokens_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
+FROM documents
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column convention: payload as BinaryType + typed metadata.
+
+    Text is encoded to bytes as a stand-in payload (the container has no
+    image/audio codecs); byte-length / content-hash / derived pseudo
+    dimensions exercise the binary-column path end-to-end. The real
+    decode/resize operators live in operators/multimodal.py as
+    mapInPandas stages with stubbed codecs."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    nb = F.length(payload)
+    return d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        (nb % 640).cast("bigint").alias("fake_width"),
+        (nb % 480).cast("bigint").alias("fake_height"),
+    )

@@ -1,0 +1,57 @@
+"""Query registry: the declared-capability surface of the engine.
+
+Every operator capability from SURVEY.md §2 is declared here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are ANSI-SQL-expressible) a DuckDB oracle SQL string over the
+same parquet tables.  The driver's correctness harness runs both sides and
+compares row-count + schema + order-insensitive value-hash.
+
+Conventions that keep the Spark result and the DuckDB oracle hash-equal:
+  * every computed column is aliased identically on both sides;
+  * float aggregates are ROUND()ed (2dp for money sums, 4-6dp for
+    averages/ratios) so partial-aggregation order differences between the
+    two engines can never surface in the hash;
+  * timestamps are emitted as formatted strings (date_format / strftime),
+    never raw timestamp values;
+  * BIGINT sums are cast explicitly (DuckDB widens integer SUM to
+    HUGEINT, Spark keeps LONG);
+  * grouping-null columns from ROLLUP/CUBE are COALESCEd to a sentinel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is DuckDB SQL or None for
+    non-SQL-expressible ops (driver then records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # Import side-effect modules that populate the registry.
+    from odni_apache_beam_consumer_spark.plans import llm, relational, windows  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return dict(ORACLES)

@@ -1,0 +1,253 @@
+"""Window functions + time-window aggregations (SURVEY.md §2.2 rows:
+window functions, streaming windows in their batch-expressible form).
+
+The reference has none of these (SURVEY.md §2.2: ABSENT).  The tumbling /
+sliding / session queries here are the *batch* duals of the streaming
+operators in ``odni_apache_beam_consumer_spark/streaming/`` — same
+``F.window`` / ``F.session_window`` expressions, which is exactly how we
+test streaming correctness (batch-stream equivalence, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "window_rank",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS total_price,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions over a hash-partitioned window.
+
+    One shuffle on the partition key; rank/dense_rank/row_number all share
+    the same Window physical operator and sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_qty
+FROM lineitem
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum with an explicit ROWS frame and a
+    deterministic total order inside each partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(COALESCE(LAG(value)  OVER w, -1), 4) AS prev_value,
+       ROUND(COALESCE(LEAD(value) OVER w, -1), 4) AS next_value,
+       COALESCE(CAST(date_diff('second', CAST(LAG(ts) OVER w AS TIMESTAMP),
+                               CAST(ts AS TIMESTAMP)) AS BIGINT), -1) AS secs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD analytics: per-user previous/next event value and
+    inter-event gap in seconds."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 4).alias("prev_value"),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(-1.0)), 4).alias("next_value"),
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "window_frame_range",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
+                                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+         AS smoothed_price
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+)
+def window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (moving average over 5 rows)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 2)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 6).alias("smoothed_price"),
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    oracle=f"""
+SELECT STRFTIME(time_bucket(INTERVAL 6 HOURS, CAST(ts AS TIMESTAMP)), '{TS_FMT_DUCK}')
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window aggregate (batch dual of the
+    streaming operator; identical F.window expression there).
+
+    Spark's window start is epoch-aligned, which for whole-hour widths
+    matches DuckDB's midnight-aligned time_bucket.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 12 HOURS, CAST(ts AS TIMESTAMP)) AS wb, event_type, value
+  FROM events
+), w AS (
+  SELECT wb AS wstart, event_type, value FROM b
+  UNION ALL
+  SELECT wb - INTERVAL 12 HOURS, event_type, value FROM b
+)
+SELECT STRFTIME(wstart, '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-day width, 12h slide — every event lands in
+    exactly two windows (Spark expands rows, then hash-aggregates)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTES
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTES, '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    native ``session_window`` (merging-state windows; end = last ts + gap).
+    The oracle reconstructs identical sessions with LAG + cumulative SUM.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,71 @@
+"""SparkSession factory for the engine.
+
+The reference (``/root/reference/main.py:56-69``) configures its pipeline via
+Beam ``PipelineOptions`` (job_name, streaming flag, save_main_session and a
+block of commented-out Flink deployment options).  In Spark all of that
+collapses into a single ``SparkSession`` builder: streaming-ness is per-query
+(``readStream`` vs ``read``), closures ship automatically, and deployment is
+``--master``.
+
+Scale design notes (100 TB target):
+  * AQE is on (runtime re-planning, skew-join splitting, partition
+    coalescing) — the single most important knob for large shuffles.
+  * ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+    on a real cluster it should be ~2-3x total cores or left to AQE's
+    coalescing with a high initial value.
+  * Arrow is enabled so any pandas interchange (pandas_udf/applyInPandas)
+    is batched, never row-at-a-time.
+  * Session timezone pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "odni-spark-engine"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for tests/bench; on a cluster, pass ``master=None`` with
+    ``spark-submit --master`` and the same confs apply unchanged.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by Spark's
+        # reader; read it as raw long ns and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,162 @@
+"""Kafka source/sink builders — the reference's entire live surface,
+re-expressed as Spark Structured Streaming options.
+
+Reference parity map (cites into /root/reference/main.py):
+  * ``ReadFromKafka(consumer_config={...}, topics=[...])`` (main.py:85-108)
+    -> ``spark.readStream.format("kafka")`` with ``kafka.*`` passthrough
+    options. No expansion service, no second process: Spark's Kafka source
+    is a native JVM DataSource (the Beam Python SDK needed a Java
+    expansion service at localhost:16000, main.py:14,107, README.md:1-3).
+  * ``'auto.offset.reset': 'earliest'`` (main.py:89) -> ``startingOffsets``.
+  * ``'group.id': 'tap_kafka_read'`` (main.py:88) -> ``kafka.group.id``
+    (optional: Spark tracks offsets in its checkpoint WAL, strictly
+    stronger than Kafka group commits).
+  * SASL_SSL + SCRAM-SHA-512 + JAAS (main.py:90-92) -> ``kafka.security.
+    protocol`` / ``kafka.sasl.mechanism`` / ``kafka.sasl.jaas.config``.
+  * ``with_metadata=True`` (main.py:105) -> built-in: Spark's Kafka rows
+    always carry key/value/topic/partition/offset/timestamp/timestampType,
+    plus headers with ``includeHeaders=true``.
+  * ``max_num_records=3`` (main.py:106, bounded drain) ->
+    ``maxOffsetsPerTrigger`` + ``trigger(availableNow=True)``, or a batch
+    ``spark.read`` with ``endingOffsets``.
+  * ``WriteToKafka`` (main.py:80-84; broken in the reference: piped before
+    the source, empty producer config, no topic) -> ``writeStream
+    .format("kafka")`` — in Spark this bug class is unexpressible, a sink
+    terminates a plan.
+
+No broker in CI: builders are pure (they only assemble reader options), so
+tests assert the constructed options; integration runs only when
+SPARK_GRAFT_KAFKA_BOOTSTRAP is set.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TOPIC = "test-topic"  # main.py:104
+
+
+def scram_jaas_config(username: str, password: str) -> str:
+    """SCRAM JAAS line (main.py:92 hardcodes this; we parameterize)."""
+    return (
+        "org.apache.kafka.common.security.scram.ScramLoginModule required "
+        f'username="{username}" password="{password}";'
+    )
+
+
+def consumer_options(
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    starting_offsets: str = "earliest",
+    group_id: str | None = "tap_kafka_read",
+    security_protocol: str | None = None,
+    sasl_mechanism: str | None = None,
+    sasl_jaas_config: str | None = None,
+    include_headers: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the Spark Kafka source options mirroring the reference's
+    consumer_config (main.py:86-103). Pure function — unit-testable with
+    no broker."""
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "includeHeaders": "true" if include_headers else "false",
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    if security_protocol:
+        opts["kafka.security.protocol"] = security_protocol
+    if sasl_mechanism:
+        opts["kafka.sasl.mechanism"] = sasl_mechanism
+    if sasl_jaas_config:
+        opts["kafka.sasl.jaas.config"] = sasl_jaas_config
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(extra or {})
+    return opts
+
+
+def msk_scram_options(
+    bootstrap_servers: str,
+    username: str,
+    password: str,
+    topic: str = DEFAULT_TOPIC,
+    **kw: Any,
+) -> dict[str, str]:
+    """The reference's exact auth mode: SASL_SSL + SCRAM-SHA-512
+    (main.py:90-92)."""
+    return consumer_options(
+        bootstrap_servers,
+        topic=topic,
+        security_protocol="SASL_SSL",
+        sasl_mechanism="SCRAM-SHA-512",
+        sasl_jaas_config=scram_jaas_config(username, password),
+        **kw,
+    )
+
+
+def read_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """Streaming Kafka source (R1). Schema: key/value binary + metadata
+    columns — the Spark-native form of Beam's with_metadata=True record."""
+    reader = spark.readStream.format("kafka")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_batch(
+    spark: SparkSession, options: dict[str, str], ending_offsets: str = "latest"
+) -> DataFrame:
+    """Bounded Kafka read (the ``max_num_records=3`` analog, main.py:106)."""
+    opts = dict(options)
+    opts.pop("maxOffsetsPerTrigger", None)
+    opts["endingOffsets"] = ending_offsets
+    reader = spark.read.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def decode_json_value(df: DataFrame, schema: str) -> DataFrame:
+    """value:binary -> parsed struct columns (the bytes->relational bridge;
+    the reference never gets past opaque bytes)."""
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
+
+
+def write_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+    value_columns: list[str] | None = None,
+    extra_options: dict[str, str] | None = None,
+):
+    """Kafka sink (R2, done right: after the transform, with a topic).
+
+    Serializes the given columns (default: all) as a JSON ``value``.
+    Returns the started StreamingQuery.
+    """
+    cols = value_columns or df.columns
+    out = df.select(F.to_json(F.struct(*cols)).alias("value"))
+    writer = (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    for k, v in (extra_options or {}).items():
+        writer = writer.option(k, v)
+    return writer.start()

@@ -1,0 +1,121 @@
+"""Streaming windowed aggregations: tumbling / sliding / session windows
+with event-time watermarks.
+
+These are the streaming duals of the batch queries in
+``plans/windows.py`` — the window expressions are shared by construction
+(same F.window / F.session_window calls), which is what makes
+batch-stream equivalence a valid oracle (SURVEY.md §5.2): run the stream
+to completion with ``availableNow`` and the result must equal the batch
+query on the same rows (watermark drops nothing once the stream drains).
+
+State/scale notes: windowed aggregation state is keyed by
+(window, grouping keys); the watermark bounds state size — without it an
+unbounded stream accumulates state forever. For 100 TB streams use the
+RocksDB state store (spark.sql.streaming.stateStore.providerClass) so
+state spills off-heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 day",
+    slide: str = "12 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Session windows (merging state) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming dedup: drop duplicate (user_id, event_id) arrivals within
+    the watermark horizon — state is bounded by the watermark, the
+    streaming form of exact dedup."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: clicks within ``horizon`` after a purchase
+    by the same user. Both sides watermarked; the time-range condition
+    bounds the join state on both sides."""
+    p = purchases.withWatermark("ts", "1 day").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", "1 day").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return p.join(
+        c,
+        (p.p_user_id == c.c_user_id)
+        & (c.c_ts > p.p_ts)
+        & (c.c_ts <= p.p_ts + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("p_event_id", "c_event_id", "p_user_id", "c_value")

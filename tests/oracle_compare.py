@@ -1,0 +1,88 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side by side and compares
+row count, column-name set, and (order-insensitively) values: exact for
+strings/ints, tolerance 1e-9 for floats (both sides pre-round their float
+outputs, so this is belt-and-braces).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from odni_apache_beam_consumer_spark.catalog import TABLE_NAMES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    sp = _normalize(spark_df.toPandas())
+    du = _normalize(oracle_df)
+    problems: list[str] = []
+    if list(sp.columns) != list(du.columns):
+        problems.append(f"columns differ: spark={list(sp.columns)} oracle={list(du.columns)}")
+        return problems
+    if len(sp) != len(du):
+        problems.append(f"row counts differ: spark={len(sp)} oracle={len(du)}")
+        return problems
+    for c in sp.columns:
+        a, b = sp[c], du[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            af = a.astype(float)
+            bf = b.astype(float)
+            bad = ~(
+                (af.isna() & bf.isna())
+                | ((af - bf).abs() <= 1e-9 + 1e-9 * bf.abs().fillna(0))
+            )
+        else:
+            bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+        if bad.any():
+            i = int(bad.idxmax())
+            problems.append(
+                f"column {c!r}: {int(bad.sum())} mismatched values, "
+                f"first at row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+            )
+    return problems
+
+
+def run_one(spark, con, name: str, sf_dir: str) -> list[str]:
+    from odni_apache_beam_consumer_spark.plans.registry import all_oracles, all_queries
+
+    q = all_queries()[name]
+    sql = all_oracles().get(name)
+    sdf = q(spark, sf_dir)
+    if sql is None:
+        n = sdf.count()
+        return [] if n >= 0 else [f"{name}: rows-only check failed"]
+    odf = con.sql(sql).df()
+    return compare(sdf, odf)
+
+
+def _sig(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    return str(v)
