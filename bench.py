@@ -1,0 +1,96 @@
+"""Benchmark harness: time every registered query at a given scale factor.
+
+Usage:
+    python bench.py                 # all queries at $SPARK_GRAFT_SF_DIR
+    python bench.py q1 q2 ...       # just the named queries
+
+Emits exactly ONE JSON line on stdout:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"pricing_summary": 0.41, ...}, "sf": 0.1}
+All progress/log output goes to stderr so stdout stays machine-parseable.
+
+Each query's full physical plan is executed JVM-side via a ``noop``-format
+write (no rows cross the Py4J bridge, no driver collect) — the same shape
+as a production job writing to a sink, which is what the 100 TB story
+cares about.  A warmup pass of the flagship query first absorbs JVM/codegen
+one-time costs so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from odni_apache_beam_consumer_spark.session import get_spark
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    spark = get_spark(app_name="odni-spark-bench")
+    queries = all_queries()
+    names = argv or list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        _log(f"unknown queries: {unknown}; available: {sorted(queries)}")
+        return 2
+
+    def run_plan(name: str) -> float:
+        t0 = time.monotonic()
+        df = queries[name](spark, sf_dir)
+        # noop sink: executes every stage of the plan, discards rows JVM-side.
+        df.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    # Warmup: absorb session/codegen/parquet-footer one-time costs.
+    warm = "pricing_summary" if "pricing_summary" in queries else names[0]
+    _log(f"warmup: {warm}")
+    run_plan(warm)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            sec = run_plan(name)
+        except Exception as exc:  # keep benching; a broken query reports -1
+            _log(f"FAIL {name}: {exc}")
+            timings[name] = -1.0
+            continue
+        timings[name] = round(sec, 3)
+        _log(f"{name}: {timings[name]:.3f}s")
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    result = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
