@@ -50,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects unless nanosAsLong is set. The driver may hand us
         # a session without it — set it at runtime (it is a dynamic conf).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the session timezone too: ts becomes TIMESTAMP_LTZ, so
+        # date_format/unix_timestamp outputs would silently shift against
+        # the tz-naive DuckDB oracle on a non-UTC driver session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long ns
     # (spark.sql.legacy.parquet.nanosAsLong) — convert to TIMESTAMP with

@@ -9,12 +9,23 @@ Design notes
   JVM-side per distinct shingle, so it is not a bottleneck; at true 100 TB
   scale swap ``portable_hash`` for ``F.xxhash64`` (one-line change) and
   drop to rows-only verification.
-* **Shuffle shape.** MinHash/LSH is 3 shuffles: (doc,shingle) explode ->
-  groupBy (doc, hash_idx) for signature mins -> groupBy (doc, band) for
-  band signatures -> self-join on (band, sig). The self-join key includes
-  the full band signature, so band buckets are tiny and the join is
-  skew-safe; a hot (identical-content) bucket of size m yields m^2/2 pairs
-  — cap with ``max_bucket`` if the corpus has mass-duplicated boilerplate.
+* **Shuffle shape (the 100 TB story).** All hash slots per shingle/token
+  are computed as ONE array column before the shuffle, and the per-doc
+  signature is a single ``groupBy(doc)`` with element-wise MIN/SUM
+  aggregates.  Map-side partial aggregation therefore reduces to one row
+  per (doc, partition) BEFORE the exchange — the shuffle never carries the
+  ×num_hashes (MinHash) or ×64 (SimHash) exploded rows, and band/block
+  keys are derived column-side from the aggregated signature with no
+  further shuffle.  MinHash/LSH is exactly 1 shuffle + the self-join.
+* **Self-join inputs are cached.** The band/block/shingle tables feed both
+  sides of a self-join; without caching, Spark recomputes the whole
+  signature pipeline once per side (the plan shows two identical
+  subtrees).  Each pairs-operator persists the shared input so the
+  executed plan reuses one materialization (tiny: one row per doc-band).
+* **Hot-bucket guards.** ``max_bucket`` (LSH) and ``max_doc_freq``
+  (Jaccard inverted index) drop pathological buckets/shingles — at 100 TB
+  a single boilerplate shingle shared by m docs otherwise yields O(m^2)
+  candidate pairs in one task.
 * **Exact dedup** is a single hash-aggregate on the content hash — the
   map-side partial aggregation means each executor emits one row per
   distinct hash, which is the optimal 100 TB shape.
@@ -22,10 +33,13 @@ Design notes
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens, word_shingles
+
+_HEX = "0123456789abcdef"
 
 
 def portable_hash(col, salt_col) -> F.Column:
@@ -54,35 +68,66 @@ def shingle_table(
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature rows (id, h, minhash) from a (id, shingle) table."""
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
+    """Per-doc MinHash signature as one array column (id, minhashes).
+
+    All ``num_hashes`` slots are computed as a single array per
+    (doc, shingle) row, then ONE ``groupBy(doc)`` takes element-wise mins.
+    Partial aggregation runs map-side, so the exchange carries one row per
+    (doc, partition) — never the exploded (doc, shingle) × num_hashes rows.
+    Signature values are identical to ``MIN(md5(shingle || '#' || h))``
+    per slot, which is what the DuckDB oracle computes.
+    """
+    slots = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        "h -> md5(concat(shingle, '#', CAST(h AS STRING))))"
     )
-    return hashed.groupBy(id_col, "h").agg(
-        F.min(portable_hash(F.col("shingle"), F.col("h"))).alias("minhash")
+    wide = sh.select(F.col(id_col), slots.alias("hs"))
+    mins = [
+        F.min(F.element_at(F.col("hs"), h + 1)).alias(f"m{h}") for h in range(num_hashes)
+    ]
+    agg = wide.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("minhashes")
     )
 
 
 def lsh_band_signatures(
     mh: DataFrame, rows_per_band: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Concatenate each band's minhashes (ordered by hash index) into one
-    band signature string."""
-    return mh.groupBy(F.col(id_col), F.expr(f"h div {rows_per_band}").alias("band")).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                lambda x: x["minhash"],
-            ),
-            "|",
-        ).alias("sig")
+    """(id, band, sig) rows: each band's minhashes joined with '|'.
+
+    Derived column-side from the per-doc signature array via
+    posexplode(transform(...)) — zero additional shuffles."""
+    return mh.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(minhashes) div {rows_per_band} - 1), "
+                f"b -> array_join(slice(minhashes, 1 + b * {rows_per_band}, "
+                f"{rows_per_band}), '|'))"
+            )
+        ).alias("band", "sig"),
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one full band signature."""
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one full band signature.
+
+    ``bands`` feeds both sides of the self-join — callers should persist it
+    (see ``minhash_lsh_pairs``).  ``max_bucket`` drops buckets with more
+    than that many docs before pairing: a mass-duplicated corpus otherwise
+    turns one bucket into O(m^2) pairs inside a single task.
+    """
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        bands = bands.join(ok, ["band", "sig"], "left_semi")
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -100,19 +145,35 @@ def minhash_lsh_pairs(
     rows_per_band: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash/LSH near-duplicate candidate pairs."""
+    """End-to-end MinHash/LSH near-duplicate candidate pairs.
+
+    The band table is persisted before the self-join so the signature
+    pipeline (scan → shingle → signature agg) materializes once and both
+    join sides read the cache — without it the executed plan duplicates
+    the entire upstream subtree per side."""
     sh = shingle_table(df, shingle_words, id_col, text_col)
     mh = minhash_signatures(sh, num_hashes, id_col)
-    bands = lsh_band_signatures(mh, rows_per_band, id_col)
-    return lsh_candidate_pairs(bands, id_col)
+    bands = lsh_band_signatures(mh, rows_per_band, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return lsh_candidate_pairs(bands, id_col, max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-_HEX = "0123456789abcdef"
+
+# Nibble-packing LUT: hex digit d -> one long holding its 4 bit-values in
+# four 16-bit fields (bit3 at <<48 ... bit0 at <<0).  Summing the packed
+# longs over tokens accumulates per-bit one-counts in the four fields
+# simultaneously — 16 sums recover all 64 bit-counts.
+_PACK_LUT = [
+    (((d >> 3) & 1) << 48) | (((d >> 2) & 1) << 32) | (((d >> 1) & 1) << 16) | (d & 1)
+    for d in range(16)
+]
 
 
 def simhash_signatures(
@@ -121,42 +182,47 @@ def simhash_signatures(
     """64-bit SimHash per document as a '0'/'1' string (portable encoding).
 
     Each token votes +1/-1 on every bit of md5(token); the sign of the
-    per-bit sum is the signature bit. Bit b is extracted from hex digit
-    b//4 of the md5 (no engine-specific bit intrinsics, so the DuckDB
-    oracle reproduces it exactly).
+    per-bit sum is the signature bit (bit b lives in hex digit b//4 — no
+    engine-specific bit intrinsics, so the DuckDB oracle reproduces it).
+
+    Shuffle shape: per token, the 16 leading md5 hex digits become 16
+    packed longs (LUT lookup, 4 bit-values per long in 16-bit lanes); ONE
+    ``groupBy(doc)`` with 16 SUMs + a COUNT accumulates every bit's
+    one-count with map-side partial aggregation — the exchange carries one
+    17-column row per (doc, partition), never tokens × 64 exploded rows.
+    Sign test: vote sum = 2*ones - n_tokens > 0  ⟺  2*ones > n_tokens.
+    The 16-bit lanes cap documents at 65535 tokens (far above any real
+    document; widen to 3 longs x 21-bit lanes if a corpus breaks it).
     """
+    assert bits == 64, "packing is laid out for 64-bit signatures"
+    lut = ", ".join(f"CAST({v} AS BIGINT)" for v in _PACK_LUT)
     tk = with_tokens(df, text_col=text_col, out="tk")
     tok = tk.select(F.col(id_col), F.explode("tk").alias("tok")).withColumn(
         "th", F.md5(F.col("tok"))
     )
-    votes = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "th",
-    ).select(
-        id_col,
-        "b",
-        F.expr(
-            f"CASE WHEN CAST(floor((instr('{_HEX}', substr(th, 1 + b div 4, 1)) - 1) / "
-            "(CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1 "
-            "THEN 1 ELSE -1 END"
+    packed = tok.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"element_at(array({lut}), instr('{_HEX}', substr(th, {i + 1}, 1)))"
+            ).alias(f"p{i}")
+            for i in range(16)
+        ],
+    )
+    agg = packed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("ntok"),
+        *[F.sum(f"p{i}").alias(f"s{i}") for i in range(16)],
+    )
+    bitchars = []
+    for b in range(bits):
+        i, j = b // 4, b % 4
+        shift = 16 * (3 - j)
+        bitchars.append(
+            F.when(F.expr(f"2 * ((s{i} >> {shift}) & 65535) > ntok"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
         )
-        .cast("long")
-        .alias("vote"),
-    )
-    bitcol = (
-        votes.groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
-        .select(
-            id_col, "b", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
-        )
-    )
-    return bitcol.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda x: x["bit"]),
-            "",
-        ).alias("simhash")
-    )
+    return agg.select(F.col(id_col), F.concat(*bitchars).alias("simhash"))
 
 
 def simhash_pairs(
@@ -165,16 +231,30 @@ def simhash_pairs(
     n_blocks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block candidates (pigeonhole on
-    ``n_blocks`` 16-bit blocks) then exact Hamming distance filter."""
-    sig = simhash_signatures(df, id_col, text_col)
+    ``n_blocks`` 16-bit blocks) then exact Hamming distance filter.
+
+    The signature table (one short row per doc) is persisted: both
+    self-join sides derive their blocks from the single cached
+    materialization instead of recomputing the token-vote pipeline twice.
+    """
+    sig = simhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     block_len = 64 // n_blocks
     blocks = sig.select(
         F.col(id_col),
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
     ).withColumn("blk_sig", F.expr(f"substr(simhash, 1 + blk * {block_len}, {block_len})"))
+    if max_bucket is not None:
+        ok = (
+            blocks.groupBy("blk", "blk_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        blocks = blocks.join(ok, ["blk", "blk_sig"], "left_semi")
     a = blocks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "blk_sig"
     )
@@ -209,16 +289,39 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-grams, for pairs sharing >= 1
-    shingle. Inverted-index join: |A∩B| comes from grouping the shingle
-    table with itself, so cost is sum over shingles of (docs-per-shingle)^2
-    — at 100 TB, drop shingles with document frequency above a cap first
-    (boilerplate killer), which bounds each group."""
-    sh = shingle_table(df, shingle_words, id_col, text_col)
+    (non-boilerplate) shingle.
+
+    Inverted-index join: |A∩B| comes from grouping the shingle table with
+    itself, so cost is sum over shingles of (docs-per-shingle)^2.
+    ``max_doc_freq`` is the boilerplate killer: shingles appearing in more
+    than that many documents are dropped from candidate generation (NOT
+    from the per-doc sizes), bounding every group — at 100 TB one hot
+    header shingle shared by m docs otherwise costs O(m^2) pairs.
+    The shingle table is persisted: it feeds the sizes aggregate and both
+    self-join sides, and would otherwise be recomputed three times.
+    """
+    sh = shingle_table(df, shingle_words, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    joinable = sh
+    if max_doc_freq is not None:
+        # Hot shingles are by definition FEW (the df distribution's tail),
+        # so broadcast the hot set and anti-join — the filter costs one
+        # aggregate plus a map-side hash probe, not a second full shuffle
+        # of the shingle table.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .drop("_df")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -1,0 +1,107 @@
+"""Multimodal column operators: decode / feature-extract over binary payloads.
+
+Convention (SURVEY.md §2.2 LLM-pipeline row): media travels as an opaque
+``binary`` payload column plus typed metadata (``media_type`` string, plus
+whatever the modality needs).  Decode/resize/frame-sample run as
+``mapInPandas`` stages: Arrow-batched (never row-at-a-time Python), schema
+declared up front, partition-parallel — each executor core decodes its own
+batch stream, which is the correct 100 TB shape for CPU-bound media work.
+
+The actual codecs (PIL/librosa/av) are NOT in this container, so
+``decode_payload`` is a deterministic fake keyed on the payload bytes
+(length / md5 / derived pseudo-dimensions).  The Spark-side plumbing —
+binary schema in, Arrow batch iteration, struct-typed feature schema out —
+is real and tested; swapping the fake for a real codec changes only the
+body of ``_decode_batch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, content_hash STRING, "
+    "width BIGINT, height BIGINT, n_channels BIGINT"
+)
+
+_REAL_CODECS = False
+try:  # pragma: no cover - codecs absent in this container by design
+    from PIL import Image  # noqa: F401
+
+    _REAL_CODECS = True
+except Exception:
+    _REAL_CODECS = False
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload binary) -> decoded feature rows.
+
+    ``mapInPandas``: Arrow ships each partition to Python in columnar
+    batches; output schema is declared so Catalyst plans downstream ops
+    without materializing Python objects.
+
+    The whole decode body is a self-contained closure: cloudpickle then
+    serializes it BY VALUE, so executors do not need this package on
+    their own sys.path (an external driver session — e.g. the correctness
+    harness — ships no PYTHONPATH to its Python workers)."""
+    real_codecs = _REAL_CODECS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if real_codecs and media_type == "image":
+                    # Real path: Image.open(io.BytesIO(payload)) -> size.
+                    # Unreachable in this container; the swap-in point.
+                    raise NotImplementedError("real image codec path not wired in CI")
+                n = len(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        media_type,
+                        n,
+                        _hashlib.md5(payload).hexdigest(),
+                        n % 640,
+                        n % 480,
+                        3,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "content_hash",
+                    "width",
+                    "height",
+                    "n_channels",
+                ],
+            )
+
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Stand-in media table: document text encoded as the binary payload
+    (the container has no real image fixtures; the column types are the
+    contract)."""
+    return docs.select(
+        "doc_id",
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )

@@ -54,6 +54,53 @@ def sign_bucket(vec_col_name: str, nbits: int = 8) -> Column:
     )
 
 
+def random_hyperplanes(
+    nbits: int = 8, dim: int = 64, seed: int = 42, ndigits: int = 6
+) -> list[list[float]]:
+    """Seeded Gaussian random projection planes (stored-literal form).
+
+    Rounded to ``ndigits`` so the exact same decimal literals can be
+    embedded in the Spark expression AND the DuckDB oracle SQL — both
+    engines parse them to identical doubles, keeping the ANN query
+    value-hash-checkable.  True random hyperplanes give far better recall
+    than component-sign bucketing: every plane mixes all ``dim``
+    components instead of thresholding one."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), ndigits) for x in rng.randn(dim)] for _ in range(nbits)
+    ]
+
+
+def projection_bucket(vec_col_name: str, planes: list[list[float]]) -> Column:
+    """LSH bucket from stored hyperplanes: concat over planes of the sign
+    bit of dot(vec, plane).  Left-to-right fold, same as the DuckDB
+    ``list_dot_product`` evaluation order, so buckets are bit-identical
+    across engines."""
+    parts = []
+    for plane in planes:
+        arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        parts.append(
+            f"IF(aggregate(zip_with({vec_col_name}, array({arr}), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= CAST(0.0 AS DOUBLE), '1', '0')"
+        )
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def multiprobe_buckets(bucket_col: str, nbits: int) -> Column:
+    """The query bucket plus every 1-bit-flip neighbor bucket (Hamming
+    radius 1 multi-probe): recovers most near neighbors that fall just
+    across one hyperplane, at the cost of ``nbits`` extra (tiny) probes
+    instead of lowering nbits and fattening every bucket."""
+    return F.expr(
+        f"transform(sequence(0, {nbits}), p -> IF(p = 0, {bucket_col}, "
+        f"concat(substr({bucket_col}, 1, p - 1), "
+        f"IF(substr({bucket_col}, p, 1) = '1', '0', '1'), "
+        f"substr({bucket_col}, p + 1, {nbits} - p))))"
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -83,6 +130,55 @@ def cosine_topk(
         joined = cb.join(F.broadcast(qb), "bucket")
     scored = (
         joined.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(dot("qv", "cv"), F.col("qdd"), F.col("cdd")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via stored-random-projection LSH with multi-probe.
+
+    Scale shape: the corpus is scanned once and bucketed by an ``nbits``
+    sign pattern of seeded hyperplane projections; the (small, broadcast)
+    query side explodes into 1 + nbits probe buckets (Hamming radius 1);
+    candidates come from an equi-join on the bucket key — O(sum of probed
+    bucket sizes), never O(Q x N).  Each (query, neighbor) candidate pair
+    arises through at most one probe (a corpus vector lives in exactly one
+    bucket and probe buckets are distinct), so no dedup pass is needed."""
+    planes = planes if planes is not None else random_hyperplanes()
+    nbits = len(planes)
+    q = with_self_dot(with_vec(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("dd").alias("qdd")
+    )
+    q = q.withColumn("bucket", projection_bucket("qv", planes))
+    if multiprobe:
+        q = q.select(
+            "query_id", "qv", "qdd", F.explode(multiprobe_buckets("bucket", nbits)).alias("bucket")
+        )
+    c = with_self_dot(with_vec(corpus, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv"), F.col("dd").alias("cdd")
+    )
+    c = c.withColumn("bucket", projection_bucket("cv", planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(cosine(dot("qv", "cv"), F.col("qdd"), F.col("cdd")), 6),

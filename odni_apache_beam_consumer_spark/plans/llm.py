@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table
 from odni_apache_beam_consumer_spark.operators import dedup as D
+from odni_apache_beam_consumer_spark.operators import multimodal as M
 from odni_apache_beam_consumer_spark.operators import similarity as S
 from odni_apache_beam_consumer_spark.operators.text_ops import (
     LANG_MARKERS,
@@ -185,6 +186,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_jaccard_capped",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 2),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(c / (sa.nsh + sb.nsh - c), 6) >= 0.5
+""",
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard dedup with the boilerplate killer on: shingles appearing in
+    more than 2 documents are dropped from candidate generation (per-doc
+    sizes keep the full shingle sets), bounding every inverted-index group
+    — the guard that keeps one hot header shingle from generating O(m^2)
+    pairs at 100 TB."""
+    return D.ngram_jaccard_pairs(
+        dedup_corpus(spark, sf_dir), shingle_words=5, threshold=0.5, max_doc_freq=2
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
 WITH v AS (
@@ -248,21 +286,44 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 
+# Stored random projections shared by the Spark plan and the DuckDB oracle
+# (same decimal literals -> identical doubles -> identical buckets).
+_ANN_PLANES = S.random_hyperplanes(nbits=8, dim=64, seed=42)
+_ANN_NBITS = len(_ANN_PLANES)
+
+
+def _duck_projection_bucket(planes: list[list[float]]) -> str:
+    parts = [
+        "CASE WHEN list_dot_product(vec, ["
+        + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
 @query(
     "ann_lsh_topk",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd,
-         array_to_string(list_transform(range(1, 9),
-             i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd, bucket FROM v WHERE vec_id % 100 = 0),
+b AS (SELECT vec_id, vec, dd, {_duck_projection_bucket(_ANN_PLANES)} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd, bucket FROM b WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, qv, qdd,
+         CASE WHEN p = 0 THEN bucket
+              ELSE substr(bucket, 1, p - 1) ||
+                   (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
+                   substr(bucket, p + 1, {_ANN_NBITS} - p) END AS bucket
+  FROM q, UNNEST(range(0, {_ANN_NBITS + 1})) AS pu(p)
+),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.qv, c.vec) / (sqrt(q.qdd) * sqrt(c.dd)), 6) AS cosine
-  FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+  SELECT pr.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(pr.qv, c.vec) / (sqrt(pr.qdd) * sqrt(c.dd)), 6) AS cosine
+  FROM probes pr JOIN b c ON c.bucket = pr.bucket AND c.vec_id <> pr.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM (
@@ -273,12 +334,14 @@ FROM (
 """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: candidates restricted to the query's 8-bit
-    sign-LSH bucket — the equi-join scale path (O(bucket) not O(N) per
-    query)."""
+    """Approximate top-5 via stored random hyperplane projections (seeded,
+    8 planes x 64 dims) with Hamming-radius-1 multi-probe — the equi-join
+    scale path (O(probed buckets) not O(N) per query).  Recall vs the
+    exact ``cosine_topk`` baseline is asserted in
+    tests/test_operators.py::test_ann_recall_vs_exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 100 == 0)
-    res = S.cosine_topk(q, emb, k=5, bucket_bits=8)
+    res = S.ann_topk(q, emb, k=5, planes=_ANN_PLANES, multiprobe=True)
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -555,4 +618,71 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         (nb % 640).cast("bigint").alias("fake_width"),
         (nb % 480).cast("bigint").alias("fake_height"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+SELECT doc_id, 'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels
+FROM documents
+""",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode via ``mapInPandas`` (operators/multimodal.py): binary
+    payload in, Arrow-batched Python feature extraction out, with a
+    declared output schema.  The codec is a deterministic fake (container
+    has no image libs) whose outputs the DuckDB oracle reproduces — the
+    Arrow/ Pandas plumbing under test is exactly the real decode path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_features(M.documents_as_media(docs))
+
+
+@query(
+    "pandas_udf_token_stats",
+    oracle="""
+WITH t AS (
+  SELECT source, len(string_split(trim(text), ' ')) AS n_tokens FROM documents
+)
+SELECT source,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM t GROUP BY source
+""",
+)
+def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate ``pandas_udf`` capability demo (SURVEY §2.2 UDF
+    row): per-source token totals where the SUM runs as an Arrow-batched
+    pandas aggregate.  Built-ins remain the default for hot paths; this
+    registers the escape hatch and proves it oracle-exact (integer sums,
+    so no float-order divergence)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit functionType: this module uses postponed annotations, which
+    # breaks pandas_udf's type-hint inference (hints arrive as strings).
+    # Both aggregates are pandas UDFs — Spark disallows mixing grouped-agg
+    # pandas UDFs with JVM aggregates in one agg().
+    psum = pandas_udf(lambda v: int(v.sum()), "bigint", PandasUDFType.GROUPED_AGG)
+    pcount = pandas_udf(lambda v: len(v), "bigint", PandasUDFType.GROUPED_AGG)
+
+    d = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "source", F.size("tk").alias("n_tokens")
+    )
+    agg = d.groupBy("source").agg(
+        psum(F.col("n_tokens")).alias("total_tokens"),
+        pcount(F.col("n_tokens")).alias("n_docs"),
+    )
+    return agg.select(
+        "source",
+        "total_tokens",
+        "n_docs",
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_tokens"
+        ),
     )

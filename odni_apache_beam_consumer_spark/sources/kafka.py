@@ -39,11 +39,20 @@ from pyspark.sql import functions as F
 DEFAULT_TOPIC = "test-topic"  # main.py:104
 
 
+def _jaas_escape(v: str) -> str:
+    """Escape a credential for embedding in a JAAS double-quoted value.
+
+    Secrets-Manager credentials can contain arbitrary characters; an
+    unescaped quote/backslash would break the config or inject extra JAAS
+    options."""
+    return v.replace("\\", "\\\\").replace('"', '\\"')
+
+
 def scram_jaas_config(username: str, password: str) -> str:
     """SCRAM JAAS line (main.py:92 hardcodes this; we parameterize)."""
     return (
         "org.apache.kafka.common.security.scram.ScramLoginModule required "
-        f'username="{username}" password="{password}";'
+        f'username="{_jaas_escape(username)}" password="{_jaas_escape(password)}";'
     )
 
 
@@ -149,6 +158,13 @@ def write_stream(
     Serializes the given columns (default: all) as a JSON ``value``.
     Returns the started StreamingQuery.
     """
+    if not bootstrap_servers or not topic or not checkpoint_location:
+        raise ValueError(
+            "kafka write_stream requires bootstrap_servers, topic and "
+            "checkpoint_location (the reference's WriteToKafka shipped with "
+            "an empty producer config and no topic — that bug class is "
+            "rejected at build time here)"
+        )
     cols = value_columns or df.columns
     out = df.select(F.to_json(F.struct(*cols)).alias("value"))
     writer = (

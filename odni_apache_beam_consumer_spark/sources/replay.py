@@ -15,6 +15,8 @@ pipelines can be exercised end-to-end without a broker (FIXTURES.md §B).
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,21 +27,74 @@ EVENTS_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRIN
 
 
 def write_replay_chunks(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 8,
+    flush_sentinel: bool = False,
 ) -> str:
-    """Write events as n_chunks ordered parquet files under out_dir."""
-    e = load_table(spark, sf_dir, "events").orderBy("event_id")
-    total = e.count()
-    per = (total + n_chunks - 1) // n_chunks
-    chunk = (F.col("event_id") / per).cast("int")
-    # one file per chunk, named in order so the file source picks them up
-    # deterministically
-    pdf = e.withColumn("chunk", chunk).toPandas()
+    """Write events as n_chunks EVENT-TIME-ordered parquet files under
+    out_dir.
+
+    Chunks are ordered by ``ts``, not event_id: replay feeds watermarked
+    streaming queries, and a watermark advances between micro-batches — if
+    chunk k+1 contained events older than chunk k's max(ts) - delay, the
+    file source would "drop late data" that isn't late in the real table,
+    breaking batch-stream equivalence.  Time-ordered chunks model the
+    near-ordered arrival of a real stream; deliberately disordered replay
+    (for late-data tests) is built by renaming chunks out of order.
+
+    Fully distributed: ``repartitionByRange`` assigns ascending ts ranges
+    to partitions 0..n-1 (range boundaries from a sampled sketch) and
+    executors write the files in parallel.  The driver then only renames
+    the n part files into ``chunk_%05d`` order and staggers their mtimes
+    so the file-stream source replays them oldest-first — an O(n_chunks)
+    metadata pass, never the data."""
+    e = load_table(spark, sf_dir, "events")
+    tmp_dir = out_dir.rstrip("/") + ".__tmp__"
+    (
+        e.repartitionByRange(n_chunks, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
     os.makedirs(out_dir, exist_ok=True)
-    for i, grp in pdf.groupby("chunk"):
-        grp.drop(columns=["chunk"]).to_parquet(
-            os.path.join(out_dir, f"chunk_{int(i):05d}.parquet"), index=False
+    parts = sorted(
+        f for f in os.listdir(tmp_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    now = time.time()
+    for i, fname in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
+        shutil.move(os.path.join(tmp_dir, fname), dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if flush_sentinel:
+        # Watermarked append-mode queries only emit a window once the
+        # watermark passes its end — after the last real batch, the final
+        # watermark-delay's worth of windows would stay in state forever.
+        # A single far-future sentinel event in its own final chunk pushes
+        # the watermark past every real window so the drained stream
+        # equals the batch result.  Sentinel rows (event_id < 0) are
+        # filtered out by the equivalence tests.
+        i = len(parts)
+        sent = spark.createDataFrame(
+            [(-1, None, -1, "__flush__", 0.0, "{}")], EVENTS_SCHEMA
+        ).select(
+            F.col("event_id"),
+            F.expr(
+                f"timestamp'2100-01-01 00:00:00'"
+            ).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
         )
+        dst = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp_dir, part), dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 

@@ -1,0 +1,74 @@
+"""Debug/test sinks: console, memory, foreachBatch.
+
+Reference parity: the reference's only working sink is
+``beam.Map(print)`` (/root/reference/main.py:109) — a per-record stdout
+dump.  Its Spark-native analogs are first-class sinks:
+
+  * console — ``format("console")``, the debug sink proper;
+  * memory — ``format("memory")``, an in-memory table for assertions
+    (the batch-stream-equivalence tests drain into it);
+  * foreachBatch — arbitrary per-micro-batch batch logic (idempotent
+    writes to any batch sink; the production escape hatch).
+
+Each helper starts and returns the StreamingQuery.  ``available_now=True``
+drains everything currently available then stops — the engine's analog of
+the reference's bounded ``max_num_records=3`` read (main.py:106).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _trigger(writer, available_now: bool):
+    return writer.trigger(availableNow=True) if available_now else writer
+
+
+def to_console(
+    df: DataFrame,
+    num_rows: int = 20,
+    truncate: bool = True,
+    output_mode: str = "append",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Console debug sink — the ``beam.Map(print)`` analog."""
+    w = (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .outputMode(output_mode)
+    )
+    return _trigger(w, available_now).start()
+
+
+def to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Memory sink: results land in the in-memory table ``name`` (query it
+    with ``spark.table(name)``). Test/assertion sink — the whole result
+    set lives on the driver, so never a production path."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    return _trigger(w, available_now).start()
+
+
+def foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint_location: str | None = None,
+    output_mode: str = "update",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """foreachBatch sink: ``fn(batch_df, batch_id)`` runs per micro-batch
+    with full batch-DataFrame powers (joins, writes to any batch sink).
+    Spark may re-run a batch on recovery — make ``fn`` idempotent on
+    ``batch_id``."""
+    w = df.writeStream.foreachBatch(fn).outputMode(output_mode)
+    if checkpoint_location:
+        w = w.option("checkpointLocation", checkpoint_location)
+    return _trigger(w, available_now).start()

@@ -72,8 +72,14 @@ def run_one(spark, con, name: str, sf_dir: str) -> list[str]:
     sql = all_oracles().get(name)
     sdf = q(spark, sf_dir)
     if sql is None:
-        n = sdf.count()
-        return [] if n >= 0 else [f"{name}: rows-only check failed"]
+        # No oracle: assert non-empty output (every registered corpus is
+        # non-empty) and a stable, named schema — not just "it ran".
+        problems = []
+        if sdf.count() == 0:
+            problems.append(f"{name}: rows-only check returned 0 rows")
+        if not sdf.columns or any(c.startswith("_") for c in sdf.columns):
+            problems.append(f"{name}: unstable/unnamed output columns {sdf.columns}")
+        return problems
     odf = con.sql(sql).df()
     return compare(sdf, odf)
 

@@ -1,0 +1,102 @@
+"""Operator-level tests: hot-bucket guards, ANN recall, multimodal plumbing.
+
+These cover properties the DuckDB oracle can't express: bounded candidate
+generation under adversarial (mass-duplicated) corpora, and approximate
+recall against the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.operators import dedup as D
+from odni_apache_beam_consumer_spark.operators import multimodal as M
+from odni_apache_beam_consumer_spark.operators import similarity as S
+
+
+def _boilerplate_corpus(spark, n_docs: int = 30):
+    """Docs that all share one hot 5-gram (boilerplate header) but are
+    otherwise pairwise-distinct."""
+    header = "common header shared by every doc"
+    rows = [
+        (i, f"{header} unique tail {i} alpha beta gamma delta epsilon zeta {i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_jaccard_doc_freq_cap_bounds_pairs(spark):
+    corpus = _boilerplate_corpus(spark)
+    # Uncapped: the hot header shingles pair every doc with every other.
+    uncapped = D.ngram_jaccard_pairs(corpus, shingle_words=5, threshold=0.0)
+    # Capped at df<=2: boilerplate shingles (df=30) drop out of candidate
+    # generation; unique-tail shingles pair nothing.
+    capped = D.ngram_jaccard_pairs(corpus, shingle_words=5, threshold=0.0, max_doc_freq=2)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == 30 * 29 // 2  # full quadratic blow-up without the cap
+    assert n_cap == 0
+
+
+def test_lsh_max_bucket_guard(spark):
+    # 20 identical docs -> one LSH bucket of 20 -> 190 pairs unguarded.
+    rows = [(i, "exactly the same text in every single document here") for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    unguarded = D.minhash_lsh_pairs(corpus)
+    guarded = D.minhash_lsh_pairs(corpus, max_bucket=5)
+    assert unguarded.count() == 20 * 19 // 2
+    assert guarded.count() == 0
+
+
+def test_simhash_max_bucket_guard(spark):
+    rows = [(i, "exactly the same text in every single document here") for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    assert D.simhash_pairs(corpus, max_bucket=5).count() == 0
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from odni_apache_beam_consumer_spark.plans.llm import _ANN_PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk(q, emb, k=5, planes=_ANN_PLANES, multiprobe=True).collect()
+    }
+    assert exact, "exact baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # Random-ish 64-d embeddings are the LSH worst case (no cluster
+    # structure).  Radius-1 multi-probe covers 9/256 ≈ 3.5% of the bucket
+    # space, so chance-level recall is ~0.035; measured recall ~0.16 at
+    # sf0.001 (≈5x chance).  Floor at 0.1 to catch regressions to chance.
+    assert recall >= 0.1, f"ANN recall {recall:.2f} below floor"
+
+
+def test_multiprobe_bucket_shapes(spark):
+    df = spark.createDataFrame([("10110010",)], "bucket STRING")
+    probes = df.select(F.explode(S.multiprobe_buckets("bucket", 8)).alias("p")).collect()
+    vals = [r.p for r in probes]
+    assert len(vals) == 9
+    assert vals[0] == "10110010"
+    assert vals[1] == "00110010"  # bit 1 flipped
+    assert vals[8] == "10110011"  # bit 8 flipped
+    assert len(set(vals)) == 9  # all distinct -> no duplicate candidates
+
+
+def test_multimodal_decode_features_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark")], "doc_id BIGINT, text STRING"
+    )
+    media = M.documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = M.decode_features(media).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"hello world")
+    import hashlib
+
+    assert by_id[1].content_hash == hashlib.md5(b"hello world").hexdigest()
+    assert by_id[2].n_channels == 3

@@ -1,0 +1,203 @@
+"""Batch-stream equivalence tests (SURVEY §5.2): the streaming oracle.
+
+Replay the events table through the file-stream source chunk by chunk
+(micro-batches, same incremental semantics as the reference's Kafka read),
+drain with trigger(availableNow=True) into a memory sink, and assert the
+result equals the batch dual on the same rows.  A far-future sentinel
+chunk pushes the watermark past every real window so append-mode output is
+complete (see sources/replay.py); sentinel rows are filtered out of every
+assertion.
+
+Also: a late-data test proving watermark drop semantics (a deliberately
+disordered replay where old events arrive after the watermark passed), and
+a stream-stream join against its batch dual.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.sources import replay as R
+from odni_apache_beam_consumer_spark.streaming import sinks
+from odni_apache_beam_consumer_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_counts,
+    sliding_counts,
+    stream_stream_join,
+    tumbling_counts,
+)
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("replay") / "chunks")
+    return R.write_replay_chunks(spark, sf_dir, out, n_chunks=6, flush_sentinel=True)
+
+
+def _drain(spark, df, name: str, output_mode: str = "append"):
+    q = sinks.to_memory(df, name, output_mode=output_mode, available_now=True)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _rows(df, drop_sentinel_col: str | None = None) -> set[tuple]:
+    if drop_sentinel_col is not None:
+        df = df.where(~F.col(drop_sentinel_col).isin("__flush__"))
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_equivalence(spark, sf_dir, replay_dir):
+    stream = R.read_stream(spark, replay_dir)
+    got = _drain(spark, tumbling_counts(stream), "t_tumbling")
+    want = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got, "event_type") == _rows(want)
+
+
+def test_sliding_equivalence(spark, sf_dir, replay_dir):
+    stream = R.read_stream(spark, replay_dir)
+    got = _drain(spark, sliding_counts(stream), "t_sliding")
+    want = sliding_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got, "event_type") == _rows(want)
+
+
+def test_session_equivalence(spark, sf_dir, replay_dir):
+    stream = R.read_stream(spark, replay_dir)
+    got = _drain(spark, session_counts(stream), "t_session")
+    want = session_counts(load_table(spark, sf_dir, "events"))
+    got_rows = {t for t in _rows(got) if t[0] >= 0}  # drop sentinel user -1
+    assert got_rows == _rows(want)
+
+
+def test_dedup_within_watermark_equivalence(spark, sf_dir, replay_dir):
+    # Duplicate every event by self-union of two independent readers of the
+    # same replay dir; streaming dedup must restore exact-once.
+    s1 = R.read_stream(spark, replay_dir)
+    s2 = R.read_stream(spark, replay_dir)
+    deduped = dedup_within_watermark(s1.unionByName(s2), keys=["event_id"])
+    got = _drain(spark, deduped.select("event_id"), "t_dedup")
+    n_got = got.where(F.col("event_id") >= 0).distinct().count()
+    n_raw = got.where(F.col("event_id") >= 0).count()
+    n_want = load_table(spark, sf_dir, "events").count()
+    assert n_raw == n_want  # every duplicate dropped, nothing else
+    assert n_got == n_want
+
+
+def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir):
+    purchases = R.read_stream(spark, replay_dir).where(F.col("event_type") == "purchase")
+    clicks = R.read_stream(spark, replay_dir).where(F.col("event_type") == "click")
+    got = _drain(
+        spark, stream_stream_join(purchases, clicks, horizon="1 hour"), "t_ssj"
+    )
+    e = load_table(spark, sf_dir, "events")
+    want = stream_stream_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        horizon="1 hour",
+    )
+    assert _rows(got) == _rows(want)
+    assert want.count() > 0  # the equivalence is not vacuous
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """Watermark drop semantics: a chunk of old events arriving AFTER the
+    watermark has advanced past them is provably excluded.
+
+    Spark applies the late filter with a one-batch-delayed watermark (the
+    watermark computed from batch N's data takes effect filtering batch
+    N+2), so a buffer chunk sits between the fresh and the late chunk."""
+    schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunks = [
+        [(1, "2024-03-10 12:00:00", 1, "view", 1.0, "{}")],  # advances wm
+        [(3, "2024-03-10 13:00:00", 1, "view", 1.0, "{}")],  # buffer batch
+        [(2, "2024-02-01 00:30:00", 1, "view", 1.0, "{}")],  # 38 days late
+        [(-1, "2100-01-01 00:00:00", -1, "__flush__", 0.0, "{}")],
+    ]
+    late_dir = str(tmp_path / "late_chunks")
+    os.makedirs(late_dir)
+    import time as _time
+
+    now = _time.time()
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(late_dir, f"chunk_{i:05d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = R.read_stream(spark, late_dir)
+    q = sinks.to_memory(
+        tumbling_counts(stream, watermark="1 day"), "t_late", available_now=True
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    got = spark.table("t_late")
+    starts = {r[0] for r in _rows(got, "event_type")}
+    assert any(s.startswith("2024-03-10") for s in starts)  # fresh kept
+    assert not any(s.startswith("2024-02-01") for s in starts)  # late dropped
+    assert dropped == 1  # the state operator reports exactly the late row
+
+
+def test_stateful_running_totals_equivalence(spark, sf_dir, replay_dir):
+    """applyInPandasWithState: after draining the stream, each user's last
+    emitted running total equals the batch aggregate."""
+    from pyspark.sql import Window as W
+
+    from odni_apache_beam_consumer_spark.streaming.stateful import running_user_totals
+
+    stream = R.read_stream(spark, replay_dir)
+    got = _drain(spark, running_user_totals(stream), "t_stateful")
+    last = (
+        got.where(F.col("user_id") >= 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    g = {r.user_id: (r.n_events, r.sum_value) for r in last.collect()}
+    w = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0], f"user {uid} count"
+        assert abs(g[uid][1] - w[uid][1]) < 1e-6, f"user {uid} sum"
+
+
+def test_console_and_foreach_batch_sinks(spark, replay_dir):
+    seen: list[tuple[int, int]] = []
+
+    def collect(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    stream = R.read_stream(spark, replay_dir).where(F.col("event_id") >= 0)
+    q = sinks.foreach_batch(stream, collect, available_now=True)
+    q.awaitTermination(300)
+    assert sum(n for _, n in seen) == 1000  # sf0.001 events table
+    assert len(seen) >= 6  # one batch per chunk (maxFilesPerTrigger=1)
+
+    q2 = sinks.to_console(stream.limit(1), available_now=True)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
