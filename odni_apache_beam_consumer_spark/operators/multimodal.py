@@ -39,17 +39,25 @@ except Exception:
     _REAL_CODECS = False
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """(doc_id, media_type, payload binary) -> decoded feature rows.
 
     ``mapInPandas``: Arrow ships each partition to Python in columnar
     batches; output schema is declared so Catalyst plans downstream ops
     without materializing Python objects.
 
+    ``min_parallelism``: decode is CPU-bound Python — when the input has
+    fewer partitions than cores (e.g. one parquet file), the stage runs
+    serially through one worker.  Rebalancing before the Python stage is
+    worth the shuffle for real decode work; at 100 TB the file count
+    usually provides parallelism and this stays None.
+
     The whole decode body is a self-contained closure: cloudpickle then
     serializes it BY VALUE, so executors do not need this package on
     their own sys.path (an external driver session — e.g. the correctness
     harness — ships no PYTHONPATH to its Python workers)."""
+    if min_parallelism is not None:
+        media = media.repartition(min_parallelism)
     real_codecs = _REAL_CODECS
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

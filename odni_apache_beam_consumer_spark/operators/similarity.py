@@ -193,6 +193,83 @@ def ann_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid vectors — the IVF coarse quantizer.
+
+    Components are rounded to 6dp so Spark and DuckDB (whose AVG summation
+    orders differ in the last ulp) agree bit-for-bit on every downstream
+    assignment."""
+    v = with_vec(corpus, vec_col).select("label", "vec")
+    return v.groupBy("label").agg(
+        F.array(
+            *[F.round(F.avg(F.element_at(F.col("vec"), i + 1)), 6) for i in range(dim)]
+        ).alias("cvec")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus partitioned into cells by nearest
+    (cosine) label-centroid; each query probes its ``nprobe`` best cells
+    and scores exactly within them.
+
+    Scale shape: the centroid table is tiny (one row per label) and
+    broadcast to both assignments; candidate generation is an equi-join on
+    the cell key — O(sum of probed cell sizes) per query, never O(N).  At
+    100 TB the corpus side is one scan + one broadcast-join + the bucketed
+    candidate join; cells can also be written out partitioned-by-cell so
+    repeated query batches prune to the probed partitions."""
+    cents = label_centroids(corpus, dim, id_col, vec_col)
+    cents = with_self_dot(cents, "cvec", "cdd2").select(
+        F.col("label").alias("cell"), F.col("cvec"), F.col("cdd2")
+    )
+    c = with_self_dot(with_vec(corpus, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv"), F.col("dd").alias("cdd")
+    )
+    w_assign = W.partitionBy("neighbor_id").orderBy(F.col("ccos").desc(), "cell")
+    c_cells = (
+        c.join(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(dot("cv", "cvec"), F.col("cdd"), F.col("cdd2")), 6))
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") == 1)
+        .select("neighbor_id", "cv", "cdd", "cell")
+    )
+    q = with_self_dot(with_vec(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("dd").alias("qdd")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), "cell")
+    q_probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("qcos", F.round(cosine(dot("qv", "cvec"), F.col("qdd"), F.col("cdd2")), 6))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "qv", "qdd", "cell")
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine(dot("qv", "cv"), F.col("qdd"), F.col("cdd")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -345,6 +345,65 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 
+_IVF_CENT_LIST = ", ".join(f"ROUND(AVG(vec[{i + 1}]), 6)" for i in range(64))
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, [{_IVF_CENT_LIST}] AS cvec
+  FROM v GROUP BY label
+),
+cent2 AS (SELECT cell, cvec, list_dot_product(cvec, cvec) AS cdd2 FROM cent),
+c_assign AS (
+  SELECT v.vec_id AS neighbor_id, v.vec AS cv, v.dd AS cdd, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_dot_product(v.vec, cvec) / (sqrt(v.dd) * sqrt(cdd2)), 6)
+                    DESC, cell) AS crank
+  FROM v, cent2
+),
+c_cells AS (SELECT neighbor_id, cv, cdd, cell FROM c_assign WHERE crank = 1),
+q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd FROM v WHERE vec_id % 100 = 0),
+q_assign AS (
+  SELECT query_id, qv, qdd, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(list_dot_product(qv, cvec) / (sqrt(qdd) * sqrt(cdd2)), 6)
+                    DESC, cell) AS prank
+  FROM q, cent2
+),
+q_probes AS (SELECT query_id, qv, qdd, cell FROM q_assign WHERE prank <= 2),
+scored AS (
+  SELECT qp.query_id, c.neighbor_id,
+         ROUND(list_dot_product(qp.qv, c.cv) / (sqrt(qp.qdd) * sqrt(c.cdd)), 6) AS cosine
+  FROM q_probes qp JOIN c_cells c ON c.cell = qp.cell AND c.neighbor_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: label-centroid coarse quantizer
+    (broadcast), nprobe=2 cells per query, exact cosine within probed
+    cells — the partition-pruned scale path complementing the LSH variant
+    (operators/similarity.py::ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    res = S.ivf_topk(q, emb, k=5, dim=64, nprobe=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
 @query(
     "embedding_centroids",
     oracle="""
@@ -640,7 +699,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no image libs) whose outputs the DuckDB oracle reproduces — the
     Arrow/ Pandas plumbing under test is exactly the real decode path."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.decode_features(M.documents_as_media(docs))
+    return M.decode_features(
+        M.documents_as_media(docs),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(

@@ -186,6 +186,23 @@ def test_stateful_running_totals_equivalence(spark, sf_dir, replay_dir):
         assert abs(g[uid][1] - w[uid][1]) < 1e-6, f"user {uid} sum"
 
 
+def test_rate_micro_batch_source(spark):
+    """Deterministic rate source -> events shape -> windowed agg."""
+    from odni_apache_beam_consumer_spark.sources.rate import (
+        as_events,
+        rate_micro_batch_stream,
+    )
+
+    stream = as_events(rate_micro_batch_stream(spark, rows_per_batch=500))
+    q = sinks.to_memory(stream, "t_rate", available_now=True)
+    q.awaitTermination(120)
+    got = spark.table("t_rate")
+    assert got.count() == 500  # availableNow drains exactly one batch
+    assert got.select("user_id").distinct().count() == 100
+    types = {r.event_type for r in got.select("event_type").distinct().collect()}
+    assert types == {"view", "click", "purchase", "signup", "error"}
+
+
 def test_console_and_foreach_batch_sinks(spark, replay_dir):
     seen: list[tuple[int, int]] = []
 
