@@ -132,12 +132,19 @@ def read_batch(
     return reader.load()
 
 
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # micros, not the lossy default
+
+
 def decode_json_value(df: DataFrame, schema: str) -> DataFrame:
     """value:binary -> parsed struct columns (the bytes->relational bridge;
-    the reference never gets past opaque bytes)."""
+    the reference never gets past opaque bytes).  Timestamps parse with
+    the microsecond format the engine's serializers emit (Spark's default
+    JSON timestampFormat is millisecond-lossy)."""
     return df.select(
         F.col("key").cast("string").alias("key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+        F.from_json(
+            F.col("value").cast("string"), schema, {"timestampFormat": JSON_TS_FORMAT}
+        ).alias("v"),
         "topic",
         "partition",
         "offset",

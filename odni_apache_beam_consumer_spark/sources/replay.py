@@ -114,7 +114,13 @@ def as_kafka_records(df: DataFrame, topic: str = "test-topic") -> DataFrame:
     return df.select(
         F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
         F.encode(
-            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props")),
+            # Explicit micros format: to_json's default timestampFormat
+            # truncates to milliseconds, silently losing event-time
+            # precision through a Kafka hop.
+            F.to_json(
+                F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ),
             "UTF-8",
         ).alias("value"),
         F.lit(topic).alias("topic"),
