@@ -60,7 +60,11 @@ def main(argv: list[str]) -> int:
         df = queries[name](spark, sf_dir)
         # noop sink: executes every stage of the plan, discards rows JVM-side.
         df.write.format("noop").mode("overwrite").save()
-        return time.monotonic() - t0
+        sec = time.monotonic() - t0
+        # Drop caches some operators persist (dedup self-join inputs) so
+        # each query's number is independent of what ran before it.
+        spark.catalog.clearCache()
+        return sec
 
     # Warmup: absorb session/codegen/parquet-footer one-time costs.
     warm = "pricing_summary" if "pricing_summary" in queries else names[0]

@@ -342,3 +342,76 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: candidate pairs -> clusters -> canonical doc
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component) labels from undirected near-dup pairs —
+    min-label propagation to fixpoint.
+
+    The iterative step is pure DataFrame ops (join + min-agg); each round
+    ``localCheckpoint``s to cut the lineage, the standard Spark pattern
+    for loops (otherwise plan depth grows per round and planning cost
+    explodes).  Rounds needed = graph diameter, which for near-dup
+    clusters is tiny (near-dup relations are almost transitive); the
+    convergence check is one cheap count per round.  Not SQL-expressible
+    in one statement — verified by property tests instead of an oracle."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+    # labels: every node starts as its own component
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def resolve_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster (min id wins);
+    singletons (no pair) keep themselves.  Output: (doc_id, keep) — the
+    drop-list view of dedup, joinable back onto the corpus as a filter."""
+    comp = connected_components(pairs)
+    canon = comp.groupBy("component").agg(F.min("doc_id").alias("keep"))
+    resolved = comp.join(canon, "component").select("doc_id", "keep")
+    singles = docs.select(F.col(id_col).alias("doc_id")).join(
+        resolved.select("doc_id"), "doc_id", "left_anti"
+    )
+    return resolved.unionByName(singles.withColumn("keep", F.col("doc_id")))

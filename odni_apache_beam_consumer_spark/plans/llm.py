@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from odni_apache_beam_consumer_spark.catalog import load_table
 from odni_apache_beam_consumer_spark.operators import dedup as D
 from odni_apache_beam_consumer_spark.operators import multimodal as M
+from odni_apache_beam_consumer_spark.operators import sampling as SMP
 from odni_apache_beam_consumer_spark.operators import similarity as S
 from odni_apache_beam_consumer_spark.operators.text_ops import (
     LANG_MARKERS,
@@ -242,6 +243,102 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket candidates + cosine >= 0.9."""
     return S.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.9, bucket_bits=8
+    )
+
+
+@query("dedup_resolve_components")
+def dedup_resolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION: MinHash/LSH candidate pairs ->
+    connected components (iterative min-label propagation,
+    operators/dedup.py::connected_components) -> one canonical doc per
+    cluster, singletons kept.  Iterative fixpoint loops are not
+    single-statement SQL — driver records the rows-only check; the
+    transitivity/canonicality properties are asserted in
+    tests/test_operators.py."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, shingle_words=3, num_hashes=12, rows_per_band=3)
+    return D.resolve_duplicates(corpus, pairs)
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+SELECT doc_id,
+       CAST({SMP.duck_bucket_sql("doc_id")} AS INT) AS bucket,
+       CASE WHEN {SMP.duck_bucket_sql("doc_id")} < 205 THEN 'train'
+            WHEN {SMP.duck_bucket_sql("doc_id")} < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (~80/10/10):
+    reproducible across engines and stable under corpus growth — a doc's
+    split never changes when other docs are added.  One map-side
+    expression, no shuffle (operators/sampling.py)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return SMP.with_split(d).select("doc_id", "bucket", "split")
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS tk FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+         ROUND(0.5 * (len(list_distinct(tk)) / len(tk))
+               + 0.3 * (len(list_filter(tk, x -> list_contains({STOPWORDS!r}, x))) / len(tk))
+               + 0.2 * LEAST(len(tk) / 100.0, 1.0), 6) AS quality_score
+  FROM t
+),
+filtered AS (SELECT * FROM q WHERE quality_score >= 0.4),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality_score) AS quality_score
+  FROM filtered GROUP BY md5(text)
+),
+split AS (
+  SELECT doc_id, quality_score,
+         CASE WHEN {SMP.duck_bucket_sql("doc_id")} < 205 THEN 'train'
+              WHEN {SMP.duck_bucket_sql("doc_id")} < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, COUNT(*) AS n_docs,
+       ROUND(AVG(quality_score), 6) AS avg_quality,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM split GROUP BY split
+""",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end training-data pipeline: quality filter ->
+    exact dedup (canonical = min doc_id per content hash) -> deterministic
+    split -> per-split stats.  One declarative plan — Catalyst fuses the
+    quality scoring into the scan, the dedup is one hash-agg, the split
+    is map-side; nothing iterative, nothing driver-side."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    nt = F.size("tk")
+    q = d.select(
+        "doc_id",
+        "text",
+        F.round(
+            0.5 * (F.size(F.array_distinct("tk")) / nt)
+            + 0.3 * (stopword_count("tk") / nt)
+            + 0.2 * F.least(nt / F.lit(100.0), F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    ).where(F.col("quality_score") >= 0.4)
+    deduped = q.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("quality_score").alias("quality_score"),
+    )
+    split = SMP.with_split(deduped).select("doc_id", "quality_score", "split")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )
 
 

@@ -87,6 +87,49 @@ def test_multiprobe_bucket_shapes(spark):
     assert len(set(vals)) == 9  # all distinct -> no duplicate candidates
 
 
+def test_connected_components_transitivity(spark):
+    """Components must close over chains the pairwise candidates never
+    directly produced (a~b, b~c, c~d => one cluster)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    comp = D.connected_components(pairs)
+    m = {r.doc_id: r.component for r in comp.collect()}
+    assert m[1] == m[2] == m[3] == m[4] == 1
+    assert m[10] == m[11] == 10
+
+
+def test_resolve_duplicates_canonical_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    res = D.resolve_duplicates(docs, pairs)
+    keep = {r.doc_id: r.keep for r in res.collect()}
+    assert keep == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    # exactly one row per doc; keep is always <= doc_id (min-id policy)
+    assert len(keep) == 6
+    assert all(k <= d for d, k in keep.items())
+
+
+def test_split_stability_under_growth(spark):
+    """A doc's split assignment must not change when the corpus grows."""
+    from odni_apache_beam_consumer_spark.operators import sampling as SMP
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id BIGINT")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "doc_id BIGINT")
+    s_small = {r.doc_id: r.split for r in SMP.with_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in SMP.with_split(big).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+    # roughly 80/10/10 at n=1000
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert 700 < c["train"] < 880 and 50 < c["val"] < 160 and 50 < c["test"] < 160
+
+
 def test_multimodal_decode_features_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "spark")], "doc_id BIGINT, text STRING"
