@@ -342,6 +342,77 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "zh": 0.0625}
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {SMP.duck_stratified_where("lang", _STRATA)}
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalancing a skewed
+    corpus): keep 100% en, 50% de, 25% fr, 12.5% es, 6.25% zh.  A pure
+    map-side filter — Catalyst pushes the md5-bucket predicate into the
+    scan; no shuffle, no state (operators/sampling.py::stratified_sample)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SMP.stratified_sample(d, "lang", _STRATA)
+
+
+@query(
+    "corpus_shuffle",
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(concat('shuffle0:', CAST(doc_id AS VARCHAR)))
+       ) - 1 AS pos
+FROM documents
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic full-corpus shuffle for training-order
+    randomization: global 0-based position of each doc under a seeded
+    hash order.  Scalable shape — range-partition on the hash key +
+    per-partition row_number + cumulative offsets
+    (operators/sampling.py::global_order_index), never a one-reducer
+    global window."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "__key", F.md5(F.concat(F.lit("shuffle0:"), F.col("doc_id").cast("string")))
+    )
+    return SMP.global_order_index(keyed, "__key").select("doc_id", "pos")
+
+
+@query(
+    "vocab_top_terms",
+    oracle="""
+SELECT term, cnt FROM (
+  SELECT tk AS term, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tk FROM documents)
+  GROUP BY tk
+)
+ORDER BY cnt DESC, term
+LIMIT 100
+""",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 terms by corpus frequency.
+    explode → hash-agg (map-side partial combine collapses each
+    partition to its distinct terms before the shuffle) → global top-k
+    via TakeOrderedAndProject (no full sort).  Ties broken by term so
+    the result is total-order deterministic."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -610,3 +610,64 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS segment_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: orders salted on o_orderkey into 8 shards,
+    customer replicated ×8, join on (custkey, salt)
+    (operators/skew.py::salted_join).  A hot customer's orders now land
+    on 8 reducers instead of 1.  Salting is result-invariant, so the
+    oracle is the plain unsalted SQL — the hash check proves semantics
+    are preserved.  (At this dim size you'd broadcast instead; salting
+    is the shape for when BOTH a shuffle is unavoidable and keys are
+    hot — AQE skew-split covers SMJ, salting covers everything.)
+    """
+    from odni_apache_beam_consumer_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    j = salted_join(o, c, "o_custkey", n_salt=8, fact_row_key="o_orderkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches
+    DuckDB quantile_cont).  Exact percentile shuffles every value to its
+    group; at 100 TB swap in approx_percentile (t-digest sketch,
+    map-side mergeable, bounded memory) — same call shape, documented
+    here as the scale path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+    )

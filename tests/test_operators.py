@@ -143,3 +143,72 @@ def test_multimodal_decode_features_plumbing(spark):
 
     assert by_id[1].content_hash == hashlib.md5(b"hello world").hexdigest()
     assert by_id[2].n_channels == 3
+
+
+def test_salted_join_matches_plain_join(spark):
+    from odni_apache_beam_consumer_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, i * 10.0) for i in range(60)], "row_id BIGINT, k BIGINT, v DOUBLE"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k BIGINT, name STRING")
+    got = salted_join(fact, dim, "k", n_salt=4, fact_row_key="row_id")
+    want = fact.join(dim, "k")
+    assert got.count() == 60
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the physical join really is keyed on (k, salt)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from odni_apache_beam_consumer_spark.operators.skew import SALT_COL, salt_column
+
+    hot = spark.createDataFrame(
+        [(i, 42) for i in range(1000)], "row_id BIGINT, k BIGINT"
+    )
+    n = (
+        hot.withColumn(SALT_COL, salt_column("row_id", 8))
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n == 8  # one hot key fans out to all 8 salt shards
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from odni_apache_beam_consumer_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(2000)], "doc_id BIGINT, lang STRING"
+    )
+    frac = {"en": 0.5, "zh": 0.125}
+    a = sorted(r.doc_id for r in SMP.stratified_sample(df, "lang", frac).collect())
+    b = sorted(r.doc_id for r in SMP.stratified_sample(df, "lang", frac).collect())
+    assert a == b  # deterministic
+    got = SMP.stratified_sample(df, "lang", frac).groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert 400 < by["en"] < 600 and 60 < by["zh"] < 190
+    # unlisted strata are dropped entirely
+    assert SMP.stratified_sample(df, "lang", {"en": 0.5}).where(
+        "lang = 'zh'"
+    ).count() == 0
+
+
+def test_global_order_index_matches_naive_sort(spark):
+    from pyspark.sql import functions as F
+
+    from odni_apache_beam_consumer_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id BIGINT").withColumn(
+        "key", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = {r.doc_id: r.pos for r in SMP.global_order_index(df, "key", n_parts=7).collect()}
+    naive = [
+        r.doc_id
+        for r in df.orderBy("key").collect()
+    ]
+    assert got == {d: i for i, d in enumerate(naive)}
+    assert sorted(got.values()) == list(range(500))
