@@ -68,37 +68,25 @@ def decode_features(media: DataFrame, min_parallelism: int | None = None) -> Dat
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = []
-            for doc_id, media_type, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
-                if real_codecs and media_type == "image":
-                    # Real path: Image.open(io.BytesIO(payload)) -> size.
-                    # Unreachable in this container; the swap-in point.
-                    raise NotImplementedError("real image codec path not wired in CI")
-                n = len(payload)
-                rows.append(
-                    (
-                        int(doc_id),
-                        media_type,
-                        n,
-                        _hashlib.md5(payload).hexdigest(),
-                        n % 640,
-                        n % 480,
-                        3,
-                    )
-                )
+            if real_codecs and (pdf["media_type"] == "image").any():
+                # Real path: Image.open(io.BytesIO(payload)) -> size.
+                # Unreachable in this container; the swap-in point.
+                raise NotImplementedError("real image codec path not wired in CI")
+            # Column-wise (not row-tuple-building): only the md5 itself is
+            # per-element Python; everything else stays in numpy/pandas.
+            n = pdf["payload"].map(len)
             yield _pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "media_type",
-                    "n_bytes",
-                    "content_hash",
-                    "width",
-                    "height",
-                    "n_channels",
-                ],
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n,
+                    "content_hash": pdf["payload"].map(
+                        lambda p: _hashlib.md5(p).hexdigest()
+                    ),
+                    "width": n % 640,
+                    "height": n % 480,
+                    "n_channels": 3,
+                }
             )
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)

@@ -1,0 +1,287 @@
+"""Advanced relational surface: correlated subqueries, pivot/unpivot,
+distribution window functions, ordered list aggregation, sketches.
+
+The reference has none of these (its only transforms are a Kafka read and
+a print, ``/root/reference/main.py:85-109``); this pack closes the last
+ANSI-SQL capability rows a user of a general analytics engine expects.
+
+Subquery queries go through ``spark.sql`` on purpose: EXISTS / IN /
+correlated-scalar subqueries exercise Catalyst's subquery *decorrelation*
+(rewrite to semi/anti/aggregate-join), which is its own capability beyond
+the hand-written join queries in relational.py — at 100 TB the rewritten
+plan is a broadcast or shuffled hash join, never a per-row re-execution.
+
+Temp views are per-query-prefixed (``sq_``, ``ssq_``, ``inq_``) so
+concurrent/interleaved query runs in one shared session never clash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# subqueries (EXISTS / IN / correlated scalar) — Catalyst decorrelation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with at least one line
+    shipped after the order date.  Catalyst decorrelates the EXISTS into a
+    left-semi hash join on l_orderkey — one shuffle, no per-row subquery
+    execution; at 100 TB this is the only viable physical shape."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM sq_orders o
+        WHERE o.o_orderdate >= CAST('1995-01-01' AS TIMESTAMP_NTZ)
+          AND o.o_orderdate < CAST('1995-07-01' AS TIMESTAMP_NTZ)
+          AND EXISTS (
+            SELECT 1 FROM sq_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+    AND l_quantity >= 45
+)
+""",
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN-subquery: suppliers that shipped a large line in a
+    month window.  Decorrelates to semi-join against the deduplicated
+    subquery result; the supplier side is dimension-sized so AQE picks a
+    broadcast."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("inq_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("inq_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM inq_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM inq_lineitem
+          WHERE l_shipdate >= CAST('1995-06-01' AS TIMESTAMP_NTZ)
+            AND l_shipdate < CAST('1995-07-01' AS TIMESTAMP_NTZ)
+            AND l_quantity >= 45
+        )
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_small_lines, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l_quantity < (
+  SELECT ROUND(0.5 * AVG(l2.l_quantity), 6) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p_brand
+""",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines with quantity below half the part's average.
+    The correlated scalar subquery decorrelates into a per-part AVG
+    aggregate joined back on l_partkey — the aggregate side is one row per
+    part (dimension-sized ⇒ broadcast at any sf).  The threshold is
+    ROUND()ed to 6dp on both engines so float summation order can never
+    flip the comparison for a boundary row."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ssq_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("ssq_part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_small_lines,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM ssq_lineitem l JOIN ssq_part p ON p.p_partkey = l.l_partkey
+        WHERE l_quantity < (
+          SELECT ROUND(0.5 * AVG(l2.l_quantity), 6) FROM ssq_lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pivot_priority_counts",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+FROM orders GROUP BY 1
+""",
+)
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: order counts per year × priority.  The value list is
+    passed explicitly — with it, Spark pivots in ONE aggregation pass; left
+    implicit it needs an extra distinct-values job first (a full scan you
+    never want at 100 TB).  Missing cells coalesce to 0 to match the
+    conditional-aggregation oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES],
+    )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+         ROUND(MAX(c_acctbal), 2) AS max_acctbal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'total_acctbal', total_acctbal FROM wide
+UNION ALL
+SELECT c_nationkey, 'max_acctbal', max_acctbal FROM wide
+""",
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``DataFrame.unpivot`` / SQL ``stack``): one row
+    per (nation, metric).  The melt itself is a zero-shuffle projection —
+    only the preceding groupBy exchanges data."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "total_acctbal", "max_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions / ordered list aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile per
+    market segment.  The ORDER BY includes c_custkey as a total-order
+    tiebreak — ntile assigns by row position, so a non-total order would be
+    nondeterministic across engines (and across Spark runs)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "order_lines_agg",
+    oracle="""
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def order_lines_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: per order, the sorted line numbers as one
+    string (collect_list → sort_array → transform → concat_ws, all JVM
+    array kernels).  The numeric sort happens BEFORE the string cast —
+    sorting the strings would order '10' < '2'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("line_numbers"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+@query("approx_distinct_users")  # no oracle: HLL± estimates are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type, alongside the
+    exact count for error inspection.  At 100 TB the sketch is the point:
+    constant memory per group, map-side partially aggregated, mergeable
+    across partitions — exact COUNT(DISTINCT) needs a full shuffle of every
+    distinct value.  No oracle entry: HLL estimates are engine-specific by
+    construction; tests/test_operators.py bounds the error vs exact at
+    ≤5% (rsd=0.02).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

@@ -47,7 +47,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def all_queries() -> dict[str, QueryFn]:
     # Import side-effect modules that populate the registry.
-    from odni_apache_beam_consumer_spark.plans import llm, relational, windows  # noqa: F401
+    from odni_apache_beam_consumer_spark.plans import (  # noqa: F401
+        advanced,
+        llm,
+        relational,
+        windows,
+    )
 
     return dict(QUERIES)
 

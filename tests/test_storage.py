@@ -1,0 +1,100 @@
+"""Storage-layout tests: bucketed co-located joins and compaction.
+
+The bucketed-join test is the plan-shape proof of the 100 TB amortization
+story: after one bucketed write, a bucket-key join plans with ZERO
+ShuffleExchange operators — the layout shuffle was paid once at write
+time, not per downstream job.
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark import storage
+from odni_apache_beam_consumer_spark.catalog import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the join planner away from broadcast so the test proves the
+    bucket layout (not a broadcast) is what removes the shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path, no_broadcast):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    storage.write_bucketed(
+        orders, "bt_orders", str(tmp_path / "orders"), ["o_orderkey"], n_buckets=8
+    )
+    storage.write_bucketed(
+        lineitem, "bt_lineitem", str(tmp_path / "lineitem"), ["l_orderkey"], n_buckets=8
+    )
+    try:
+        o = storage.read_bucketed(spark, "bt_orders")
+        li = storage.read_bucketed(spark, "bt_lineitem")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = _executed_plan(joined)
+        # The whole point: the bucket layout replaces the runtime shuffle —
+        # zero Exchange operators anywhere in the bucketed join plan.
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\bExchange\b", plan), plan
+        # Same files read WITHOUT the bucket spec must shuffle both sides.
+        o_raw = spark.read.parquet(str(tmp_path / "orders"))
+        li_raw = spark.read.parquet(str(tmp_path / "lineitem"))
+        raw_plan = _executed_plan(
+            o_raw.join(li_raw, o_raw.o_orderkey == li_raw.l_orderkey)
+        )
+        assert re.search(r"\bExchange\b", raw_plan)
+        # Correctness: bucketed join result equals a plain join.
+        assert joined.count() == orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_compact_produces_target_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    frag_dir = str(tmp_path / "fragmented")
+    # Simulate streaming-ingest fragmentation: many tiny files.
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    assert len(glob.glob(f"{frag_dir}/part-*.parquet")) == 64
+
+    out_dir = str(tmp_path / "compacted")
+    storage.compact(spark, frag_dir, out_dir, ["l_orderkey"], n_files=4)
+    files = glob.glob(f"{out_dir}/part-*.parquet")
+    assert len(files) == 4
+    out = spark.read.parquet(out_dir)
+    assert out.count() == li.count()
+    # Range layout: files must cover disjoint l_orderkey ranges, so a point
+    # predicate prunes to one file (footer min/max selectivity).
+    ranges = []
+    for f in sorted(files):
+        stats = (
+            spark.read.parquet(f)
+            .agg(F.min("l_orderkey"), F.max("l_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
