@@ -1,0 +1,470 @@
+"""Analytics pack: statistical aggregates, histograms, CDC merge/upsert,
+time-series gap-fill, funnel analysis, tf-idf, data profiling.
+
+The reference computes none of these (its sole transform is a Kafka read
+piped to print, ``/root/reference/main.py:85-109``); these queries close
+the remaining "what a warehouse user actually runs daily" surface on top
+of the relational/window/LLM packs.
+
+Scale notes are per-query; the common themes:
+- every query is one or two hash-shuffles on a natural key — no global
+  windows, no driver-side loops;
+- CDC merge is the merge-on-read compaction shape (union + keep-latest
+  per key), the strategy behind Delta/Iceberg MERGE at 100 TB;
+- gap-fill generates the dense spine with ``sequence``/``explode``
+  (JVM-side, one row per group before the explode) instead of a driver
+  loop or a cross join against a materialized calendar table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       ROUND(var_samp(l_quantity), 6) AS qty_var,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (corr / covar / stddev / var /
+    regression slope) per return flag.  All are algebraic aggregates with
+    exact partial states (sum, sum², sum of products) — map-side partial
+    aggregation collapses each partition to one state row per group before
+    the shuffle, so the exchange carries O(groups), not O(rows), at any
+    scale.  Results rounded on both engines so summation order can't flip
+    the last float digit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice")
+            / F.var_samp("l_quantity"),
+            6,
+        ).alias("price_per_qty"),
+    )
+
+
+@query(
+    "histogram_quantity",
+    oracle="""
+SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
+       5.0 * FLOOR(l_quantity / 5.0) AS bucket_lo,
+       COUNT(*) AS n_lines,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line quantities (width-5 buckets) with a
+    per-bucket price average.  Bucketing is a pure projection (no
+    pre-shuffle explode); the groupBy keys on ~10 buckets, so the shuffle
+    after map-side partial aggregation is a few rows per partition — the
+    cheapest possible distribution sketch of a 100 TB column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_quantity") / 5.0)
+    return (
+        li.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * 5.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-compaction / changelog-upsert: keep the newest event per user.
+    row_number over (user_id, ts DESC) — at 100 TB this is one shuffle on
+    the key; Spark's WindowGroupLimit pushes the rn=1 filter into the sort
+    so each partition keeps one row per key instead of materializing the
+    full ranked set.  event_id desc breaks same-timestamp ties
+    deterministically.  This is the batch dual of the streaming
+    ``dedup_within_watermark`` operator."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         ROUND(o_totalprice + 1000.0, 2) AS o_totalprice, 1 AS src
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+base AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice, 0 AS src
+  FROM orders
+),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged WHERE rn = 1
+""",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: apply a CDC batch
+    (here derived deterministically: every 10th order re-priced +1000,
+    status 'U'; an additive delta stays exact in doubles, a multiplicative
+    one hits round-half tie divergence between engines) onto the base snapshot — union the two sides tagged with a
+    source priority, keep the highest-priority row per key.  This is
+    merge-on-read compaction, the same physical shape Delta/Iceberg MERGE
+    lowers to: ONE shuffle on the merge key regardless of update-batch
+    size, and at 100 TB the base side's scan prunes to only the partitions
+    the update keys touch (partition-level predicate from the update
+    batch's key min/max)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("src"),
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+            F.lit(1).alias("src"),
+        )
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap-fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_gapfill_minutes",
+    oracle="""
+WITH spine AS (
+  SELECT t.event_type, g.m
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-01 05:59:00',
+                       INTERVAL 1 MINUTE) g(m)
+),
+actual AS (
+  SELECT event_type, date_trunc('minute', ts) AS m,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-01 06:00:00'
+  GROUP BY 1, 2
+)
+SELECT s.event_type, STRFTIME(s.m, '%Y-%m-%d %H:%M:%S') AS minute,
+       COALESCE(a.n, 0) AS n_events,
+       COALESCE(a.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN actual a ON a.event_type = s.event_type AND a.m = s.m
+""",
+)
+def time_gapfill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series resample: per-minute event counts over a 6-hour
+    slice with missing minutes zero-filled.  The dense spine is generated
+    JVM-side — ``sequence(start, end, interval 1 minute)`` produces ONE
+    array row per event type, exploded to the spine; no driver loop, no
+    calendar table scan.  The actual-counts side aggregates BEFORE the
+    left join, so the join's left input is O(types × minutes) and the
+    right is O(groups) — both tiny relative to the event scan, which is
+    the only full pass.  At 100 TB the event scan partition-prunes on the
+    ts predicate (date-partitioned layout, storage.py)."""
+    e = load_table(spark, sf_dir, "events")
+    lo = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("2024-01-01 06:00:00"))
+    sliced = e.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+    actual = sliced.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    lo,
+                    F.to_timestamp(F.lit("2024-01-01 05:59:00")),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("m"),
+        )
+    )
+    return (
+        spine.join(actual, ["event_type", "m"], "left")
+        .select(
+            "event_type",
+            F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS ts_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_view
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.ts_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_purchase
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.ts_view
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM s
+UNION ALL
+SELECT 'view_after_signup', 2, COUNT(*) FROM v
+UNION ALL
+SELECT 'purchase_after_view', 3, COUNT(*) FROM p
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users who signed up → viewed after signing up
+    → purchased after that view.  Each stage is a groupBy(user_id) +
+    conditional-min joined to the previous stage's per-user timestamp —
+    every shuffle is on user_id, so AQE reuses the exchange across stages
+    and the per-stage join inputs shrink monotonically (stage N+1's left
+    side is a subset of stage N's output).  The stage outputs are
+    single-row counts unioned driver-free."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(s, "signup", 1)
+        .unionByName(stage(v, "view_after_signup", 2))
+        .unionByName(stage(p, "purchase_after_view", 3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT t.doc_id, t.term,
+       t.tf,
+       d.df,
+       ROUND(t.tf * LN((1.0 + n.n_docs) / (1.0 + d.df)), 6) AS tfidf
+FROM tf t JOIN df d ON d.term = t.term CROSS JOIN n
+ORDER BY tfidf DESC, t.term, t.doc_id
+LIMIT 100
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf scoring: top-100 (doc, term) pairs by tf·idf.  Three hash
+    aggregations — term frequency per (doc, term), document frequency per
+    term, corpus size — then a join of tf against the df table.  At 100 TB
+    the df table is vocabulary-sized (≪ corpus), so AQE broadcasts it and
+    the only big shuffle is the (doc, term) partial-aggregated tf build;
+    the corpus count attaches as a literal-sized broadcast cross join.
+    Global top-k runs as TakeOrderedAndProject (per-partition heaps, no
+    full sort).  idf = ln((1+N)/(1+df)), rounded identically on both
+    engines; ties broken by (term, doc_id) for a total order."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        with_tokens(d)
+        .select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# data profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_profile_orders",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) AS price_nulls,
+         ROUND(MIN(o_totalprice), 2) AS price_min,
+         ROUND(MAX(o_totalprice), 2) AS price_max,
+         ROUND(AVG(o_totalprice), 4) AS price_avg,
+         CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS status_ndv,
+         CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS priority_ndv,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS custkey_ndv
+  FROM orders
+)
+SELECT 'n_rows' AS metric, n_rows AS value FROM agg
+UNION ALL SELECT 'price_nulls', price_nulls FROM agg
+UNION ALL SELECT 'price_min', price_min FROM agg
+UNION ALL SELECT 'price_max', price_max FROM agg
+UNION ALL SELECT 'price_avg', price_avg FROM agg
+UNION ALL SELECT 'status_ndv', status_ndv FROM agg
+UNION ALL SELECT 'priority_ndv', priority_ndv FROM agg
+UNION ALL SELECT 'custkey_ndv', custkey_ndv FROM agg
+""",
+)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (row count, null count, min/max/avg,
+    per-column distinct counts) emitted long-format.  ONE aggregation job
+    computes every metric — Spark plans the multiple COUNT(DISTINCT)s via
+    expand + partial aggregation, still a single scan of the table — then
+    the wide→long melt is a zero-shuffle ``unpivot`` projection.  This is
+    the ingest-validation primitive a training-data pipeline runs on every
+    new 100 TB drop before anything else touches it."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_totalprice"))
+        .cast("double")
+        .alias("price_nulls"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
+        F.count_distinct("o_orderstatus").cast("double").alias("status_ndv"),
+        F.count_distinct("o_orderpriority").cast("double").alias("priority_ndv"),
+        F.count_distinct("o_custkey").cast("double").alias("custkey_ndv"),
+    )
+    return wide.unpivot(
+        ids=[],
+        values=[
+            "n_rows",
+            "price_nulls",
+            "price_min",
+            "price_max",
+            "price_avg",
+            "status_ndv",
+            "priority_ndv",
+            "custkey_ndv",
+        ],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryFn]:
     # Import side-effect modules that populate the registry.
     from odni_apache_beam_consumer_spark.plans import (  # noqa: F401
         advanced,
+        analytics,
         llm,
         relational,
         windows,
