@@ -338,6 +338,119 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_paths",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTES
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized clickstream paths: per (user, 30-min-gap session), the
+    ordered event-type sequence as one string.  Sessionization is the
+    LAG + cumulative-SUM rewrite (same construction the session-window
+    oracle uses) — both windows partition on user_id, so Spark sorts each
+    user's slice once and reuses the exchange; the path build is
+    collect_list of (ts, event_id, type) structs sorted JVM-side
+    (sort_array on the struct's natural order), no Python.  (ts,
+    event_id) is a total order, so paths are deterministic across engines
+    and runs."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessioned = (
+        e.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts")).over(w).cast("long")
+                <= 1800,
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("sid", F.sum("new_session").over(wcum))
+    )
+    return (
+        sessioned.groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+        )
+        .select("user_id", "session_start", "n_events", "path")
+    )
+
+
+@query(
+    "outlier_iqr_filter",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_bound,
+       ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_bound
+FROM events e JOIN q ON q.event_type = e.event_type
+WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+""",
+)
+def outlier_iqr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: events whose value falls outside
+    1.5×IQR of their type's quartiles.  The quartile table is one row per
+    event type (exact interpolated percentile; swap approx_percentile at
+    100 TB — same call shape, t-digest sketch, bounded memory), so the
+    join back to the fact side is a broadcast — the fact table is scanned
+    once with the fence predicate applied map-side.  This is the standard
+    numeric-cleaning pass before a column enters a training set."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .where((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(lo, 6).alias("lo_bound"),
+            F.round(hi, 6).alias("hi_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # tf-idf
 # ---------------------------------------------------------------------------
@@ -399,6 +512,89 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
         .orderBy(F.desc("tfidf"), F.asc("term"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "pmi_bigrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+uni AS (
+  SELECT t AS w, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2,
+         COUNT(*) AS c_ab
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_big FROM big)
+SELECT w1 || ' ' || w2 AS bigram, c_ab,
+       ROUND(LN(c_ab) - LN(n_big) - LN(u1.c) - LN(u2.c) + 2 * LN(n_uni), 6) AS pmi
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_ab >= 10
+ORDER BY pmi DESC, bigram
+LIMIT 100
+""",
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 bigrams by pointwise mutual information
+    (phrase discovery for tokenizer/vocab construction).  Adjacent pairs
+    are built JVM-side with ``transform(sequence(...))`` over the token
+    array — one array op per doc, no pre-shuffle row explosion beyond the
+    bigram count itself.  The unigram table is vocabulary-sized, so both
+    component-count joins broadcast; the corpus totals attach as
+    single-row broadcast cross joins.  PMI in log space (sums of LNs, not
+    a product ratio) so huge corpus counts can't overflow; c_ab ≥ 10
+    prunes the long noise tail before the joins.  Ordered by the ROUNDED
+    score so both engines select the same top-100 set."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = d.where(F.size("tk") >= 2).select("doc_id", "tk")
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_uni = uni.groupBy().agg(F.sum("c").cast("double").alias("n_uni"))
+    n_big = big.groupBy().agg(F.sum("c_ab").cast("double").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.where(F.col("c_ab") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log("c_ab")
+                - F.log("n_big")
+                - F.log("c1")
+                - F.log("c2")
+                + 2 * F.log("n_uni"),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(100)
     )
 
