@@ -239,42 +239,72 @@ def simhash_pairs(
     The signature table (one short row per doc) is persisted: both
     self-join sides derive their blocks from the single cached
     materialization instead of recomputing the token-vote pipeline twice.
+
+    Candidate generation runs on DISTINCT signatures, not docs: a
+    mass-duplicated corpus (m copies of one doc) collapses to ONE
+    signature row before the self-join, so the candidate/distinct/Hamming
+    stages never see the O(m²) duplicate-pair blow-up — doc pairs are
+    expanded from the surviving signature pairs at the very end.
+    ``max_bucket`` still counts DOCS per (block, block-sig) bucket
+    (signature multiplicity weighted in), so the guard's semantics are
+    unchanged.
     """
     sig = simhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    usig = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("ndocs"))
     block_len = 64 // n_blocks
-    blocks = sig.select(
-        F.col(id_col),
+    blocks = usig.select(
         "simhash",
+        "ndocs",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
     ).withColumn("blk_sig", F.expr(f"substr(simhash, 1 + blk * {block_len}, {block_len})"))
     if max_bucket is not None:
         ok = (
             blocks.groupBy("blk", "blk_sig")
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum("ndocs").alias("_n"))
             .where(F.col("_n") <= max_bucket)
             .drop("_n")
         )
         blocks = blocks.join(ok, ["blk", "blk_sig"], "left_semi")
-    a = blocks.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "blk_sig"
+    a = blocks.select(F.col("simhash").alias("sig_a"), "blk", "blk_sig")
+    b = blocks.select(F.col("simhash").alias("sig_b"), "blk", "blk_sig")
+    # Hamming distance via packed longs: each 16-bit quarter of the
+    # '0'/'1' signature string parses to a long (conv base 2), XORs against
+    # the other side's quarter, and bit_count sums the differing bits.
+    # Stays inside whole-stage codegen — the naive 64-step substr-compare
+    # loop (higher-order ``aggregate``) is interpreted per element and was
+    # the dominant cost of the whole operator.
+    hamming = sum(
+        F.bit_count(
+            F.conv(F.substring("sig_a", 1 + 16 * q, 16), 2, 10).cast("bigint").bitwiseXOR(
+                F.conv(F.substring("sig_b", 1 + 16 * q, 16), 2, 10).cast("bigint")
+            )
+        )
+        for q in range(4)
     )
-    b = blocks.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "blk_sig"
-    )
-    cand = (
+    sig_pairs = (
         a.join(b, ["blk", "blk_sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .where(F.col("sig_a") <= F.col("sig_b"))
+        .select("sig_a", "sig_b")
         .distinct()
-    )
-    hamming = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> "
-        "acc + IF(substr(sig_a, i, 1) = substr(sig_b, i, 1), 0, 1))"
-    )
-    return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
+        .withColumn("hamming", hamming.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    )
+    da = sig.select(F.col("simhash").alias("sig_a"), F.col(id_col).alias("ida"))
+    db = sig.select(F.col("simhash").alias("sig_b"), F.col(id_col).alias("idb"))
+    return (
+        sig_pairs.join(da, "sig_a")
+        .join(db, "sig_b")
+        .where(
+            # same signature: emit each unordered doc pair once; different
+            # signatures: every cross pair qualifies, ordered below.
+            ((F.col("sig_a") == F.col("sig_b")) & (F.col("ida") < F.col("idb")))
+            | (F.col("sig_a") < F.col("sig_b"))
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
     )
 
 
@@ -382,21 +412,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        # One join carries both the new label AND the changed flag — the
+        # convergence count then runs on the checkpointed result instead of
+        # re-joining old vs new labels (saves a shuffle per round).
+        joined = (
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
+                F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.where(F.col("comp") != F.col("old_comp")).count()
+        labels = joined.select("id", "comp")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
