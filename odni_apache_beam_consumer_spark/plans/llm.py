@@ -867,10 +867,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no image libs) whose outputs the DuckDB oracle reproduces — the
     Arrow/ Pandas plumbing under test is exactly the real decode path."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.decode_features(
-        M.documents_as_media(docs),
-        min_parallelism=spark.sparkContext.defaultParallelism,
-    )
+    # min_parallelism trades one shuffle for Python-stage parallelism; 8
+    # workers saturate the fake codec here (32 pays ~3s of per-worker
+    # pandas-import spawn for no extra throughput at this input size —
+    # with real codecs at real scale, set it to the core count).
+    return M.decode_features(M.documents_as_media(docs), min_parallelism=8)
 
 
 @query(

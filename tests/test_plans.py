@@ -81,3 +81,51 @@ def test_ann_candidates_are_equi_joins(spark, sf_dir, name):
     on the bucket/cell key (the exact cosine_topk baseline is the only
     operator allowed a broadcast cross product)."""
     assert "BroadcastHashJoin" in formatted_plan(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tfidf_top_terms",
+        "pmi_bigrams",
+        "outlier_iqr_filter",
+        "time_gapfill_minutes",
+        "funnel_stages",
+        "cdc_merge_upsert",
+        "session_paths",
+    ],
+)
+def test_analytics_no_cartesian_product(spark, sf_dir, name):
+    """Cross joins in the analytics pack are single-row broadcast attaches
+    (corpus totals); a real CartesianProduct would be a scale bug."""
+    assert "CartesianProduct" not in formatted_plan(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize("name", ["tfidf_top_terms", "pmi_bigrams", "outlier_iqr_filter"])
+def test_analytics_dimension_joins_broadcast(spark, sf_dir, name):
+    """The vocabulary / quartile side of each join is dimension-sized and
+    must broadcast — a sort-merge fallback would shuffle the fact side."""
+    assert "BroadcastHashJoin" in formatted_plan(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize("name", ["tfidf_top_terms", "pmi_bigrams"])
+def test_analytics_topk_avoids_global_sort(spark, sf_dir, name):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full global Sort of the scored set."""
+    assert "TakeOrderedAndProject" in formatted_plan(spark, name, sf_dir)
+
+
+def test_cdc_merge_single_shuffle(spark, sf_dir):
+    """Merge-on-read upsert: union + keep-latest must cost exactly one
+    hash exchange (on the merge key) — a second exchange means the union
+    or window lost the co-partitioning."""
+    plan = formatted_plan(spark, "cdc_merge_upsert", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_gapfill_scan_pushes_ts_filter(spark, sf_dir):
+    """The 6-hour slice predicate must reach the events scan (at scale
+    this is the partition-pruning predicate)."""
+    plan = formatted_plan(spark, "time_gapfill_minutes", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "ts" in plan, "ts predicate missing from scan"

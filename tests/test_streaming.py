@@ -218,3 +218,51 @@ def test_console_and_foreach_batch_sinks(spark, replay_dir):
     q2 = sinks.to_console(stream.limit(1), available_now=True)
     q2.awaitTermination(120)
     assert q2.exception() is None
+
+
+def test_foreach_batch_incremental_upsert(spark, sf_dir, replay_dir, tmp_path):
+    """Streaming CDC materialization: each micro-batch folds into a
+    keep-latest-per-user parquet table via foreachBatch (the streaming
+    dual of plans/analytics.py::latest_event_per_user).  After draining
+    the replay, the materialized table must equal the batch query on the
+    same rows — proving the merge is order-insensitive across arbitrary
+    micro-batch boundaries."""
+    from pyspark.sql import Window as W
+
+    state_path = str(tmp_path / "latest_by_user")
+
+    def keep_latest(df):
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge(batch_df, batch_id):
+        batch = batch_df.where(F.col("event_type") != "__flush__").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+        if os.path.isdir(state_path):
+            # localCheckpoint materializes the current state so the
+            # overwrite below doesn't read the path it is replacing.
+            current = batch.sparkSession.read.parquet(state_path).localCheckpoint()
+            batch = current.unionByName(batch)
+        keep_latest(batch).write.mode("overwrite").parquet(state_path)
+
+    stream = R.read_stream(spark, replay_dir)
+    q = sinks.foreach_batch(
+        stream,
+        merge,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    expected = keep_latest(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+    )
+    got = spark.read.parquet(state_path)
+    assert _rows(got) == _rows(expected)
