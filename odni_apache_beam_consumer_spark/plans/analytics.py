@@ -190,6 +190,125 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_user_history",
+    oracle="""
+SELECT user_id, event_type AS status,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(STRFTIME(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each user's event stream
+    becomes validity intervals (valid_from = event ts, valid_to = next
+    event's ts, open interval sentinel '9999-12-31' + is_current flag).
+    One window shuffle on the dimension key — the standard way to derive a
+    point-in-time joinable dimension history from a change log; at 100 TB
+    the changelog is date-partitioned and the window runs per key with
+    WindowGroupLimit-free full output (every version is kept by design)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+SELECT c_custkey, s_suppkey, c_name, s_name,
+       levenshtein(c_name, s_name) AS edit_dist
+FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+WHERE levenshtein(c_name, s_name) <= 6
+""",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: customer/supplier name pairs within
+    the same nation at edit distance ≤ 6.  The blocking key (nationkey)
+    turns an all-pairs O(C×S) comparison into per-block equi-join buckets
+    — the supplier side is dimension-sized so it broadcasts, and
+    levenshtein runs JVM-side post-join.  At 100 TB the blocking key IS
+    the algorithm: never compare across blocks; skewed blocks fall back to
+    AQE skew-split.  (For longer strings swap levenshtein for the n-gram
+    Jaccard operator — edit distance is O(len²) per pair.)"""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    dist = F.levenshtein("c_name", "s_name")
+    return (
+        c.join(F.broadcast(s), c["c_nationkey"] == s["s_nationkey"])
+        .where(dist <= 6)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "c_name",
+            "s_name",
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue aggregate is computed ONCE and reused for both the join
+    and the MAX scalar subquery (same logical subtree — Catalyst reuses
+    the exchange); the scalar max attaches as a single-row broadcast.  No
+    ORDER BY/LIMIT 1: ties must all surface, which is why Q15 is a
+    max-equality query, not a top-1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-04-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.groupBy().agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        sup.join(rev, sup["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-series gap-fill
 # ---------------------------------------------------------------------------
