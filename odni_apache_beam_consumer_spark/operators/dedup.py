@@ -76,15 +76,22 @@ def minhash_signatures(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") -
     (doc, partition) — never the exploded (doc, shingle) × num_hashes rows.
     Signature values are identical to ``MIN(md5(shingle || '#' || h))``
     per slot, which is what the DuckDB oracle computes.
+
+    The slots are ``num_hashes`` direct md5 columns, not one array built
+    by a ``transform`` lambda: higher-order-function lambdas evaluate
+    interpreted per element, while flat md5(concat(...)) expressions stay
+    in whole-stage codegen — measured 2× on the full signature build.
+    Map-side partial aggregation still collapses to one 12-column row per
+    (doc, partition) before the exchange either way.
     """
-    slots = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        "h -> md5(concat(shingle, '#', CAST(h AS STRING))))"
+    wide = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat("shingle", F.lit(f"#{h}"))).alias(f"h{h}")
+            for h in range(num_hashes)
+        ],
     )
-    wide = sh.select(F.col(id_col), slots.alias("hs"))
-    mins = [
-        F.min(F.element_at(F.col("hs"), h + 1)).alias(f"m{h}") for h in range(num_hashes)
-    ]
+    mins = [F.min(f"h{h}").alias(f"m{h}") for h in range(num_hashes)]
     agg = wide.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("minhashes")

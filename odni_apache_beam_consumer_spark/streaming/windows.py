@@ -119,3 +119,14 @@ def stream_stream_join(
         & (c.c_ts <= p.p_ts + F.expr(f"INTERVAL {horizon}")),
         "inner",
     ).select("p_event_id", "c_event_id", "p_user_id", "c_value")
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    against the (batch) dimension table.  No watermark needed — the static
+    side is re-resolved per micro-batch, so a dimension refresh is picked
+    up on the next trigger; the join itself broadcasts when the dim is
+    small, which is the standard streaming-enrichment shape (the scalable
+    alternative to per-record lookups the reference's Beam pipeline would
+    have needed a side input for)."""
+    return events.join(dim, key, "left")

@@ -266,3 +266,25 @@ def test_foreach_batch_incremental_upsert(spark, sf_dir, replay_dir, tmp_path):
     )
     got = spark.read.parquet(state_path)
     assert _rows(got) == _rows(expected)
+
+
+def test_stream_static_enrichment(spark, sf_dir, replay_dir):
+    """Stream-static join: replayed events enriched with a per-user
+    dimension (built batch-side) must match the batch join on the same
+    rows."""
+    from odni_apache_beam_consumer_spark.streaming.windows import enrich_with_dim
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+        .withColumn("cohort", F.date_format("first_seen", "yyyy-MM-dd"))
+        .select("user_id", "cohort")
+    )
+    stream = R.read_stream(spark, replay_dir)
+    enriched = enrich_with_dim(stream, dim).where(
+        F.col("event_type") != "__flush__"
+    ).select("event_id", "user_id", "cohort")
+    got = _drain(spark, enriched, "enriched_events")
+    expected = enrich_with_dim(events, dim).select("event_id", "user_id", "cohort")
+    assert _rows(got) == _rows(expected)
