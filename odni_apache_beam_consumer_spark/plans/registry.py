@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QueryFn]:
         analytics,
         llm,
         relational,
+        tpch,
         windows,
     )
 

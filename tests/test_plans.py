@@ -129,3 +129,21 @@ def test_gapfill_scan_pushes_ts_filter(spark, sf_dir):
     plan = formatted_plan(spark, "time_gapfill_minutes", sf_dir)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m is not None and "ts" in plan, "ts predicate missing from scan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q5_local_supplier_volume",
+        "q8_market_share",
+        "q16_supplier_part_buckets",
+        "q22_dormant_customers",
+    ],
+)
+def test_tpch_shapes_broadcast_no_cartesian(spark, sf_dir, name):
+    """The TPC-H composites must keep the star shape: broadcast dimension
+    chains, no cartesian products (the scalar-average attach in Q22 is a
+    single-row broadcast nested loop, not a CartesianProduct)."""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
