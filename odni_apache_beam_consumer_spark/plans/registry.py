@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         analytics,
         llm,
+        ml,
         relational,
         tpch,
         windows,

@@ -49,3 +49,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HIGH_WATER_SCHEMA = "user_id BIGINT, n_events BIGINT, max_value DOUBLE"
+
+
+def user_high_water_marks(events: DataFrame) -> DataFrame:
+    """Per-user high-water mark via ``transformWithStateInPandas`` —
+    Spark 4's stateful-processing v2.  Versus ``applyInPandasWithState``:
+    state is a set of named, individually-typed variables on a handle
+    (here a count and a max, updated independently), and the same
+    processor can also register timers/TTL for keyspace reaping — the API
+    the modern engine should prefer for new stateful operators.
+
+    One row per key per micro-batch that touches it (append mode);
+    state partitioning/recovery semantics are identical to v1 (per-key in
+    the state store; TWS additionally REQUIRES the RocksDB provider).
+    Runtime deps: the TWS state-server protocol needs ``protobuf``
+    (not bundled with pyspark) — environments without it use
+    ``running_user_totals`` (v1) instead; the equivalence test skips
+    itself accordingly.  The processor class is defined inside this
+    function so cloudpickle ships it by value — no package import needed
+    on executors."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWater(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+            self._mx = handle.getValueState("mx", "mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            mx = self._mx.get()[0] if self._mx.exists() else float("-inf")
+            for pdf in rows:
+                n += int(len(pdf))
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._n.update((n,))
+            self._mx.update((mx,))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=HighWater(),
+        outputStructType=HIGH_WATER_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -288,3 +288,53 @@ def test_stream_static_enrichment(spark, sf_dir, replay_dir):
     got = _drain(spark, enriched, "enriched_events")
     expected = enrich_with_dim(events, dim).select("event_id", "user_id", "cohort")
     assert _rows(got) == _rows(expected)
+
+
+def test_transform_with_state_high_water(spark, sf_dir, replay_dir):
+    """transformWithStateInPandas (stateful v2): after draining, each
+    user's last emitted (count, max) equals the batch aggregate.
+
+    Skipped where ``protobuf`` is unavailable: Spark's TWS state-server
+    protocol is protobuf-based and the dependency isn't bundled with
+    pyspark (applyInPandasWithState above is the no-extra-deps v1 path)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window as W
+
+    from odni_apache_beam_consumer_spark.streaming.stateful import user_high_water_marks
+
+    # transformWithState requires the RocksDB state store provider (the
+    # 100 TB backend anyway); restore the default after the drain.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = R.read_stream(spark, replay_dir)
+        got = _drain(spark, user_high_water_marks(stream), "t_tws")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    last = (
+        got.where(F.col("user_id") >= 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+    g = {r.user_id: (r.n_events, r.max_value) for r in last.collect()}
+    w = {r.user_id: (r.n_events, r.max_value) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0]
+        assert abs(g[uid][1] - w[uid][1]) < 1e-9
