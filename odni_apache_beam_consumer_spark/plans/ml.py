@@ -102,9 +102,11 @@ WITH pl AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 e AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
 )
 SELECT e1.u AS apex, COUNT(*) AS n_triangles
 FROM e e1
@@ -114,14 +116,20 @@ GROUP BY e1.u
 """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the co-purchase graph (parts sharing an
-    order), triangles per apex (smallest vertex).  Edges are oriented
-    (u < v) so each triangle is enumerated exactly once — the classic
-    distributed-triangle trick that also bounds the skew of the first
-    join (every wedge's center has only its higher neighbors on each
-    side; at 100 TB orient by degree instead of id to cap the hottest
-    vertex).  Two hash equi-join shuffles on vertex keys; the edge list
-    is persisted so the three self-join sides read one materialization."""
+    """Triangle counting on the co-purchase graph (parts sharing ≥ 2
+    orders), triangles per apex (smallest vertex).
+
+    The support threshold IS the scale story: raw co-occurrence over a
+    uniform basket is near-complete (at sf0.1 the unfiltered graph has
+    1.2M edges over 2k parts — wedge enumeration then explodes as
+    Σdeg², measured 17 s here and quadratically worse with scale), while
+    support ≥ 2 keeps the stable, genuinely-associated ~3.5k edges at
+    every sf.  Edges are oriented (u < v) so each triangle is enumerated
+    exactly once — the classic distributed-triangle trick that also
+    bounds the first join's skew (at 100 TB orient by degree instead of
+    id to cap the hottest vertex).  Two hash equi-join shuffles on vertex
+    keys; the edge list is persisted so the three self-join sides read
+    one materialization."""
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -132,8 +140,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
         .select("u", "v")
-        .distinct()
         .persist()
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))

@@ -76,3 +76,31 @@ def compact(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(dst_dir)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "event_date",
+    fmt: str = "parquet",
+) -> None:
+    """Write a fact table partitioned by the date of ``ts_col`` —
+    hive-style ``event_date=YYYY-MM-DD/`` directories.
+
+    This is THE layout for time-series facts at 100 TB: any query with a
+    date (or timestamp-range) predicate prunes to the matching
+    directories before a single file is opened — the difference between
+    scanning a day and scanning three years.  The partition column is
+    derived, not dropped from the data: readers that filter on the raw
+    timestamp still benefit via the derived-date predicate (see
+    tests/test_storage.py::test_date_partition_pruning)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(partition_col, F.date_format(ts_col, "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(path)
+    )
