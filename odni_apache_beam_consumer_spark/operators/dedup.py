@@ -451,3 +451,46 @@ def resolve_duplicates(
         resolved.select("doc_id"), "doc_id", "left_anti"
     )
     return resolved.unionByName(singles.withColumn("keep", F.col("doc_id")))
+
+
+def cross_corpus_lsh_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    shingle_words: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash/LSH candidate matches BETWEEN two corpora (record linkage):
+    (id_a, id_b) pairs sharing at least one band signature across sides.
+
+    Same banded shape as the self-join dedup, but A×B instead of A×A —
+    the contamination-check primitive (does my test set leak into my
+    training set?).  Neither side needs a persist: each band table feeds
+    exactly one join input.  ``max_bucket`` caps the bucket size on the
+    *pair product* (n_a × n_b per bucket), the cross-corpus analog of the
+    self-join guard."""
+    bands_a = lsh_band_signatures(
+        minhash_signatures(shingle_table(df_a, shingle_words, id_col, text_col), num_hashes, id_col),
+        rows_per_band,
+        id_col,
+    )
+    bands_b = lsh_band_signatures(
+        minhash_signatures(shingle_table(df_b, shingle_words, id_col, text_col), num_hashes, id_col),
+        rows_per_band,
+        id_col,
+    )
+    if max_bucket is not None:
+        ca = bands_a.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_na"))
+        cb = bands_b.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_nb"))
+        ok = (
+            ca.join(cb, ["band", "sig"])
+            .where(F.col("_na") * F.col("_nb") <= max_bucket)
+            .select("band", "sig")
+        )
+        bands_a = bands_a.join(ok, ["band", "sig"], "left_semi")
+    a = bands_a.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands_b.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return a.join(b, ["band", "sig"]).select("id_a", "id_b").distinct()

@@ -917,3 +917,70 @@ def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents
+  WHERE {SMP.duck_bucket_sql("doc_id")} < 205
+),
+test AS (
+  SELECT doc_id, text FROM documents
+  WHERE {SMP.duck_bucket_sql("doc_id")} >= 230
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM train WHERE doc_id % 20 = 0
+),
+toks_a AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM train),
+sh_a AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks_a, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+),
+mh_a AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh_a, UNNEST(range(0, 12)) AS hu(h) GROUP BY doc_id, h
+),
+bands_a AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh_a GROUP BY doc_id, h // 3
+),
+toks_b AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM test),
+sh_b AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks_b, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+),
+mh_b AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh_b, UNNEST(range(0, 12)) AS hu(h) GROUP BY doc_id, h
+),
+bands_b AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh_b GROUP BY doc_id, h // 3
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands_a a JOIN bands_b b ON a.band = b.band AND a.sig = b.sig
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection: MinHash/LSH candidate matches
+    BETWEEN the train split and the test split (test deliberately
+    contaminated with perturbed copies of every 20th train doc).  The
+    cross-corpus record-linkage primitive every training-data pipeline
+    needs before an eval claim — banded equi-join across corpora, never
+    an all-pairs comparison (operators/dedup.py::cross_corpus_lsh_pairs)."""
+    d = SMP.with_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "split"
+    )
+    train = d.where(F.col("split") == "train").select("doc_id", "text")
+    contaminated = train.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    test = (
+        d.where(F.col("split") == "test")
+        .select("doc_id", "text")
+        .unionByName(contaminated)
+    )
+    return D.cross_corpus_lsh_pairs(train, test)
