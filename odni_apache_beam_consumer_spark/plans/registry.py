@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryFn]:
         ml,
         relational,
         tpch,
+        training,
         windows,
     )
 

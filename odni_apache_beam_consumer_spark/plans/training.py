@@ -1,0 +1,299 @@
+"""Training-data preparation queries: chunking, sequence packing,
+repetition-based quality filtering, PII scrubbing.
+
+These are the document-to-training-example transforms that sit between a
+deduplicated corpus and a tokenizer at 100 TB: split long documents into
+model-context-sized chunks, pack short documents into fixed token budgets,
+drop degenerate/repetitive text (Gopher-style heuristics), and scrub
+PII-shaped spans.  All four are pure JVM column expressions (higher-order
+array functions, window aggregates, regexp) — no Python UDFs — so they
+stay inside whole-stage codegen.
+
+Scale notes per query live on the docstrings; the common theme is that
+everything is keyed by doc_id (or (lang, shard)) with map-side partial
+aggregation, and nothing ever needs a global sort.
+
+Reference parity: the reference (/root/reference/main.py) has no
+data-plane transforms at all; these queries extend the north-star
+LLM-pipeline surface (BASELINE.json:6) alongside plans/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# Chunking geometry: 32-token windows every 24 tokens (8-token overlap).
+_CHUNK = 32
+_STRIDE = 24
+
+# Packing: fill 512-token bins, documents streamed in doc_id order within
+# (lang, shard) groups. 8 shards per language bound the window-partition
+# size at scale (a single-lang partition would be ~all of a 100 TB corpus).
+_BUDGET = 512
+_SHARDS = 8
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+c AS (
+  SELECT doc_id, k AS chunk_idx, k*{_STRIDE}+1 AS start_pos, tk, len(tk) AS n
+  FROM t, UNNEST(range(0, (len(tk)-1)//{_STRIDE} + 1)) AS u(k)
+)
+SELECT doc_id, chunk_idx, start_pos,
+       LEAST({_CHUNK}, n - start_pos + 1) AS chunk_len,
+       md5(array_to_string(tk[start_pos:start_pos+{_CHUNK}-1], ' ')) AS chunk_hash
+FROM c
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows
+    (context-length chunking for training).
+
+    Scale shape: narrow map-only plan — tokenize, generate chunk starts
+    with ``sequence``, ``posexplode``, slice. Zero shuffles; output rows
+    ~= corpus_tokens / stride. The explode happens *after* the parquet
+    scan's column pruning, so only (doc_id, text) is ever read.
+    """
+    d = with_tokens(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n = F.size("tk")
+    chunks = d.select(
+        "doc_id",
+        n.alias("n"),
+        "tk",
+        F.posexplode(
+            F.expr(f"sequence(0L, cast(floor((size(tk)-1)/{_STRIDE}) as long))")
+        ).alias("chunk_idx", "k"),
+    )
+    start = (F.col("k") * _STRIDE + 1).alias("start_pos")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long"),
+        F.least(F.lit(_CHUNK), F.col("n") - (F.col("k") * _STRIDE + 1) + 1)
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr(f"slice(tk, cast(k*{_STRIDE}+1 as int), {_CHUNK})")
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id % {_SHARDS} AS shard,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before_me
+  FROM t
+)
+SELECT lang, shard, before_me // {_BUDGET} AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       ROUND(SUM(n_tokens) / {_BUDGET}.0, 6) AS fill_ratio
+FROM placed
+GROUP BY lang, shard, before_me // {_BUDGET}
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token budgets
+    (sequence packing for training batches): stream docs in doc_id order
+    within (lang, shard), assign each doc to the bin its running-prefix
+    token count lands in. Bins overflow by at most one document — the
+    standard contiguous-fill approximation, fully deterministic.
+
+    Scale shape: the only shuffle is the window partition on
+    (lang, shard); sharding bounds each window partition to 1/(langs x
+    {_SHARDS}) of the corpus, and _SHARDS scales up freely (it only
+    changes which docs share a bin, not the packing invariant). The
+    final groupBy reuses the same (lang, shard) clustering, so AQE
+    coalesces it without a second full exchange.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.withColumn(
+        "before_me", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.groupBy(
+            "lang", "shard", F.floor(F.col("before_me") / _BUDGET).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(F.sum("n_tokens") / F.lit(float(_BUDGET)), 6).alias("fill_ratio"),
+        )
+    )
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+tri AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         GREATEST(len(tk) - 2, 0) AS n_trigrams,
+         CASE WHEN len(tk) >= 3 THEN len(list_distinct(
+             list_transform(range(1, len(tk) - 1),
+                            i -> array_to_string(tk[i:i+2], ' '))))
+              ELSE 0 END AS n_distinct_tri
+  FROM t
+),
+tf AS (SELECT doc_id, u.tok, COUNT(*) AS c FROM t, UNNEST(tk) AS u(tok)
+       GROUP BY doc_id, u.tok),
+top AS (SELECT doc_id, MAX(c) AS top_cnt FROM tf GROUP BY doc_id)
+SELECT tri.doc_id, tri.n_tokens,
+       ROUND(CASE WHEN tri.n_trigrams > 0
+                  THEN 1.0 - tri.n_distinct_tri / CAST(tri.n_trigrams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_trigram_frac,
+       ROUND(top.top_cnt / CAST(tri.n_tokens AS DOUBLE), 6) AS top_token_frac,
+       (CASE WHEN tri.n_trigrams > 0
+             THEN 1.0 - tri.n_distinct_tri / CAST(tri.n_trigrams AS DOUBLE)
+             ELSE 0.0 END) <= 0.5
+         AND top.top_cnt / CAST(tri.n_tokens AS DOUBLE) <= 0.2 AS keep
+FROM tri JOIN top ON top.doc_id = tri.doc_id
+""",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition heuristics: duplicate-trigram fraction and
+    most-frequent-token fraction, with a keep/drop verdict.
+
+    Scale shape: trigram stats are computed array-side per row (zero
+    shuffle); the top-token count is one explode + two-level hash
+    aggregation keyed by doc_id (map-side partial combine — the explode
+    never crosses the wire unreduced). The final join is doc_id-keyed on
+    two doc-sized inputs, broadcast-eligible at the dimension side when
+    the quality pass runs over a sampled slice.
+    """
+    d = with_tokens(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n = F.size("tk")
+    tri = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.greatest(n - 2, F.lit(0)).alias("n_trigrams"),
+        F.when(
+            n >= 3,
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2), "
+                        "i -> concat_ws(' ', slice(tk, i, 3)))"
+                    )
+                )
+            ),
+        )
+        .otherwise(0)
+        .alias("n_distinct_tri"),
+    )
+    top = (
+        d.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        1.0 - F.col("n_distinct_tri") / F.col("n_trigrams").cast("double"),
+    ).otherwise(0.0)
+    top_frac = F.col("top_cnt") / F.col("n_tokens").cast("double")
+    return tri.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
+    )
+
+
+@query(
+    "pii_scrub_stats",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                           || '@example.com id ' || CAST(doc_id * 7 AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       md5(regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z]+\.[a-z]+',
+                                         '<EMAIL>', 'g'),
+                          '[0-9]+', '<NUM>', 'g')) AS scrubbed_hash
+FROM aug
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped span scrubbing: count and redact email addresses and
+    digit runs, emit the scrubbed-content hash.
+
+    The corpus is synthetic (no real PII), so matches are injected
+    deterministically into every 7th document — same expression on both
+    sides, exactly the dedup-corpus pattern (plans/llm.py).
+
+    Scale shape: pure map-only regexp pipeline (regexp_count /
+    regexp_replace are JVM codegen expressions); zero shuffles, linear
+    scan. NOTE the email count is evaluated *before* the number scrub so
+    the two counters are independent of scrub order.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com id "),
+                    (F.col("doc_id") * 7).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    email_re = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+    num_re = r"[0-9]+"
+    # regexp_count via expr: backslashes must survive the SQL string
+    # literal, so escape them for the parser.
+    email_re_sql = email_re.replace("\\", "\\\\")
+    return aug.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{email_re_sql}')").cast("long").alias("n_emails"),
+        F.expr(f"regexp_count(text, '{num_re}')").cast("long").alias("n_numbers"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", email_re, "<EMAIL>"), num_re, "<NUM>"
+            )
+        ).alias("scrubbed_hash"),
+    )

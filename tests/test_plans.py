@@ -147,3 +147,38 @@ def test_tpch_shapes_broadcast_no_cartesian(spark, sf_dir, name):
     plan = formatted_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# training-data pack (plans/training.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["doc_chunking", "pii_scrub_stats"])
+def test_training_map_only_zero_shuffles(spark, sf_dir, name):
+    """Chunking and scrubbing must stay map-only: one codegen span over
+    the scan, no Exchange anywhere."""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "struct<doc_id:bigint,text:string>" in plan  # column-pruned scan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """Packing shuffles once on (lang, shard) for the window; the bin
+    groupBy must reuse that clustering (no second full exchange)."""
+    plan = formatted_plan(spark, "sequence_packing", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
+
+
+def test_repetition_filter_no_raw_explode_shuffle(spark, sf_dir):
+    """The exploded token stream must be partially aggregated before any
+    exchange: HashAggregate appears below the first Exchange."""
+    plan = formatted_plan(spark, "repetition_filter", sf_dir)
+    assert "CartesianProduct" not in plan
+    # Tree adjacency: the map-side partial aggregate sits directly on the
+    # explode, so only (doc_id, tok, partial count) rows cross the wire.
+    assert re.search(r"HashAggregate \(\d+\)\s*\n\s*\+- Generate", plan), plan
+    assert "partial_count" in plan, plan
+    # Doc-level join stays broadcast (no sort-merge of the two doc sides).
+    assert "BroadcastHashJoin" in plan, plan
