@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators.sampling import (
+    duck_bucket_sql,
+    hash_bucket,
+)
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
 
@@ -296,4 +300,134 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_replace("text", email_re, "<EMAIL>"), num_re, "<NUM>"
             )
         ).alias("scrubbed_hash"),
+    )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle=f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+thr AS (
+  SELECT source, n,
+         CAST(ROUND(256 * sqrt((MIN(n) OVER ()) / CAST(n AS DOUBLE))) AS INT)
+           AS keep_thr
+  FROM c
+),
+kept AS (
+  SELECT d.source, t.n, t.keep_thr,
+         CASE WHEN {duck_bucket_sql("doc_id", "mix")} < t.keep_thr
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thr t ON t.source = d.source
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_before,
+       MAX(keep_thr) AS keep_thr,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       ROUND(SUM(keep) / CAST(MAX(n) AS DOUBLE), 6) AS kept_frac
+FROM kept GROUP BY source
+""",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture (tau = 0.5): downsample each
+    source toward a balanced mix, keeping p_s = sqrt(n_min / n_s) of
+    source s — the smallest source survives whole, large sources shrink
+    toward it. Deterministic md5-bucket acceptance (operators/sampling.py),
+    so the sample is reproducible and stable under corpus growth.
+
+    Scale shape: the per-source count table is mixture-sized (tiny) and
+    broadcast back onto the corpus; acceptance is then a map-side filter.
+    Only the final per-source stats groupBy shuffles, carrying one row
+    per source per task after partial agg.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    thr = c.select(
+        "source",
+        "n",
+        F.round(
+            256 * F.sqrt(F.min("n").over(w_all) / F.col("n").cast("double"))
+        )
+        .cast("int")
+        .alias("keep_thr"),
+    )
+    kept = d.join(F.broadcast(thr), "source").select(
+        "source",
+        "n",
+        "keep_thr",
+        F.when(hash_bucket("doc_id", "mix") < F.col("keep_thr"), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return kept.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_before"),
+        F.max("keep_thr").alias("keep_thr"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round(F.sum("keep") / F.max("n").cast("double"), 6).alias("kept_frac"),
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, dv,
+         GREATEST(list_max(list_transform(dv, x -> abs(x))), 1e-12) AS scale
+  FROM e2
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(dv, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT))
+           AS qv
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       md5(array_to_string(qv, ',')) AS q_hash,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embedding vectors: per-vector max-abs
+    scale, symmetric round-half-up to [-127, 127]. The index-build step
+    for a quantized ANN store (4x memory cut vs float32).
+
+    Determinism across engines: elements are cast float->double (exact)
+    before any arithmetic, and both sides evaluate the identical
+    expression tree `floor(x / scale * 127.0 + 0.5)` — IEEE double ops in
+    the same order produce bit-identical quantized ints, verified by the
+    md5 over the int array.
+
+    Scale shape: map-only higher-order array expressions, zero shuffles;
+    the scan reads only (vec_id, embedding).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("dv"),
+    ).select(
+        "vec_id",
+        "dv",
+        F.greatest(
+            F.expr("array_max(transform(dv, x -> abs(x)))"), F.lit(1e-12)
+        ).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "transform(dv, x -> cast(floor(x / scale * 127.0 + 0.5) as int))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(F.concat_ws(",", F.expr("transform(qv, x -> cast(x as string))"))).alias(
+            "q_hash"
+        ),
+        F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
     )

@@ -182,3 +182,19 @@ def test_repetition_filter_no_raw_explode_shuffle(spark, sf_dir):
     assert "partial_count" in plan, plan
     # Doc-level join stays broadcast (no sort-merge of the two doc sides).
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_quantize_map_only(spark, sf_dir):
+    """int8 quantization is a pure array-expression pipeline: no Exchange,
+    scan pruned to (vec_id, embedding)."""
+    plan = formatted_plan(spark, "embedding_quantize", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "embedding:array<float>" in plan, plan
+
+
+def test_domain_mixture_broadcast_threshold(spark, sf_dir):
+    """The per-source threshold table joins back by broadcast — the corpus
+    side never shuffles for the acceptance filter."""
+    plan = formatted_plan(spark, "domain_mixture_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
