@@ -984,3 +984,177 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(contaminated)
     )
     return D.cross_corpus_lsh_pairs(train, test)
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS hu(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh GROUP BY doc_id, h // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+matched AS (
+  SELECT p.doc_a, p.doc_b,
+         COUNT(*) FILTER (WHERE ma.minhash = mb.minhash) AS n_match
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.doc_a
+  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.h = ma.h
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT m.doc_a, m.doc_b,
+       ROUND(m.n_match / 12.0, 6) AS est_jaccard,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard,
+       ROUND(ABS(m.n_match / 12.0
+                 - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (na.n + nb.n - COALESCE(i.n_inter, 0))), 6) AS abs_err
+FROM matched m
+LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sizes na ON na.doc_id = m.doc_a
+JOIN sizes nb ON nb.doc_id = m.doc_b
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard estimate (matching signature slots / 12) next to the EXACT
+    shingle-set Jaccard and the absolute error — the quality-control
+    query a dedup rollout runs before trusting a sketch configuration.
+
+    Scale shape: the candidate-pair set is LSH-pruned (tiny next to the
+    corpus), so it broadcasts into both the signature-match join and the
+    two shingle-intersection joins; the shingle table and signature table
+    are each materialized once (persist) and reused on both sides.  The
+    exact-Jaccard half touches only candidate docs' shingles — never an
+    all-pairs pass over the corpus."""
+    from pyspark import StorageLevel
+
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = D.shingle_table(corpus, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    mh = D.minhash_signatures(sh, 12).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = D.lsh_band_signatures(mh, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = D.lsh_candidate_pairs(bands)
+
+    ma = mh.select(F.col("doc_id").alias("doc_a"), F.col("minhashes").alias("mh_a"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), F.col("minhashes").alias("mh_b"))
+    est = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.expr("filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)")
+                )
+                / F.lit(12.0)
+            ).alias("est"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est", 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(F.col("est") - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "text_normalize_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM corpus
+)
+SELECT md5(norm_text) AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM norm
+GROUP BY md5(norm_text)
+HAVING COUNT(*) >= 2
+""",
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, THEN hash — catches duplicates that differ only
+    in case/punctuation/spacing, the most common near-dup class in web
+    corpora (trivially missed by raw content hashing).  The corpus gains
+    a cased+punctuated copy of every 7th doc as planted positives.
+
+    Scale shape: map-only normalization fused into the scan, then one
+    hash-aggregate on md5(norm) with map-side partials — identical cost
+    envelope to plain exact dedup at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    norm = corpus.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            )
+        ).alias("norm_text"),
+    )
+    return (
+        norm.groupBy(F.md5("norm_text").alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )

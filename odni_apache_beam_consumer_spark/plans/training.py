@@ -431,3 +431,51 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
     )
+
+
+# Quality-classifier scoring: a fixed linear model over the embedding
+# column (the FineWeb-style "educational quality" filter shape: train a
+# small classifier offline, apply it corpus-wide as a map-only pass).
+# Deterministic demo weights; real deployments broadcast trained weights
+# the same way.  The margin (not a sigmoid) keeps cross-engine bit
+# determinism: sequential-fold dot product in IEEE double on both sides.
+_CLS_W = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+_CLS_THRESHOLD = 0.5
+
+
+@query(
+    "classifier_quality_filter",
+    oracle=f"""
+SELECT vec_id, label,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              [{", ".join(f"CAST({w} AS DOUBLE)" for w in _CLS_W)}]),
+             6) AS margin,
+       list_dot_product(CAST(embedding AS DOUBLE[]),
+                        [{", ".join(f"CAST({w} AS DOUBLE)" for w in _CLS_W)}])
+         > {_CLS_THRESHOLD} AS accept
+FROM embeddings
+""",
+)
+def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring over the embedding column: margin
+    = w . x with fixed weights, accept = margin > threshold — the
+    model-based corpus filter applied after heuristic filters.
+
+    Scale shape: the weight vector is a plan literal (broadcast by
+    construction); scoring is a map-only higher-order-function fold
+    (zip_with + aggregate) inside codegen — zero shuffles, zero Python.
+    Float story: elements cast float->double (exact) then folded in index
+    order, matching DuckDB's list_dot_product evaluation order —
+    bit-identical margins, so even the boolean threshold agrees."""
+    w_arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in _CLS_W)
+    e = load_table(spark, sf_dir, "embeddings")
+    dot = F.expr(
+        f"aggregate(zip_with(transform(embedding, x -> cast(x as double)), "
+        f"array({w_arr}), (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(dot, 6).alias("margin"),
+        (dot > F.lit(_CLS_THRESHOLD)).alias("accept"),
+    )

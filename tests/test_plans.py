@@ -138,6 +138,12 @@ def test_gapfill_scan_pushes_ts_filter(spark, sf_dir):
         "q8_market_share",
         "q16_supplier_part_buckets",
         "q22_dormant_customers",
+        "q3_shipping_priority",
+        "q7_nation_volume",
+        "q10_returned_items",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q21_sole_return_supplier",
     ],
 )
 def test_tpch_shapes_broadcast_no_cartesian(spark, sf_dir, name):
@@ -198,3 +204,39 @@ def test_domain_mixture_broadcast_threshold(spark, sf_dir):
     plan = formatted_plan(spark, "domain_mixture_sample", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q10_returned_items"])
+def test_tpch_topk_avoids_global_sort(spark, sf_dir, name):
+    """Q3/Q10's ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    never a full global Sort materialization before the limit."""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_scoring_map_only(spark, sf_dir):
+    """Linear-model scoring is a pure fold over the embedding array: no
+    Exchange, no Python runner, scan pruned to the three used columns."""
+    plan = formatted_plan(spark, "classifier_quality_filter", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "embedding:array<float>" in plan, plan
+
+
+def test_normalize_dedup_single_exchange(spark, sf_dir):
+    """Normalization fuses into the scan; the only exchange is the final
+    hash-aggregate on the normalized content hash."""
+    plan = formatted_plan(spark, "text_normalize_dedup", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
+    assert "partial_min" in plan or "partial" in plan, plan
+
+
+def test_jaccard_estimate_broadcasts_pairs_and_caches(spark, sf_dir):
+    """The sketch-accuracy audit must broadcast the (tiny) candidate-pair
+    set into the intersection joins and reuse the persisted shingle /
+    signature tables rather than recomputing them per join side."""
+    plan = formatted_plan(spark, "minhash_jaccard_estimate", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
