@@ -783,3 +783,81 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "view_purchase_attribution",
+    oracle="""
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.user_id, v.event_id AS view_event_id, v.ts AS view_ts,
+         p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY p.ts, p.event_id) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT user_id, view_event_id, purchase_event_id,
+       CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT)
+         AS micros_to_purchase
+FROM pairs WHERE rn = 1
+""",
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution via COGROUPED ``applyInPandas``: per user,
+    each 'view' event matched to the next 'purchase' at-or-after it — the
+    as-of alignment of two event streams where per-key imperative logic
+    (pandas ``merge_asof``) is genuinely simpler than a join+window dance.
+
+    Scale shape: both sides hash-partition on user_id once, then each
+    cogroup ships to Python as TWO Arrow batches (views, purchases for one
+    key bundle) — state is bounded by one user's events, never the
+    partition.  This is the capability row for
+    ``groupBy().cogroup().applyInPandas``; the equivalent declarative plan
+    (range join + WindowGroupLimit) is what the DuckDB oracle runs, so the
+    Python path is value-verified against the relational one."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+
+    def attribute(v: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        if v.empty or p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "view_event_id", "purchase_event_id",
+                         "micros_to_purchase"]
+            )
+        v2 = (
+            v.sort_values(["ts", "event_id"], kind="mergesort")
+            .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
+        )[["user_id", "view_event_id", "view_ts"]]
+        p2 = (
+            p.sort_values(["ts", "event_id"], kind="mergesort")
+            .rename(columns={"event_id": "purchase_event_id", "ts": "purchase_ts"})
+        )[["purchase_event_id", "purchase_ts"]]
+        m = pd.merge_asof(
+            v2, p2, left_on="view_ts", right_on="purchase_ts", direction="forward"
+        ).dropna(subset=["purchase_event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "view_event_id": m["view_event_id"].astype("int64"),
+                "purchase_event_id": m["purchase_event_id"].astype("int64"),
+                "micros_to_purchase": (
+                    (m["purchase_ts"] - m["view_ts"]) // pd.Timedelta(microseconds=1)
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema="user_id long, view_event_id long, purchase_event_id long, "
+            "micros_to_purchase long",
+        )
+    )

@@ -1158,3 +1158,46 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, CAST(k AS INT) AS sent_idx,
+       array_to_string(tk[k*10+1 : k*10+10], ' ') AS sentence,
+       CAST(LEAST(10, len(tk) - k*10) AS INT) AS n_tokens
+FROM d, UNNEST(range(0, (len(tk) + 9) // 10)) AS u(k)
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF capability row (pyspark 4 ``@udtf`` + LATERAL): split
+    each document into fixed 10-token sentence rows.  The declarative
+    dual (posexplode over a slice transform — see doc_chunking) remains
+    the hot-path recommendation; this registers the one-row-to-many-rows
+    Python escape hatch and value-verifies it against the relational
+    oracle.
+
+    Scale shape: the UDTF evaluates per-row inside the scan stage — no
+    shuffle introduced; parallelism is the file-split parallelism.  The
+    subset filter keeps the demo's Python surface small."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_tokens int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            toks = text.strip().split(" ")
+            for k in range((len(toks) + 9) // 10):
+                chunk = toks[k * 10 : k * 10 + 10]
+                yield k, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs_subset")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence, s.n_tokens "
+        "FROM udtf_docs_subset, LATERAL sentence_split(text) s"
+    )

@@ -240,3 +240,20 @@ def test_jaccard_estimate_broadcasts_pairs_and_caches(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_cogroup_attribution_two_exchanges_python_cogroup(spark, sf_dir):
+    """The cogrouped-applyInPandas attribution: exactly one exchange per
+    input side (hash on user_id), then the Python cogroup — a third
+    exchange would mean the cogroup lost the co-partitioning."""
+    plan = formatted_plan(spark, "view_purchase_attribution", sf_dir)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 2, plan
+
+
+def test_udtf_runs_in_scan_stage_no_shuffle(spark, sf_dir):
+    """The Python UDTF lateral join introduces no exchange — it evaluates
+    per input row inside the scan stage."""
+    plan = formatted_plan(spark, "udtf_sentence_split", sf_dir)
+    assert "Exchange" not in plan, plan

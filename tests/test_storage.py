@@ -120,3 +120,57 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     want = events.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
     assert df.count() == want and want > 0
     assert n_days > 1  # pruning actually skipped something
+
+
+def test_zorder_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    """The Z-order layout must make point predicates on EITHER dimension
+    skippable via parquet footer min/max: for each of several probe
+    values, the fraction of files whose [min, max] covers the probe must
+    be well under 1.0 on BOTH columns (a linear sort on one column leaves
+    ~every file covering the other column's full domain)."""
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "day"
+        ),
+    )
+    dst = str(tmp_path / "zorder")
+    storage.write_zordered(ev, dst, "user_id", "day", n_files=32)
+
+    files = sorted(glob.glob(dst + "/*.parquet"))
+    assert len(files) >= 8
+    stats = []  # per file: (umin, umax, dmin, dmax)
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        umin = min(md.row_group(g).column(cols["user_id"]).statistics.min for g in range(md.num_row_groups))
+        umax = max(md.row_group(g).column(cols["user_id"]).statistics.max for g in range(md.num_row_groups))
+        dmin = min(md.row_group(g).column(cols["day"]).statistics.min for g in range(md.num_row_groups))
+        dmax = max(md.row_group(g).column(cols["day"]).statistics.max for g in range(md.num_row_groups))
+        stats.append((umin, umax, dmin, dmax))
+    assert total == ev.count()
+
+    u_domain = (min(s[0] for s in stats), max(s[1] for s in stats))
+    d_domain = (min(s[2] for s in stats), max(s[3] for s in stats))
+
+    def overlap_frac(idx_min, idx_max, probe):
+        hit = sum(1 for s in stats if s[idx_min] <= probe <= s[idx_max])
+        return hit / len(stats)
+
+    # Mean file-overlap across probes must be well under 1.0 on BOTH dims
+    # (a linear sort gives ~1.0 on the non-sorted dim); individual probes
+    # get slack because boxes straddling the median hit mid-domain probes.
+    u_fracs, d_fracs = [], []
+    for q in (0.25, 0.5, 0.75):
+        u_probe = int(u_domain[0] + q * (u_domain[1] - u_domain[0]))
+        d_probe = int(d_domain[0] + q * (d_domain[1] - d_domain[0]))
+        u_fracs.append(overlap_frac(0, 1, u_probe))
+        d_fracs.append(overlap_frac(2, 3, d_probe))
+    assert max(u_fracs) <= 0.75 and max(d_fracs) <= 0.75, (u_fracs, d_fracs)
+    assert sum(u_fracs) / 3 <= 0.5, (u_fracs, stats)
+    assert sum(d_fracs) / 3 <= 0.5, (d_fracs, stats)
