@@ -665,9 +665,19 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     here as the scale path.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_price"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+    # One array-percentile aggregate per column: a single sort buffer per
+    # (group, column) instead of one per requested quantile.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pp"),
+            F.expr("percentile(l_quantity, 0.5)").alias("pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pp")[0], 6).alias("p50_price"),
+            F.round(F.col("pp")[1], 6).alias("p90_price"),
+            F.round(F.col("pp")[2], 6).alias("p99_price"),
+            F.round("pq", 6).alias("p50_qty"),
+        )
     )
