@@ -285,3 +285,39 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@query("hll_sketch_store")  # no oracle: DataSketches HLL binaries are engine-specific
+def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch store (Apache DataSketches HLL,
+    Spark 3.5+ built-ins): build one serialized sketch per market
+    segment, then MERGE the stored sketches to re-derive region-free
+    rollups — the incremental-stats pattern at 100 TB: daily jobs
+    persist per-partition sketch binaries (bytes, constant size), and
+    any later rollup unions sketches instead of rescanning raw data.
+
+    Output: per-segment estimate + the merged all-segment estimate
+    (re-aggregated FROM the sketches, not from rows) + exact counts for
+    error inspection.  Rows-only check: sketch estimates are
+    engine-specific; tests/test_operators.py bounds the error."""
+    c = load_table(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_customers"),
+    )
+    merged = per_seg.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("exact_customers").alias("exact_customers"),
+    ).select(
+        F.lit("__ALL__").alias("c_mktsegment"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
+    )
+    return (
+        per_seg.select(
+            "c_mktsegment",
+            F.hll_sketch_estimate("sk").alias("approx_customers"),
+            "exact_customers",
+        )
+        .unionByName(merged)
+    )

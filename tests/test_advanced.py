@@ -32,3 +32,17 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir):
         )
         assert "Join" in plan, f"{name}: no join in decorrelated plan"
         assert "CartesianProduct" not in plan, f"{name}: cartesian fallback"
+
+
+def test_hll_sketch_store_merge_consistency(spark, sf_dir):
+    """The merged (__ALL__) estimate must come out of sketch UNION within
+    HLL error of the exact total, and every per-segment estimate within
+    error of its exact count."""
+    rows = {r["c_mktsegment"]: r for r in
+            all_queries()["hll_sketch_store"](spark, sf_dir).collect()}
+    assert "__ALL__" in rows and len(rows) >= 3
+    for seg, r in rows.items():
+        exact = r["exact_customers"]
+        assert exact > 0
+        err = abs(r["approx_customers"] - exact) / exact
+        assert err <= 0.05, f"{seg}: sketch err {err:.3f}"
