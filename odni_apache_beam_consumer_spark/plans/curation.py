@@ -1,0 +1,336 @@
+"""Corpus-curation queries: the selection/filtering layer a training-data
+pipeline runs between raw ingest and tokenization.
+
+Adds four capabilities on top of the dedup/similarity packs:
+
+* ``semantic_dedup`` — SemDeDup-shaped near-dup removal: cluster the
+  embedding space with a deterministic coarse quantizer, then compare
+  vectors only *within* a cluster (the pruning that makes embedding dedup
+  tractable at corpus scale), dropping the higher-id member of every
+  too-similar pair.
+* ``dedup_keep_best`` — canonical-document selection: among exact
+  duplicates keep the highest-quality copy (longest, then lowest id) —
+  the "which copy survives" policy layer over exact dedup's "which docs
+  collide" (operators/dedup.py::exact_dedup_groups keeps min-id; this
+  keeps best-quality and reports what was dropped).
+* ``token_entropy`` — per-document unigram Shannon entropy, the standard
+  gibberish/boilerplate signal (low entropy = repetitive text); computed
+  entirely array-side (zero shuffles).
+* ``common_ngram_coverage`` — fraction of each document's 5-grams that
+  occur in ≥ 2 documents: the boilerplate-coverage signal behind
+  exact-substring dedup policies.
+
+All four have full DuckDB oracles. Float discipline follows
+plans/registry.py: identical fold order on both engines (sorted arrays +
+left-to-right folds), ROUND before comparison.
+
+Reference parity: the reference (/root/reference/main.py) has no curation
+surface; these map to the north-star LLM-pipeline rows of SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+_SEM_TAU = 0.25  # synthetic embeddings are near-orthogonal; ~p99 of pair cosine
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, vec AS cvec, list_dot_product(vec, vec) AS cdd
+  FROM v WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, cid, vec, dd FROM (
+    SELECT v.vec_id, c.cid, v.vec, v.dd,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             c.cdd - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         ROUND(list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)), 6) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)) >= {_SEM_TAU}
+)
+SELECT cid, drop_id, COUNT(*) AS n_dups, ROUND(MAX(cosine), 6) AS best_cos
+FROM pairs GROUP BY cid, drop_id
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: coarse-quantize (nearest of the
+    deterministic seed centroids, every 50th vector), compare only within
+    a cluster, drop the higher-id member of each pair with cosine >= tau.
+
+    Scale shape: the centroid table is k rows -> broadcast; assignment is
+    map-side cross-score + WindowGroupLimit argmin (same plan as
+    plans/ml.py::kmeans_one_step). The assigned table is persisted so the
+    within-cluster self-join reads ONE materialization instead of
+    recomputing the assignment pipeline per side; the join is an equi-join
+    on cid, so pair enumeration is O(sum cluster_size^2), not O(N^2) —
+    cluster count grows with the corpus (k ~ N/target_cluster_size) to
+    keep buckets bounded; a hot cluster is split by raising k or salting
+    the cid, same guard as operators/dedup.py's LSH buckets."""
+    v = (
+        with_vec(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "vec", dot("vec", "vec").alias("dd"))
+    )
+    c = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("dd").alias("cdd"),
+    )
+    score = F.col("cdd") - 2 * dot("vec", "cvec")
+    w = W.partitionBy("vec_id").orderBy(score.asc(), F.col("cid").asc())
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec", "dd")
+        .persist()
+    )
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("keep_id"),
+        F.col("vec").alias("va"),
+        F.col("dd").alias("dda"),
+    )
+    b = assigned.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("vec").alias("vb"),
+        F.col("dd").alias("ddb"),
+    )
+    cos = dot("va", "vb") / (F.sqrt("dda") * F.sqrt("ddb"))
+    pairs = (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("keep_id") < F.col("drop_id")))
+        .where(cos >= _SEM_TAU)
+        .select("cid", "drop_id", F.round(cos, 6).alias("cosine"))
+    )
+    return pairs.groupBy("cid", "drop_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("cosine"), 6).alias("best_cos"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH dup AS (
+  SELECT doc_id, lang, source, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, n_chars - 1, text
+  FROM documents WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash FROM dup
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_chars, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM g
+)
+SELECT content_hash, doc_id AS kept_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1 AND n_copies > 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over exact-duplicate groups: within
+    each content-hash group keep the best copy (longest text, then lowest
+    id); emit only multi-copy groups with their survivor.
+
+    Scale shape: ONE shuffle on the content hash (uniform by
+    construction); the per-group pick is WindowGroupLimit (top-1 per
+    key, no sort of the full partition). This is the policy layer over
+    operators/dedup.py::exact_dedup_groups — same exchange, richer
+    survivor rule. Input is documents unioned with truncated-length
+    copies of every 3rd doc (same text, n_chars-1, shifted id) so the
+    keep-longest policy has real groups to pick from."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    dup = raw.unionByName(
+        raw.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            "source",
+            (F.col("n_chars") - 1).alias("n_chars"),
+            "text",
+        )
+    )
+    d = dup.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("content_hash")
+    )
+    byg = W.partitionBy("content_hash")
+    ranked = d.select(
+        "content_hash",
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(byg.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(byg).alias("n_copies"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("kept_id"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "token_entropy",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(trim(text), ' ') AS tk FROM documents
+),
+c AS (
+  SELECT doc_id, lang, len(tk) AS n,
+         list_transform(list_sort(list_distinct(tk)),
+                        x -> CAST(len(list_filter(tk, t -> t = x)) AS DOUBLE)) AS cnts
+  FROM t
+),
+s AS (
+  SELECT doc_id, lang, n, len(cnts) AS n_distinct,
+         list_reduce(list_transform(cnts, c -> c * ln(c)), (a, b) -> a + b) AS s
+  FROM c
+)
+SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       ROUND(ln(n) - s / n, 6) AS token_entropy
+FROM s
+""",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy, via the algebraic form
+    H = ln(n) - (1/n) * sum(c * ln c) over per-token counts c.
+
+    Scale shape: ZERO shuffles — counts come from array-side
+    filter/transform over the token array (O(distinct x len) per doc,
+    map-only, whole-stage codegen), not an explode + two hash
+    aggregations whose exchange would carry one row per (doc, token).
+    Fold-order parity with the oracle: counts are taken over the SORTED
+    distinct tokens and summed left-to-right on both engines (Spark
+    ``aggregate`` starting at 0.0 == DuckDB ``list_reduce`` over the
+    transformed list, since 0.0 + x is exact)."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    tk = F.col("tk")
+    cnts = F.transform(
+        F.array_sort(F.array_distinct(tk)),
+        lambda x: F.size(F.filter(tk, lambda t: t == x)).cast("double"),
+    )
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n"),
+        cnts.alias("cnts"),
+    )
+    s = F.aggregate(
+        F.col("cnts"), F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("cnts").cast("bigint").alias("n_distinct"),
+        F.round(F.log("n") - s / F.col("n"), 6).alias("token_entropy"),
+    )
+
+
+@query(
+    "common_ngram_coverage",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tk) - 4),
+                                      i -> array_to_string(tk[i:i+4], ' '))) AS grams
+  FROM t WHERE len(tk) >= 5
+),
+dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+dftab AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_common
+  FROM dg JOIN dftab USING (gram) GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+       CAST(COALESCE(cov.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(cov.n_common, 0) / len(g.grams), 6) AS common_coverage
+FROM g LEFT JOIN cov ON g.doc_id = cov.doc_id
+""",
+)
+def common_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage: the fraction of each document's distinct
+    5-grams that appear in >= 2 documents (the signal behind
+    exact-substring / boilerplate-removal policies).
+
+    Scale shape: the (doc, gram) table is built map-side (array transform
+    + one explode) and persisted so the DF count and the coverage join
+    read one materialization; the cross-doc gram table is the ONLY
+    all-corpus aggregation (one shuffle keyed on the gram hash —
+    uniform); the common-gram list is then broadcast back (boilerplate
+    vocabularies are small by definition — cap or spill to a shuffle
+    join if a corpus exceeds the broadcast threshold). Docs shorter than
+    5 tokens have no 5-grams and are excluded on both sides."""
+    d = with_tokens(load_table(spark, sf_dir, "documents")).where(F.size("tk") >= 5)
+    tk = F.col("tk")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 4),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
+        )
+    )
+    base = d.select("doc_id", grams.alias("grams"))
+    dg = base.select("doc_id", F.explode("grams").alias("gram")).persist()
+    dftab = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    cov = (
+        dg.join(F.broadcast(dftab), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        base.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("common_coverage"),
+        )
+    )

@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QueryFn]:
     from odni_apache_beam_consumer_spark.plans import (  # noqa: F401
         advanced,
         analytics,
+        curation,
         llm,
         ml,
         relational,

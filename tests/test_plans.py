@@ -257,3 +257,37 @@ def test_udtf_runs_in_scan_stage_no_shuffle(spark, sf_dir):
     per input row inside the scan stage."""
     plan = formatted_plan(spark, "udtf_sentence_split", sf_dir)
     assert "Exchange" not in plan, plan
+
+
+def test_token_entropy_map_only(spark, sf_dir):
+    """Entropy is array-side arithmetic over the token list: no Exchange,
+    no Python runner — one scan stage end to end."""
+    plan = formatted_plan(spark, "token_entropy", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_semantic_dedup_broadcast_and_cached_assignment(spark, sf_dir):
+    """SemDeDup shape: centroids broadcast into the assignment (never a
+    shuffled join of the corpus against centroids), and the assigned table
+    persisted so the within-cluster self-join reads one materialization."""
+    plan = formatted_plan(spark, "semantic_dedup", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_keep_best_single_exchange(spark, sf_dir):
+    """Canonical-selection is one shuffle on the content hash; the
+    survivor pick must not add a second exchange."""
+    plan = formatted_plan(spark, "dedup_keep_best", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
+
+
+def test_ngram_coverage_caches_doc_grams_and_broadcasts_common(spark, sf_dir):
+    """The (doc, gram) table is persisted (DF count + coverage join read
+    one materialization) and the common-gram list is broadcast back."""
+    plan = formatted_plan(spark, "common_ngram_coverage", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
