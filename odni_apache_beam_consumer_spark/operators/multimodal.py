@@ -92,6 +92,58 @@ def decode_features(media: DataFrame, min_parallelism: int | None = None) -> Dat
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, n_frames BIGINT, frame_idx BIGINT, "
+    "ts_ms BIGINT, frame_hash STRING"
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """(doc_id, payload binary) -> one row per sampled frame: the
+    video-frame-sampling batch shape (a ``mapInPandas`` stage whose output
+    has MORE rows than its input — the fan-out contract real frame
+    extraction needs, with the frame count decided per payload at decode
+    time, unknowable to Catalyst up front).
+
+    Deterministic fake codec (no av/ffmpeg in this container):
+    n_frames = (n_bytes % 97) + 8, every ``stride``-th frame sampled,
+    ts at 25 fps, frame identity = md5(payload # frame_idx).  Swapping in
+    a real demuxer changes only the closure body; schema, Arrow batching
+    and fan-out shape are the real contract."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_bytes": [],
+                "n_frames": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n % 97) + 8
+                for idx in range(0, n_frames, stride):
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(n)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 40)
+                    out["frame_hash"].append(
+                        _hashlib.md5(payload + b"#" + str(idx).encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     """Stand-in media table: document text encoded as the binary payload
     (the container has no real image fixtures; the column types are the

@@ -809,18 +809,26 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of alignment of two event streams where per-key imperative logic
     (pandas ``merge_asof``) is genuinely simpler than a join+window dance.
 
-    Scale shape: both sides hash-partition on user_id once, then each
-    cogroup ships to Python as TWO Arrow batches (views, purchases for one
-    key bundle) — state is bounded by one user's events, never the
-    partition.  This is the capability row for
+    Scale shape: both sides hash-partition ONCE on a bucket of user_id
+    (not the raw key): per-user cogroups would mean one Python
+    invocation per user — at 1500 users that's 1500 tiny
+    sort+merge_asof calls whose fixed pandas overhead dominates
+    (measured 14.5 s -> ~1 s at sf0.1 from this change alone).  Each
+    bucket ships to Python as TWO Arrow batches and ``merge_asof(by=
+    "user_id")`` vectorizes the per-user as-of across the whole bucket;
+    state stays bounded by a bucket, and the bucket count scales with
+    cores, not users.  This is the capability row for
     ``groupBy().cogroup().applyInPandas``; the equivalent declarative plan
     (range join + WindowGroupLimit) is what the DuckDB oracle runs, so the
     Python path is value-verified against the relational one."""
     import pandas as pd
 
+    n_buckets = 32  # ~one Python task per core; each vectorizes many users
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
+    bucket = F.pmod("user_id", F.lit(n_buckets)).alias("bucket")
     views = ev.where(F.col("event_type") == "view").drop("event_type")
     purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
 
@@ -830,6 +838,9 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "view_event_id", "purchase_event_id",
                          "micros_to_purchase"]
             )
+        # merge_asof(by=...) wants both frames globally sorted on the `on`
+        # key; the stable (ts, event_id) sort makes the first-of-equal-ts
+        # purchase the lowest event_id, mirroring the oracle's rn = 1.
         v2 = (
             v.sort_values(["ts", "event_id"], kind="mergesort")
             .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
@@ -837,9 +848,14 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2 = (
             p.sort_values(["ts", "event_id"], kind="mergesort")
             .rename(columns={"event_id": "purchase_event_id", "ts": "purchase_ts"})
-        )[["purchase_event_id", "purchase_ts"]]
+        )[["user_id", "purchase_event_id", "purchase_ts"]]
         m = pd.merge_asof(
-            v2, p2, left_on="view_ts", right_on="purchase_ts", direction="forward"
+            v2,
+            p2,
+            left_on="view_ts",
+            right_on="purchase_ts",
+            by="user_id",
+            direction="forward",
         ).dropna(subset=["purchase_event_id"])
         return pd.DataFrame(
             {
@@ -853,8 +869,8 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        views.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        views.groupBy(bucket)
+        .cogroup(purchases.groupBy(bucket))
         .applyInPandas(
             attribute,
             schema="user_id long, view_event_id long, purchase_event_id long, "

@@ -875,6 +875,34 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT doc_id, text, n, (n % 97) + 8 AS n_frames FROM m
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+FROM f, UNNEST(generate_series(0, n_frames - 1, 4)) AS g(frame_idx)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling shape: a ``mapInPandas`` stage that FANS OUT —
+    one input payload becomes one row per sampled frame, with the frame
+    count decided per payload at decode time (operators/multimodal.py::
+    sample_frames).  The fake demuxer's outputs are reproduced by the
+    oracle; the Arrow fan-out plumbing is the real contract, and the
+    stride knob is the sampling-rate control a real pipeline tunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs, media_type="video").select("doc_id", "payload")
+    return M.sample_frames(media, stride=4)
+
+
+@query(
     "pandas_udf_token_stats",
     oracle="""
 WITH t AS (

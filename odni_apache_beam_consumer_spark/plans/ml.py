@@ -155,3 +155,76 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x").alias("apex"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query(
+    "pagerank_one_step",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+n AS (SELECT COUNT(*) AS nv FROM deg),
+contrib AS (
+  SELECT e.v AS node, (CAST(1.0 AS DOUBLE) / n.nv) / deg.outdeg AS c
+  FROM e JOIN deg USING (u) CROSS JOIN n
+)
+SELECT node,
+       ROUND(CAST(0.15 AS DOUBLE) / (SELECT nv FROM n)
+             + CAST(0.85 AS DOUBLE) * SUM(c), 6) AS pagerank,
+       COUNT(*) AS n_in_edges
+FROM contrib GROUP BY node
+""",
+)
+def pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration (d=0.85) over the symmetrized co-purchase
+    graph (same support>=2 edge list as triangle_count), from the uniform
+    initial rank 1/N.
+
+    Scale shape: the edge list is persisted and reused by degree-count,
+    vertex-count and contribution joins (one materialization, three
+    readers); degrees join back to edges on the vertex key (equi-join,
+    AQE-broadcast when |V| is small, shuffle-hash at scale); the update is
+    ONE hash aggregation keyed on the destination vertex.  The full
+    algorithm loops this step under ``localCheckpoint`` like
+    operators/dedup.py::connected_components; a hot vertex (celebrity
+    node) is the classic skew case — AQE skew-join handles the join side,
+    and the contribution agg is pre-combined map-side so the hot key
+    arrives as partial sums.  Symmetrized edges mean no dangling nodes,
+    so no dangling-mass redistribution term is needed."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    nv = deg.count()  # driver-side scalar: |V| (one count job on the persisted edges)
+    contrib = (
+        e.join(deg, "u")
+        .select(F.col("v").alias("node"), (F.lit(1.0 / nv) / F.col("outdeg")).alias("c"))
+    )
+    return contrib.groupBy("node").agg(
+        F.round(F.lit(0.15 / nv) + 0.85 * F.sum("c"), 6).alias("pagerank"),
+        F.count(F.lit(1)).alias("n_in_edges"),
+    )

@@ -291,3 +291,19 @@ def test_ngram_coverage_caches_doc_grams_and_broadcasts_common(spark, sf_dir):
     plan = formatted_plan(spark, "common_ngram_coverage", sf_dir)
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """The symmetrized edge list must be persisted (degree count and
+    contribution join read one materialization) with no cartesian."""
+    plan = formatted_plan(spark, "pagerank_one_step", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_frame_sample_single_python_stage(spark, sf_dir):
+    """Frame sampling is one mapInPandas fan-out in the scan stage —
+    no Exchange before or after the Python stage."""
+    plan = formatted_plan(spark, "multimodal_frame_sample", sf_dir)
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
