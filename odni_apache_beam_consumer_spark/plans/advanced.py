@@ -321,3 +321,169 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(merged)
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered-set aggregates (arg_min/arg_max) — OHLC bars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ohlc_bars",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bar_hour,
+         value,
+         (epoch_us(ts) // 1000000) * 1000000000 + event_id AS ord
+  FROM events
+)
+SELECT event_type, bar_hour,
+       arg_min(value, ord) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ord) AS close,
+       ROUND(SUM(value), 2) AS volume,
+       COUNT(*) AS n_events
+FROM e GROUP BY event_type, bar_hour
+""",
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: the ordered-set-aggregate
+    capability (``min_by``/``max_by`` — first/last value by an ordering
+    key inside a hash aggregate, no window function and no sort).
+
+    Scale shape: ONE hash aggregation (map-side partial min_by/max_by
+    combine, like any algebraic agg) — the window-function alternative
+    (row_number over (type, hour) then filter) would sort every group;
+    min_by folds in O(1) state per group.  The ordering key is packed
+    into a FIXED-WIDTH BIGINT (epoch_sec * 1e9 + event_id): a string key
+    would put a var-length field in the aggregate buffer, which Spark's
+    HashAggregateExec can't mutate in place — the plan silently degrades
+    to SortAggregate (sort-per-partition, O(n log n)).  Equal-second
+    events tie-break deterministically by event id on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("bar_hour"),
+        "value",
+        (
+            F.expr("unix_micros(ts) div 1000000") * F.lit(1000000000)
+            + F.col("event_id")
+        ).alias("ord"),
+    )
+    return e.groupBy("event_type", "bar_hour").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.round(F.sum("value"), 2).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations gate (Deequ-style ingest validation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+SELECT 'orders.custkey_null' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+       COUNT(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'orders.status_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'orders.totalprice_nonpositive',
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT), COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'orders.orderkey_dup',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'lineitem.discount_range',
+       CAST(COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0 AND 1) AS BIGINT),
+       COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.quantity_nonpositive',
+       CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT), COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.orphan_orderkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem)
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-validation gate: a declared expectation suite (null rate,
+    value domain, range, uniqueness, referential integrity) evaluated in
+    as few passes as the checks allow, emitted long-form
+    (check_name, n_violations, n_checked) — the Deequ/expectations
+    pattern a pipeline runs before promoting a batch.
+
+    Scale shape: all per-table checks for one table fold into ONE scan
+    (conditional partial aggs side by side); the FK check is a broadcast
+    anti-join (orders keys are the small side at any realistic
+    fact/dimension ratio) counted map-side.  Nothing here shuffles more
+    than one row per check."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    n = F.count(F.lit(1)).alias("n_checked")
+    o_wide = o.agg(
+        viol(F.col("o_custkey").isNull()).alias("custkey_null"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_domain"),
+        viol(F.col("o_totalprice") <= 0).alias("totalprice_nonpositive"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("orderkey_dup"),
+        n,
+    )
+    l_wide = li.agg(
+        viol(~F.col("l_discount").between(0, 1)).alias("discount_range"),
+        viol(F.col("l_quantity") <= 0).alias("quantity_nonpositive"),
+        n,
+    )
+    orphan = (
+        li.join(F.broadcast(o.select("o_orderkey")),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(F.lit("lineitem.orphan_orderkey").alias("check_name"),
+                "n_violations", "n_checked")
+    )
+
+    def long_form(wide: DataFrame, table: str, checks: list[str]) -> DataFrame:
+        rows = [
+            wide.select(
+                F.lit(f"{table}.{c}").alias("check_name"),
+                F.col(c).alias("n_violations"),
+                "n_checked",
+            )
+            for c in checks
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    return (
+        long_form(o_wide, "orders",
+                  ["custkey_null", "status_domain", "totalprice_nonpositive",
+                   "orderkey_dup"])
+        .unionByName(long_form(l_wide, "lineitem",
+                               ["discount_range", "quantity_nonpositive"]))
+        .unionByName(orphan)
+    )

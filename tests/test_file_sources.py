@@ -67,3 +67,16 @@ def test_json_stream_source(spark, sf_dir, tmp_path):
         for r in truth.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC is a first-class batch format: write events as ORC, read it
+    back, and the row count and schema survive the round trip."""
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    ev.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == ev.count()
+    assert back.schema == ev.schema

@@ -307,3 +307,21 @@ def test_frame_sample_single_python_stage(spark, sf_dir):
     plan = formatted_plan(spark, "multimodal_frame_sample", sf_dir)
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_ohlc_single_hash_aggregate(spark, sf_dir):
+    """OHLC bars are ONE hash aggregate (min_by/max_by with a fixed-width
+    BIGINT ordering key) — a string key would degrade the whole plan to
+    SortAggregate, which this test pins against."""
+    plan = formatted_plan(spark, "ohlc_bars", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_dq_fk_check_broadcast_anti(spark, sf_dir):
+    """The referential-integrity check must be a broadcast anti-join of
+    fact rows against the key side, never a shuffled join."""
+    plan = formatted_plan(spark, "dq_expectations", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
