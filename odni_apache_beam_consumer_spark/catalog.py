@@ -66,6 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # Newer generators write ts as TIMESTAMP_NTZ (isAdjustedToUTC=
+            # false). Canonicalize to TIMESTAMP: with the session timezone
+            # pinned to UTC above, the cast is value-preserving, and every
+            # downstream plan/schema (replay, Kafka shaping, window duals)
+            # is written against TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
