@@ -877,3 +877,60 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "micros_to_purchase long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-granularity time rollup (hypertable-rollup shape)
+
+
+@query(
+    "time_rollup_hierarchy",
+    oracle="""
+WITH g AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%H') AS hour,
+         value, user_id
+  FROM events
+)
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(hour, 'ALL') AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM g GROUP BY ROLLUP(day, hour)
+""",
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup: (day, hour) plus per-day and grand
+    totals in ONE pass — the continuous-aggregate / hypertable-rollup
+    shape (TimescaleDB-style), here a plain Catalyst ROLLUP so the
+    hour->day->total hierarchy is computed with partial aggregation
+    instead of three scans.
+
+    Scale shape: one scan, one Expand (3 grouping sets) feeding a single
+    hash-aggregate exchange keyed on (day, hour, grouping_id). The
+    distinct-count forces a second exchange per grouping set — still
+    O(groups), never O(rows), after the partial agg. At 100 TB with a
+    date-partitioned layout, partition pruning bounds the scan to the
+    rollup's time range.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        "value",
+        "user_id",
+    )
+    return (
+        e.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )

@@ -334,3 +334,101 @@ def common_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("common_coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-passage detection (winnowing inverted index)
+
+
+@query(
+    "duplicate_passage_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+sh AS (
+  SELECT doc_id, i, md5(array_to_string(tk[i:i+2], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+),
+nsh AS (SELECT doc_id, MAX(i) AS max_i FROM sh GROUP BY doc_id),
+wins AS (
+  SELECT s.doc_id,
+         MIN(s.h) OVER (PARTITION BY s.doc_id ORDER BY s.i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         s.i, n.max_i
+  FROM sh s JOIN nsh n ON n.doc_id = s.doc_id
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_i - 3),
+df AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp),
+keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN df d ON d.fp = f.fp
+         WHERE d.n_docs BETWEEN 2 AND 10)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+def duplicate_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection: document pairs that
+    share >= 2 winnowing fingerprints (md5 of 3-word shingles, min over
+    each 4-shingle window — the same MOSS selection rule as
+    ``doc_fingerprint``, plans/llm.py). This is the passage-level
+    complement to whole-document near-dedup: it surfaces copied
+    paragraphs/boilerplate spans inside otherwise-different documents,
+    the signal exact-substring dedup policies act on.
+
+    Scale shape: winnowing runs ENTIRELY array-side per document —
+    shingle hashes, 4-window minima, and per-doc distinct are all
+    higher-order array expressions inside one map stage (no explode of
+    the shingle table, no doc_id-partitioned window, no global DISTINCT
+    shuffle; ``array_distinct`` already dedups within the only scope
+    that matters, the document). The first shuffle is the
+    document-frequency groupBy on the winnowed (much smaller) index.
+    The fingerprint table is persisted and reused for (a) the df table
+    and (b) both sides of the pair join. The df-cap (fingerprints shared
+    by > 10 docs are dropped) is the boilerplate guard: every join bucket
+    holds <= 10 rows, so pair fan-out per fingerprint is <= 45 regardless
+    of corpus size — the same O(df^2) bound the banded-LSH operators
+    enforce. Winnowing itself keeps ~1/window of all shingle hashes, so
+    the index is a fraction of the shingle table's size at 100 TB.
+    """
+    # size(tk) >= 6 <=> at least 4 shingles <=> at least one 4-window
+    # (also keeps both sequence() calls ascending — Spark's sequence(a, b)
+    # runs DESCENDING when b < a, it does not return empty).
+    d = with_tokens(load_table(spark, sf_dir, "documents")).where(F.size("tk") >= 6)
+    fps = (
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> md5(concat_ws(' ', slice(tk, i, 3))))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(hs) - 3),"
+                        " i -> array_min(slice(hs, i, 4)))"
+                    )
+                )
+            ).alias("fp"),
+        )
+        .persist()
+    )
+    dftab = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where((F.col("n_docs") >= 2) & (F.col("n_docs") <= 10))
+        .select("fp")
+    )
+    keep = fps.join(dftab, "fp")
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )

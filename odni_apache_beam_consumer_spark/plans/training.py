@@ -479,3 +479,107 @@ def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot, 6).alias("margin"),
         (dot > F.lit(_CLS_THRESHOLD)).alias("accept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native map (mapInArrow): embedding L2 normalization
+
+
+@query(
+    "arrow_normalize_embeddings",
+    oracle="""
+WITH e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, dv,
+         GREATEST(sqrt(list_reduce(list_transform(dv, x -> x * x),
+                                   (a, b) -> a + b)), 1e-12) AS nrm
+  FROM e2
+),
+q AS (
+  SELECT vec_id, dv, nrm,
+         list_transform(dv, x -> CAST(floor(x / nrm * 1000000.0 + 0.5)
+                                      AS BIGINT)) AS qv
+  FROM n
+)
+SELECT vec_id,
+       CAST(len(dv) AS INT) AS n_dims,
+       floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS norm,
+       md5(array_to_string(qv, ',')) AS q_hash,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q
+""",
+)
+def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column with ``mapInArrow`` — the
+    Arrow-native UDF surface (pyspark 4): the Python worker receives raw
+    ``pyarrow.RecordBatch``es, no pandas conversion at all, which is the
+    lowest-overhead path when the payload is already columnar numerics.
+    Complements ``pandas_udf_token_stats`` (grouped pandas) and
+    ``multimodal_decode_features`` (mapInPandas) to cover all three
+    Python-UDF transports from SURVEY.md §2.2.
+
+    Determinism across engines (same discipline as ``embedding_quantize``):
+    float->double casts are exact; the squared-norm is accumulated
+    column-by-column (a left fold, vectorized across the rows of the
+    batch), matching DuckDB's sequential ``list_reduce``; both sides then
+    evaluate the identical IEEE expression `floor(x / nrm * 1e6 + 0.5)`,
+    so the quantized normalized vectors are bit-identical and md5-able.
+
+    Scale shape: map-only — zero shuffles; Arrow batches stream through
+    the Python worker at arrow.maxRecordsPerBatch granularity, one worker
+    per core. The decode body is a self-contained closure (cloudpickle
+    ships it by value; executors need no package on sys.path)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out_schema = (
+        "vec_id BIGINT, n_dims INT, norm DOUBLE, q_hash STRING, q_l1 BIGINT"
+    )
+
+    def _normalize(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            # ListArray -> (n_rows, dim) float64 matrix. Offsets are
+            # uniform (fixed-dim vectors) — assert rather than assume.
+            lens = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            if len(lens) == 0:
+                continue
+            dim = int(lens[0])
+            assert (lens == dim).all(), "ragged embedding column"
+            m = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+            )
+            # Sequential left fold over dimensions (vectorized over rows):
+            # ((x0^2 + x1^2) + x2^2) + ... — same order as the oracle's
+            # list_reduce, so the doubles are bit-identical.
+            acc = np.zeros(len(m), dtype=np.float64)
+            for j in range(dim):
+                acc = acc + m[:, j] * m[:, j]
+            nrm = np.maximum(np.sqrt(acc), 1e-12)
+            qv = np.floor(m / nrm[:, None] * 1e6 + 0.5).astype(np.int64)
+            norm6 = np.floor(nrm * 1e6 + 0.5) / 1e6
+            q_hash = [
+                hashlib.md5(",".join(map(str, row)).encode()).hexdigest()
+                for row in qv
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(vec_ids.astype(np.int64), pa.int64()),
+                    "n_dims": pa.array([dim] * len(m), pa.int32()),
+                    "norm": pa.array(norm6, pa.float64()),
+                    "q_hash": pa.array(q_hash, pa.string()),
+                    "q_l1": pa.array(np.abs(qv).sum(axis=1), pa.int64()),
+                }
+            )
+
+    return e.mapInArrow(_normalize, out_schema)
