@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryFn]:
         ml,
         relational,
         tpch,
+        tpch2,
         training,
         windows,
     )

@@ -325,3 +325,62 @@ def test_dq_fk_check_broadcast_anti(spark, sf_dir):
     fact rows against the key side, never a shuffled join."""
     plan = formatted_plan(spark, "dq_expectations", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion pack (plans/tpch2.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q12_ship_priority_buckets",
+        "q14_promo_effect",
+        "q19_disjunctive_revenue",
+        "q20_promo_part_suppliers",
+    ],
+)
+def test_tpch2_shapes_broadcast_no_cartesian(spark, sf_dir, name):
+    """The completion-pack queries keep the same star discipline as the
+    first TPC-H batch: dimension chains broadcast, never cartesian."""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q4_semi_join_not_distinct(spark, sf_dir):
+    """EXISTS must plan as a semi join (each order emitted at most once
+    join-side), not an inner join + Distinct — the distinct would add a
+    full extra exchange on the fact output at scale."""
+    plan = formatted_plan(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan, plan
+
+
+def test_q13_preserves_outer_join(spark, sf_dir):
+    """Q13's ON-clause filter must NOT collapse the outer join to inner:
+    zero-order customers are the histogram's 0-bucket."""
+    plan = formatted_plan(spark, "q13_customer_distribution", sf_dir)
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_q19_pushes_common_filters_to_part_scan(spark, sf_dir):
+    """Catalyst must extract the brand IN (...) common factor from the
+    3-branch disjunction and push it into the part scan so the broadcast
+    side ships pruned."""
+    plan = formatted_plan(spark, "q19_disjunctive_revenue", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*p_brand[^\]]*)\]", plan)
+    assert m, plan
+
+
+def test_q11_reuses_persisted_aggregate(spark, sf_dir):
+    """The per-part value aggregate feeds both the threshold scalar and
+    the output filter — it must be computed once (InMemoryTableScan on
+    both consumers), not twice."""
+    plan = formatted_plan(spark, "q11_important_stock", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2, plan
