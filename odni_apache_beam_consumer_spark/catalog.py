@@ -87,3 +87,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Small-split guard for CPU-heavy per-row stages (tokenize, shingle,
+    hash): repartition ONLY when the scan produced fewer splits than the
+    cluster has slots.
+
+    Parquet parallelism is bounded by row groups — a single-row-group file
+    (exactly what the small test fixtures are) scans as ONE task, so an
+    expensive map stage runs on one core no matter how many are idle.  At
+    100 TB inputs have thousands of row groups and this is a no-op (the
+    partition count check fails, no shuffle is added); on under-split
+    inputs the one extra round-trip of the raw rows buys full-width
+    parallelism for the dominant compute stage.  Standard Spark practice:
+    repartition before expensive narrow work only when splits < slots."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

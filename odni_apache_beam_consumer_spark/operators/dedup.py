@@ -37,6 +37,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from odni_apache_beam_consumer_spark.catalog import spread
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens, word_shingles
 
 _HEX = "0123456789abcdef"
@@ -62,8 +63,13 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingle_table(
     df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct n-word shingles per document."""
-    tk = with_tokens(df, text_col=text_col, out="tk").where(F.size("tk") >= n)
+    """(id, shingle) pairs — distinct n-word shingles per document.
+
+    ``spread`` first: tokenize+shingle is the CPU-dominant stage of every
+    text-dedup pipeline, and an under-split input (single-row-group file)
+    would otherwise run it on one core (catalog.spread is a no-op on
+    well-split inputs)."""
+    tk = with_tokens(spread(df), text_col=text_col, out="tk").where(F.size("tk") >= n)
     return tk.select(F.col(id_col), F.explode(word_shingles("tk", n)).alias("shingle"))
 
 
@@ -203,7 +209,7 @@ def simhash_signatures(
     """
     assert bits == 64, "packing is laid out for 64-bit signatures"
     lut = ", ".join(f"CAST({v} AS BIGINT)" for v in _PACK_LUT)
-    tk = with_tokens(df, text_col=text_col, out="tk")
+    tk = with_tokens(spread(df), text_col=text_col, out="tk")
     tok = tk.select(F.col(id_col), F.explode("tk").alias("tok")).withColumn(
         "th", F.md5(F.col("tok"))
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.catalog import load_table, spread
 from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
@@ -301,7 +301,9 @@ def common_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies are small by definition — cap or spill to a shuffle
     join if a corpus exceeds the broadcast threshold). Docs shorter than
     5 tokens have no 5-grams and are excluded on both sides."""
-    d = with_tokens(load_table(spark, sf_dir, "documents")).where(F.size("tk") >= 5)
+    d = with_tokens(spread(load_table(spark, sf_dir, "documents"))).where(
+        F.size("tk") >= 5
+    )
     tk = F.col("tk")
     grams = F.array_distinct(
         F.transform(
@@ -393,7 +395,9 @@ def duplicate_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(tk) >= 6 <=> at least 4 shingles <=> at least one 4-window
     # (also keeps both sequence() calls ascending — Spark's sequence(a, b)
     # runs DESCENDING when b < a, it does not return empty).
-    d = with_tokens(load_table(spark, sf_dir, "documents")).where(F.size("tk") >= 6)
+    d = with_tokens(spread(load_table(spark, sf_dir, "documents"))).where(
+        F.size("tk") >= 6
+    )
     fps = (
         d.select(
             "doc_id",

@@ -681,3 +681,81 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pq", 6).alias("p50_qty"),
         )
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS a_start,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           + 60 * CAST(FLOOR(LEAST(GREATEST(value, 1.0), 120.0)) AS BIGINT) AS a_end
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT event_id AS b_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS b_start,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           + 60 * CAST(FLOOR(LEAST(GREATEST(value, 1.0), 120.0)) AS BIGINT) AS b_end
+  FROM events WHERE event_type = 'click'
+)
+SELECT a_id, b_id FROM a, b
+WHERE a_start <= b_end AND b_start <= a_end
+""",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi-key (the genomics/session-overlap
+    shape): every (purchase, click) pair whose activity intervals
+    [ts, ts + min(max(value,1),120) minutes] intersect.
+
+    A naive plan is a BroadcastNestedLoopJoin over the full cross product
+    — quadratic, cluster-killing.  The scale shape is BINNED BLOCKING:
+    quantize time into fixed bins sized ≥ the max interval length (4 h
+    here, ≥ the 120-min duration cap), explode each interval to the ≤2
+    bins it touches, equi-join on the bin (hash-partitioned, bounded
+    buckets), then apply the exact overlap predicate and dedupe pairs
+    that shared two bins.  Cost is O(pairs-per-bin), not O(n²); bin width
+    trades fan-out (rows shipped) against bucket size (join work).  With
+    a natural second key (user, chromosome, tenant) the bin compounds
+    with it — same plan, smaller buckets.  The duration cap is the same
+    hot-bucket guard the LSH operators use (operators/dedup.py).
+
+    The DuckDB oracle runs the exact quadratic form (its IEJoin handles
+    it at test scale), proving the blocked plan loses no pairs."""
+    e = load_table(spark, sf_dir, "events")
+    bin_sz = 14400  # 4 h ≥ the 120-min duration cap → ≤ 2 bins/interval
+
+    def intervals(typ: str, p: str) -> DataFrame:
+        dur_min = F.least(F.greatest(F.col("value"), F.lit(1.0)), F.lit(120.0)).cast(
+            "long"
+        )
+        start = F.unix_timestamp("ts")
+        return e.where(F.col("event_type") == typ).select(
+            F.col("event_id").alias(f"{p}_id"),
+            start.alias(f"{p}_start"),
+            (start + 60 * dur_min).alias(f"{p}_end"),
+        )
+
+    def binned(df: DataFrame, p: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}_start") / bin_sz),
+                    F.floor(F.col(f"{p}_end") / bin_sz),
+                )
+            ),
+        )
+
+    a = binned(intervals("purchase", "a"), "a")
+    b = binned(intervals("click", "b"), "b")
+    return (
+        a.join(
+            b,
+            (a["bin"] == b["bin"])
+            & (a["a_start"] <= b["b_end"])
+            & (b["b_start"] <= a["a_end"]),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )

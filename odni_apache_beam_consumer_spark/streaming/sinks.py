@@ -17,6 +17,8 @@ the reference's bounded ``max_num_records=3`` read (main.py:106).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -72,3 +74,42 @@ def foreach_batch(
     if checkpoint_location:
         w = w.option("checkpointLocation", checkpoint_location)
     return _trigger(w, available_now).start()
+
+
+def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once parquet appends from an at-least-once foreachBatch.
+
+    Structured Streaming guarantees each micro-batch an id that is stable
+    across recovery, but foreachBatch itself is at-least-once: after a
+    crash the last batch can be re-delivered.  The classic fix (this
+    helper) makes delivery idempotent on ``batch_id``:
+
+      * each batch writes to its own ``batch_id=<n>`` subdirectory with
+        mode("overwrite") — a re-run of a half-written batch replaces it
+        bit-for-bit instead of appending duplicates;
+      * a zero-byte ``_committed_<n>`` marker is written only AFTER the
+        parquet commit; a re-delivered batch that finds its marker
+        returns without touching storage.
+
+    Readers just ``spark.read.parquet(path)`` — the ``batch_id=`` naming
+    doubles as a partition column and underscore-prefixed markers are
+    invisible to Spark's file index.
+
+    The marker lives on the same filesystem as the output; on a real
+    cluster ``path`` is a shared store (object store / DFS) so the marker
+    is visible to the recovered driver too.  For stores without atomic
+    visibility use a transactional table format (Delta/Iceberg txn log
+    keyed on batchId) — this helper is the format-free version of exactly
+    that commit protocol."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(path, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return
+        batch.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+        with open(marker, "w"):
+            pass
+
+    return fn

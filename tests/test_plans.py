@@ -384,3 +384,12 @@ def test_q11_reuses_persisted_aggregate(spark, sf_dir):
     both consumers), not twice."""
     plan = formatted_plan(spark, "q11_important_stock", sf_dir)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_interval_overlap_join_is_binned_equi_join(spark, sf_dir):
+    """The no-equi-key interval join must run as a hash equi-join on the
+    time bin — never the quadratic BroadcastNestedLoopJoin a naive
+    overlap predicate plans to."""
+    plan = formatted_plan(spark, "interval_overlap_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
