@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table, spread
 from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
-from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
+from odni_apache_beam_consumer_spark.operators.text_ops import STOPWORDS, with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
 
 _SEM_TAU = 0.25  # synthetic embeddings are near-orthogonal; ~p99 of pair cosine
@@ -435,4 +435,77 @@ def duplicate_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-threshold sweep (curation dial calibration)
+
+
+_SWEEP_THRESHOLDS = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         ROUND(0.5 * (len(list_distinct(tk)) / len(tk))
+               + 0.3 * (len(list_filter(tk, x -> list_contains({STOPWORDS!r}, x))) / len(tk))
+               + 0.2 * LEAST(len(tk) / 100.0, 1.0), 6) AS q
+  FROM t
+)
+SELECT thr, CAST(COUNT(*) FILTER (WHERE q >= thr) AS BIGINT) AS n_kept,
+       ROUND(COALESCE(SUM(n_tokens) FILTER (WHERE q >= thr), 0)
+             / GREATEST(COUNT(*) FILTER (WHERE q >= thr), 1), 4) AS mean_tokens_kept
+FROM s, UNNEST({_SWEEP_THRESHOLDS!r}::DOUBLE[]) AS u(thr)
+GROUP BY thr
+""",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-dial calibration: for each candidate quality cutoff, how
+    many documents survive and how long they are — the sweep behind
+    picking a corpus filter threshold.
+
+    Scale shape: ONE scan and ONE constant-width aggregate.  All nine
+    thresholds are conditional sums inside a single map-side-combined
+    agg (the exchange carries one 18-column row per partition), then the
+    wide row unpivots to (threshold, ...) rows via ``stack`` —
+    driver-free, and 9× cheaper than the explode-then-group form whose
+    shuffle carries every (doc, threshold) pair."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    tk = F.col("tk")
+    nt = F.size(tk)
+    q = F.round(
+        0.5 * (F.size(F.array_distinct(tk)) / nt)
+        + 0.3
+        * (F.size(F.filter(tk, lambda x: F.array_contains(F.lit(STOPWORDS), x))) / nt)
+        + 0.2 * F.least(nt / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    s = d.select(nt.alias("n_tokens"), q.alias("q"))
+    aggs = []
+    for i, thr in enumerate(_SWEEP_THRESHOLDS):
+        keep = F.col("q") >= thr
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).cast("long").alias(f"t{i}")
+        )
+    wide = s.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({thr} AS DOUBLE), n{i}, t{i}" for i, thr in enumerate(_SWEEP_THRESHOLDS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_SWEEP_THRESHOLDS)}, {stack_args}) AS (thr, n_kept, _tok)"
+        )
+    ).select(
+        "thr",
+        "n_kept",
+        F.round(F.col("_tok") / F.greatest(F.col("n_kept"), F.lit(1)), 4).alias(
+            "mean_tokens_kept"
+        ),
     )

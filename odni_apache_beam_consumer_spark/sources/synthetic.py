@@ -40,7 +40,12 @@ def _row(i: int) -> tuple:
 
 
 try:  # DataSource API requires pyspark >= 4
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     HAVE_DATASOURCE_API = True
 
@@ -65,8 +70,44 @@ try:  # DataSource API requires pyspark >= 4
             for i in range(partition.start, partition.end):
                 yield _row(i)
 
+    class SyntheticEventsSimpleStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the generator: the unbounded-table dual of the
+        batch reader, offset-tracked so Structured Streaming replays and
+        checkpoints it like any real source (this is the extension point a
+        user of the reference would implement for a non-Kafka feed —
+        /root/reference/main.py:85-108 hardwires Kafka).
+
+        Offsets are plain row counters (``{"i": n}``): ``read`` serves at
+        most ``rowsPerBatch`` rows per micro-batch and stops advancing at
+        ``maxRows``, so ``trigger(availableNow=True)`` drains it to a
+        bounded, deterministic result — the same bounded-ized-stream
+        semantics as the reference's ``max_num_records=3``
+        (/root/reference/main.py:106).  ``readBetweenOffsets`` regenerates
+        any committed range on replay — rows are a pure function of the
+        offset, so recovery is trivially exactly-once.  The simple-reader
+        API generates driver-side (no partition planning): the test-rig
+        path; high-volume feeds belong on JVM sources or the partitioned
+        batch reader."""
+
+        def __init__(self, options: dict):
+            self.rows_per_batch = int(options.get("rowsPerBatch", "100"))
+            self.max_rows = int(options.get("maxRows", "1000"))
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def read(self, start: dict):
+            i0 = int(start["i"])
+            i1 = min(i0 + self.rows_per_batch, self.max_rows)
+            return iter([_row(i) for i in range(i0, i1)]), {"i": i1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter([_row(i) for i in range(int(start["i"]), int(end["i"]))])
+
     class SyntheticEventsDataSource(DataSource):
-        """``spark.read.format("synthetic_events").option("rows", N)``"""
+        """``spark.read.format("synthetic_events").option("rows", N)`` /
+        ``spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", B).option("maxRows", N)``"""
 
         @classmethod
         def name(cls) -> str:
@@ -77,6 +118,9 @@ try:  # DataSource API requires pyspark >= 4
 
         def reader(self, schema) -> SyntheticEventsReader:
             return SyntheticEventsReader(self.options)
+
+        def simpleStreamReader(self, schema) -> SyntheticEventsSimpleStreamReader:
+            return SyntheticEventsSimpleStreamReader(self.options)
 
     def register(spark) -> None:
         spark.dataSource.register(SyntheticEventsDataSource)

@@ -54,3 +54,28 @@ def test_composes_with_engine_operators(registered):
     df = _load(registered, rows=1000)
     agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     assert sum(r["n"] for r in agg.collect()) == 1000
+
+
+def test_stream_reader_bounded_drain_exact_rows(registered, tmp_path):
+    """Streaming read of the synthetic source: availableNow drains exactly
+    maxRows rows in rowsPerBatch-sized micro-batches, values identical to
+    the pure offset function (exactly-once by construction)."""
+    stream = (
+        registered.readStream.format("synthetic_events")
+        .option("rowsPerBatch", "40")
+        .option("maxRows", "200")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in registered.table("synth_stream").collect())
+    assert got == sorted(S._row(i) for i in range(200))
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3  # really arrived as micro-batches, not one gulp
