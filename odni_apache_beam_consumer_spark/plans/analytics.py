@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.catalog import load_table, spread
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
 
@@ -243,7 +243,9 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the algorithm: never compare across blocks; skewed blocks fall back to
     AQE skew-split.  (For longer strings swap levenshtein for the n-gram
     Jaccard operator — edit distance is O(len²) per pair.)"""
-    c = load_table(spark, sf_dir, "customer").select(
+    # spread: the per-pair levenshtein is the dominant CPU stage — an
+    # under-split customer scan would run it on one core (no-op at scale).
+    c = spread(load_table(spark, sf_dir, "customer")).select(
         "c_custkey", "c_name", "c_nationkey"
     )
     s = load_table(spark, sf_dir, "supplier").select(

@@ -311,8 +311,12 @@ def common_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
         )
     )
-    base = d.select("doc_id", grams.alias("grams"))
-    dg = base.select("doc_id", F.explode("grams").alias("gram")).persist()
+    # Persist the gram ARRAYS (one row per doc), not the exploded pairs:
+    # the n-gram construction is the expensive stage and base feeds three
+    # consumers (the DF table, the coverage join, and the final n_grams
+    # projection) — re-exploding from the cache is cheap by comparison.
+    base = d.select("doc_id", grams.alias("grams")).persist()
+    dg = base.select("doc_id", F.explode("grams").alias("gram"))
     dftab = (
         dg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("ndocs"))

@@ -246,14 +246,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_resolve_components")
+@query(
+    "dedup_resolve_components",
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS hu(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh GROUP BY doc_id, h // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+resolved AS (SELECT id AS doc_id, MIN(lbl) AS keep FROM reach GROUP BY id)
+SELECT doc_id, keep FROM resolved
+UNION ALL
+SELECT doc_id, doc_id AS keep FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM resolved)
+""",
+)
 def dedup_resolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup RESOLUTION: MinHash/LSH candidate pairs ->
     connected components (iterative min-label propagation,
     operators/dedup.py::connected_components) -> one canonical doc per
-    cluster, singletons kept.  Iterative fixpoint loops are not
-    single-statement SQL — driver records the rows-only check; the
-    transitivity/canonicality properties are asserted in
+    cluster, singletons kept.
+
+    The oracle expresses the fixpoint as a DuckDB RECURSIVE CTE
+    (transitive closure then min reachable label) — exact at test scale,
+    while the Spark side's bounded-round label propagation is the
+    100 TB-shaped form; min-label == min-reachable-id makes the two
+    provably equal on converged graphs, so this query gets a full
+    value-hash check, not the rows-only fallback.  Transitivity/
+    canonicality properties are additionally asserted in
     tests/test_operators.py."""
     corpus = dedup_corpus(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(corpus, shingle_words=3, num_hashes=12, rows_per_band=3)
