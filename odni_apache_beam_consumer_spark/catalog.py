@@ -106,3 +106,16 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Expose the whole catalog to raw ``spark.sql``: every table becomes
+    a (session-scoped) temp view, schema-first via load_table.  This is
+    the SQL front door — any query in plans/ has an equivalent a user can
+    type as ANSI SQL against these views, same Catalyst plans either way.
+    Returns the registered view names."""
+    names = []
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+    return names

@@ -936,3 +936,106 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "vwap_hourly",
+    oracle="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+       ROUND(SUM(value * value) / SUM(value), 6) AS vwap,
+       CAST(COUNT(*) AS BIGINT) AS n_trades
+FROM events
+WHERE event_type = 'purchase' AND value > 0
+GROUP BY user_id, date_trunc('hour', ts)
+""",
+)
+def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (user, hour) — the canonical
+    time-series finance aggregate (value doubles as both price and size
+    in the synthetic schema, so vwap = Σv²/Σv).
+
+    Both weighted sums fold into ONE map-side-combined hash aggregate;
+    the exchange carries (user, hour, 2 partial sums, count) — algebraic,
+    so the shape is identical at 100 TB.  The hour bucket is emitted as a
+    formatted string (registry convention: never raw timestamps across
+    the oracle boundary)."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour_bucket"
+            ),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("value")) / F.sum("value"), 6
+            ).alias("vwap"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+    )
+
+
+@query(
+    "entity_resolution_pipeline",
+    oracle="""
+WITH RECURSIVE scored AS (
+  SELECT c_custkey, s_suppkey,
+         levenshtein(c_name, s_name) AS d
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+  WHERE levenshtein(c_name, s_name) <= 5
+),
+edges AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         's' || CAST(s_suppkey AS VARCHAR) AS dst
+  FROM scored
+  UNION
+  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+         'c' || CAST(c_custkey AS VARCHAR)
+  FROM scored
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS entity_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY id
+""",
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity resolution: blocking (nationkey) → pairwise edit-
+    distance scoring → threshold → connected components → cluster ids,
+    across two entity tables (customers, suppliers).
+
+    Each stage is the scale-shaped primitive the engine already ships:
+    the blocking equi-join bounds comparisons to same-block pairs
+    (operators/skew.py handles hot blocks), levenshtein runs JVM-side
+    post-join, and clustering is the iterative min-label propagation of
+    operators/dedup.py::connected_components over typed node ids
+    ('c<k>' / 's<k>' keeps the two keyspaces disjoint).  The oracle runs
+    the same pipeline with a recursive-CTE closure — exact equality, not
+    rows-only."""
+    c = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    dist = F.levenshtein("c_name", "s_name")
+    scored = (
+        c.join(F.broadcast(s), c["c_nationkey"] == s["s_nationkey"])
+        .where(dist <= 5)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("doc_a"),
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("doc_b"),
+        )
+    )
+    from odni_apache_beam_consumer_spark.operators.dedup import connected_components
+
+    return connected_components(scored).select(
+        F.col("doc_id").alias("entity_id"), F.col("component").alias("cluster_id")
+    )

@@ -393,3 +393,37 @@ def test_interval_overlap_join_is_binned_equi_join(spark, sf_dir):
     plan = formatted_plan(spark, "interval_overlap_join", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_front_door_matches_dataframe_plan(spark, sf_dir):
+    """register_views + raw spark.sql must produce the same results (and
+    the same broadcast star shape) as the DataFrame API — SQL is a front
+    door, not a second engine."""
+    from odni_apache_beam_consumer_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT n_name, ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
