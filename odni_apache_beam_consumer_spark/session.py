@@ -48,6 +48,18 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python workers must be able to import THIS package: anything pickled
+    # by reference (custom DataSource classes, module-level functions used
+    # in mapInPandas closures) is resolved by import on the executor side,
+    # which fails if the driver ran from a different cwd.  Exporting the
+    # repo root on PYTHONPATH before the JVM launches covers local mode;
+    # on a cluster ship the package via --py-files / pip install instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{py_path}" if py_path else repo_root
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

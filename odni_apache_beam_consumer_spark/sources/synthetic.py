@@ -79,10 +79,12 @@ try:  # DataSource API requires pyspark >= 4
 
         Offsets are plain row counters (``{"i": n}``): ``read`` serves at
         most ``rowsPerBatch`` rows per micro-batch and stops advancing at
-        ``maxRows``, so ``trigger(availableNow=True)`` drains it to a
-        bounded, deterministic result — the same bounded-ized-stream
-        semantics as the reference's ``max_num_records=3``
-        (/root/reference/main.py:106).  ``readBetweenOffsets`` regenerates
+        ``maxRows`` — a bounded-ized stream, the same semantics as the
+        reference's ``max_num_records=3`` (/root/reference/main.py:106).
+        Note ``availableNow`` drains only the one batch the simple-reader
+        API prefetches; a bounded drain runs a normal trigger until the
+        sink holds ``maxRows`` rows (see the test).  ``readBetweenOffsets``
+        regenerates
         any committed range on replay — rows are a pure function of the
         offset, so recovery is trivially exactly-once.  The simple-reader
         API generates driver-side (no partition planning): the test-rig

@@ -113,3 +113,27 @@ def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
             pass
 
     return fn
+
+
+def fan_out_sink(*sinks: Callable[[DataFrame, int], None]) -> Callable[[DataFrame, int], None]:
+    """Compose several per-batch writers into one foreachBatch function —
+    the one-source-many-destinations production pattern (raw archive +
+    aggregate store, say) without reading the source twice.
+
+    The batch DataFrame is persisted across the child writers so each
+    destination reads ONE materialization of the micro-batch instead of
+    recomputing the stream transformation per sink.  Consistency story:
+    each child writer is itself idempotent on batch_id (e.g.
+    idempotent_parquet_sink), so a crash between writers re-delivers the
+    batch and only the missing destinations act — eventual all-or-nothing
+    without a cross-store transaction."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for s in sinks:
+                s(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    return fn

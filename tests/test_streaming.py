@@ -397,3 +397,30 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == n_want  # nothing lost, nothing duplicated
     assert got.select("event_id").distinct().count() == n_want
     assert n_partial < n_want  # run 1 really did stop mid-stream
+
+
+def test_fan_out_sink_two_destinations_consistent(spark, sf_dir, tmp_path):
+    """One replayed stream fanned out to two idempotent parquet sinks:
+    both destinations must hold exactly the source rows."""
+    replay = R.write_replay_chunks(
+        spark, sf_dir, str(tmp_path / "chunks"), n_chunks=4
+    )
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(out_a, exist_ok=True)
+    os.makedirs(out_b, exist_ok=True)
+    fan = sinks.fan_out_sink(
+        sinks.idempotent_parquet_sink(out_a),
+        sinks.idempotent_parquet_sink(out_b),
+    )
+    q = sinks.foreach_batch(
+        R.read_stream(spark, replay),
+        fan,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    n_want = load_table(spark, sf_dir, "events").count()
+    for out in (out_a, out_b):
+        got = spark.read.parquet(out)
+        assert got.count() == n_want
+        assert got.select("event_id").distinct().count() == n_want

@@ -57,9 +57,13 @@ def test_composes_with_engine_operators(registered):
 
 
 def test_stream_reader_bounded_drain_exact_rows(registered, tmp_path):
-    """Streaming read of the synthetic source: availableNow drains exactly
-    maxRows rows in rowsPerBatch-sized micro-batches, values identical to
-    the pure offset function (exactly-once by construction)."""
+    """Streaming read of the synthetic source: micro-batches of
+    rowsPerBatch rows arrive until the source stops advancing at maxRows;
+    values are identical to the pure offset function (exactly-once by
+    construction).  availableNow only drains the simple reader's single
+    prefetched batch, so the drain loop polls a normal trigger."""
+    import time
+
     stream = (
         registered.readStream.format("synthetic_events")
         .option("rowsPerBatch", "40")
@@ -71,10 +75,15 @@ def test_stream_reader_bounded_drain_exact_rows(registered, tmp_path):
         .queryName("synth_stream")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if registered.table("synth_stream").count() >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
     got = sorted(tuple(r) for r in registered.table("synth_stream").collect())
     assert got == sorted(S._row(i) for i in range(200))
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
