@@ -1039,3 +1039,112 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(scored).select(
         F.col("doc_id").alias("entity_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active — the standard product-analytics
+    triangle.
+
+    Scale shape: the first-seen aggregate and the activity join both key
+    on user_id, so Catalyst reuses ONE user_id exchange for the agg and
+    the join probe (no second shuffle of the events table); the DISTINCT
+    collapses (user, week) duplicates map-side before the final
+    constant-width count.  week_offset uses ISO week truncation in both
+    engines; the cohort week crosses the oracle boundary as a formatted
+    date string."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS cur, next_type AS nxt FROM ordered
+  WHERE next_type IS NOT NULL
+)
+SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY cur), 6) AS p
+FROM pairs GROUP BY cur, nxt
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the behavioral-model building block
+    (and the quality signal behind bot detection: near-deterministic
+    rows are automation).
+
+    Scale shape: ONE shuffle on user_id for the LEAD window, then the
+    (cur, nxt) count is a 25-row aggregate; the row-normalizing window
+    runs over that tiny aggregate, not the events table.  Ties in ts are
+    broken by event_id so the sequence — and therefore the matrix — is
+    deterministic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = W.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wr), 6).alias("p"),
+    )
