@@ -71,13 +71,25 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     """Kill a checkpointed query after the first micro-batch; restart; the
     drained parquet sink holds exactly the source rows — offsets resume
     from the checkpoint WAL, nothing duplicated, nothing lost."""
-    replay_dir = R.write_replay_chunks(
-        spark, sf_dir, str(tmp_path / "chunks"), n_chunks=5
+    staged = R.write_replay_chunks(
+        spark, sf_dir, str(tmp_path / "staged"), n_chunks=5
     )
+    # Stage the stream dir in two phases so run 1 CANNOT see past chunk 1
+    # (stopping a live query mid-drain is a race on a loaded machine: the
+    # first recentProgress may appear only after every batch committed).
+    # File paths stay identical across phases — the source's processed-file
+    # log in the checkpoint must match on restart.
+    import shutil
+
+    replay_dir = str(tmp_path / "chunks")
+    os.makedirs(replay_dir, exist_ok=True)
+    chunk_files = sorted(os.listdir(staged))
+    for f in chunk_files[:2]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(replay_dir, f))
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
 
-    def start(once: bool):
+    def start():
         stream = R.read_stream(spark, replay_dir).where(F.col("event_id") >= 0)
         w = (
             stream.writeStream.format("parquet")
@@ -87,14 +99,15 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         )
         return w.trigger(availableNow=True).start()
 
-    # First run: stop after the first committed batch (simulated failure).
-    q1 = start(once=True)
-    while not q1.recentProgress:
-        q1.awaitTermination(1)
-    q1.stop()
+    # First run: drains only the staged prefix, then "fails" (exits).
+    q1 = start()
+    q1.awaitTermination(300)
     n_partial = spark.read.parquet(out).count()
-    # Second run: drain the rest from the checkpoint.
-    q2 = start(once=False)
+    # Second run: the rest of the chunks have arrived; resume from the
+    # checkpoint and drain them.
+    for f in chunk_files[2:]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(replay_dir, f))
+    q2 = start()
     q2.awaitTermination(300)
     got = spark.read.parquet(out)
     want = load_table(spark, sf_dir, "events")

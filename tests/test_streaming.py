@@ -424,3 +424,34 @@ def test_fan_out_sink_two_destinations_consistent(spark, sf_dir, tmp_path):
         got = spark.read.parquet(out)
         assert got.count() == n_want
         assert got.select("event_id").distinct().count() == n_want
+
+
+def test_update_mode_converges_to_batch_counts(spark, sf_dir, tmp_path):
+    """Update output mode: every micro-batch emits the CURRENT value of
+    each changed aggregate (no watermark-close needed).  The latest
+    emission per key in the memory sink must equal the batch dual —
+    update mode's convergence contract, and the mode the reference's
+    print-sink demo maps to for live dashboards."""
+    replay = R.write_replay_chunks(
+        spark, sf_dir, str(tmp_path / "chunks"), n_chunks=5
+    )
+    stream = R.read_stream(spark, replay)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    q = sinks.to_memory(counts, "t_update", output_mode="update", available_now=True)
+    q.awaitTermination(300)
+    # Memory sink in update mode appends each emission; keep the LAST row
+    # per key (emission order = micro-batch order).
+    hist = spark.table("t_update").toPandas()
+    latest = {}
+    for _, r in hist.iterrows():
+        latest[r["event_type"]] = (int(r["n"]), round(float(r["total"]), 6))
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (int(r["n"]), round(float(r["total"]), 6))
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert latest == want
