@@ -1148,3 +1148,51 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wr), 6).alias("p"),
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT DISTINCT user_id, d + CAST(u.off AS INTEGER) AS window_day
+  FROM ud, UNNEST(range(0, 7)) AS u(off)
+),
+days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS window_day FROM events)
+SELECT strftime(c.window_day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+FROM contrib c JOIN days USING (window_day)
+GROUP BY c.window_day
+""",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the DAU/WAU engagement metric.
+
+    A distinct count over a sliding RANGE window isn't supported by any
+    engine's window path; the scale shape is CONTRIBUTION EXPLODE: each
+    (user, active-day) pair contributes to the 7 window-days it falls in
+    (map-side ×7 fan-out of an already-deduped pair table), then ONE
+    distinct-count aggregate keyed on window-day.  Cost is 7× the
+    distinct pair table — linear, shuffle keyed on the day (bounded
+    cardinality), versus the quadratic per-day self-joins of the naive
+    form.  Days with no events are excluded (join against observed days)
+    so both engines agree on the domain."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("off")).alias("window_day")).distinct()
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("window_day")
+    ).distinct()
+    return (
+        contrib.join(days, "window_day")
+        .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
+    )
