@@ -455,3 +455,47 @@ def test_update_mode_converges_to_batch_counts(spark, sf_dir, tmp_path):
         .collect()
     }
     assert latest == want
+
+
+def test_materialized_view_equals_batch_aggregate(spark, sf_dir, tmp_path):
+    """Incremental materialized view: per-micro-batch delta merges must
+    converge to exactly the batch aggregate (algebraic merge is
+    batch-boundary independent), and re-delivering a committed batch must
+    not change the snapshot."""
+    from odni_apache_beam_consumer_spark.streaming import materialized as M
+
+    replay = R.write_replay_chunks(
+        spark, sf_dir, str(tmp_path / "chunks"), n_chunks=5
+    )
+    store = str(tmp_path / "store")
+    os.makedirs(store, exist_ok=True)
+    merger = M.user_totals_merger(store)
+    q = sinks.foreach_batch(
+        R.read_stream(spark, replay),
+        merger,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = M.read_view(spark, store)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    def key(df):
+        return {
+            int(r["user_id"]): (round(float(r["total"]), 6), int(r["n_events"]))
+            for r in df.collect()
+        }
+    assert key(got) == key(want)
+
+    # Idempotence: re-deliver an already-committed batch id.
+    before = M.latest_snapshot_path(store)
+    merger(load_table(spark, sf_dir, "events").limit(7), 0)
+    assert M.latest_snapshot_path(store) == before
+    assert key(M.read_view(spark, store)) == key(want)
