@@ -81,11 +81,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register all tables as temp views (for spark.sql-based operators)."""
-    tables = load_tables(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> dict[str, DataFrame]:
+    """Expose the whole catalog to raw ``spark.sql``: every table becomes a
+    (session-scoped) temp view, schema-first via load_table.  This is the
+    SQL front door — any query in plans/ has an equivalent a user can type
+    as ANSI SQL against these views, same Catalyst plans either way.
+    Returns the registered DataFrames keyed by (prefixed) view name."""
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(prefix + name)
+        tables[prefix + name] = df
     return tables
 
 
@@ -106,16 +114,3 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
-
-
-def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
-    """Expose the whole catalog to raw ``spark.sql``: every table becomes
-    a (session-scoped) temp view, schema-first via load_table.  This is
-    the SQL front door — any query in plans/ has an equivalent a user can
-    type as ANSI SQL against these views, same Catalyst plans either way.
-    Returns the registered view names."""
-    names = []
-    for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
-        names.append(prefix + name)
-    return names

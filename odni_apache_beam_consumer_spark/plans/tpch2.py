@@ -189,9 +189,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose stock value (lineitem-derived) from
     one nation's suppliers exceeds a fraction of the total.  The scalar
     subquery decorrelates to a 1-row aggregate broadcast-crossed into
-    the filter; the per-part aggregate is computed ONCE and persisted
-    (it feeds both the threshold and the output), so the plan is one
-    fact exchange + one constant-size reduction — no re-scan."""
+    the filter.  The per-part aggregate subtree appears in BOTH branches
+    (threshold and output) as the identical canonicalized plan, so
+    physical planning reuses its shuffle exchange (ReusedExchange —
+    computed once, read twice) with no persist() and therefore no cached
+    DataFrame leaking into the shared session across the 126-query
+    sweeps.  Same pattern as analytics.top_revenue_supplier."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -206,7 +209,6 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_value"
             )
         )
-        .persist()
     )
     threshold = pv.agg((F.sum("part_value") * 0.001).alias("_thr"))
     return pv.join(F.broadcast(threshold)).where(

@@ -54,11 +54,19 @@ def get_spark(
     # which fails if the driver ran from a different cwd.  Exporting the
     # repo root on PYTHONPATH before the JVM launches covers local mode;
     # on a cluster ship the package via --py-files / pip install instead.
+    # The export only matters while the JVM is being launched (workers
+    # inherit the JVM's env, captured at launch): with getOrCreate reuse
+    # of an existing session it can do nothing, so we set it only when no
+    # SparkContext exists yet and restore os.environ right after launch
+    # rather than mutating it process-wide.
+    from pyspark import SparkContext
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    py_path = os.environ.get("PYTHONPATH", "")
-    if repo_root not in py_path.split(os.pathsep):
+    prev_py_path = os.environ.get("PYTHONPATH")
+    creating = SparkContext._active_spark_context is None
+    if creating and repo_root not in (prev_py_path or "").split(os.pathsep):
         os.environ["PYTHONPATH"] = (
-            f"{repo_root}{os.pathsep}{py_path}" if py_path else repo_root
+            f"{repo_root}{os.pathsep}{prev_py_path}" if prev_py_path else repo_root
         )
     builder = (
         SparkSession.builder.master(master)
@@ -82,6 +90,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    try:
+        spark = builder.getOrCreate()
+    finally:
+        if creating:
+            if prev_py_path is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prev_py_path
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -499,3 +499,17 @@ def test_materialized_view_equals_batch_aggregate(spark, sf_dir, tmp_path):
     merger(load_table(spark, sf_dir, "events").limit(7), 0)
     assert M.latest_snapshot_path(store) == before
     assert key(M.read_view(spark, store)) == key(want)
+
+    # Crash window between pointer flip and marker write: simulate by
+    # deleting the newest batch's marker (as if the process died right
+    # after os.replace) and re-delivering that batch.  The pointer IS the
+    # commit record, so the merger must NOT re-merge (that would read
+    # snapshot_<id> as prev and double-count) — it only repairs the
+    # marker and the view is unchanged.
+    last_id = M.latest_version(store)
+    marker = os.path.join(store, f"_committed_{last_id}")
+    os.remove(marker)
+    merger(load_table(spark, sf_dir, "events").limit(7), last_id)
+    assert os.path.exists(marker), "marker must be repaired"
+    assert M.latest_version(store) == last_id
+    assert key(M.read_view(spark, store)) == key(want)
