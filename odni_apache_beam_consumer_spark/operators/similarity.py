@@ -4,12 +4,15 @@
   (top-k query sets are small by construction); the corpus is scanned once,
   partition-parallel, and per-query top-k is taken with a window — no
   global sort.
-* Sign-LSH (random-hyperplane-style) bucketing: the scale path. Vectors
-  are bucketed by the sign pattern of their leading components (a
-  deterministic stand-in for sampled hyperplanes — swap in stored random
-  projections for production recall); candidate generation is then an
-  equi-join on the bucket key, turning the O(Q x N) cross product into
-  O(sum over buckets), the same shape as a partitioned ANN index.
+* Stored-random-projection LSH bucketing: the scale path. Vectors are
+  bucketed by the sign pattern of dot products against seeded Gaussian
+  hyperplanes (literal-embedded so the DuckDB oracle reproduces buckets
+  bit-for-bit); candidate generation is then an equi-join on the bucket
+  key — optionally widened by Hamming-radius-1 multi-probe — turning the
+  O(Q x N) / O(N^2) cross product into O(sum over buckets), the same
+  shape as a partitioned ANN index.  Every plane mixes all components,
+  so recall holds on real (non-axis-aligned) embeddings, unlike
+  component-sign bucketing.
 
 All arithmetic uses higher-order array functions (zip_with + aggregate)
 over ``array<double>`` — JVM-side, no Python. The fold is left-to-right,
@@ -43,15 +46,6 @@ def with_self_dot(df: DataFrame, vec_col: str = "vec", out: str = "dd") -> DataF
 
 def cosine(dot_ab: Column, dd_a: Column, dd_b: Column) -> Column:
     return dot_ab / (F.sqrt(dd_a) * F.sqrt(dd_b))
-
-
-def sign_bucket(vec_col_name: str, nbits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign pattern of the first ``nbits``
-    components, as a '0'/'1' string (1-indexed, matching DuckDB lists)."""
-    return F.expr(
-        f"array_join(transform(sequence(1, {nbits}), "
-        f"i -> IF(element_at({vec_col_name}, i) >= CAST(0.0 AS DOUBLE), '1', '0')), '')"
-    )
 
 
 def random_hyperplanes(
@@ -107,12 +101,14 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_bits: int | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query vector (self excluded).
 
-    ``bucket_bits=None`` -> exact brute force (broadcast queries x corpus).
-    ``bucket_bits=n``    -> sign-LSH candidate join on the n-bit bucket.
+    ``planes=None``   -> exact brute force (broadcast queries x corpus).
+    ``planes=[[...]]`` -> stored-projection LSH candidate join on the
+    len(planes)-bit bucket (no multi-probe; use ``ann_topk`` for the
+    production approximate path with probing).
     Ranking is on cosine rounded to 6dp with id tiebreak (deterministic,
     oracle-reproducible).
     """
@@ -122,11 +118,11 @@ def cosine_topk(
     c = with_self_dot(with_vec(corpus, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv"), F.col("dd").alias("cdd")
     )
-    if bucket_bits is None:
+    if planes is None:
         joined = c.crossJoin(F.broadcast(q))
     else:
-        qb = q.withColumn("bucket", sign_bucket("qv", bucket_bits))
-        cb = c.withColumn("bucket", sign_bucket("cv", bucket_bits))
+        qb = q.withColumn("bucket", projection_bucket("qv", planes))
+        cb = c.withColumn("bucket", projection_bucket("cv", planes))
         joined = cb.join(F.broadcast(qb), "bucket")
     scored = (
         joined.where(F.col("neighbor_id") != F.col("query_id"))
@@ -273,16 +269,40 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    bucket_bits: int = 8,
+    planes: list[list[float]] | None = None,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate (a < b) pairs with cosine >= threshold, candidate-
-    limited to same sign-LSH bucket (the blocked/banded scale path)."""
-    v = with_self_dot(with_vec(df, vec_col)).withColumn("bucket", sign_bucket("vec", bucket_bits))
+    limited to stored-random-projection LSH buckets (the blocked/banded
+    scale path).
+
+    With ``multiprobe`` the LEFT side of the self-join explodes into its
+    home bucket plus every Hamming-1 neighbor while the right side stays
+    home-only, so a pair is matched iff their home buckets differ in at
+    most one bit — recovering near-duplicates that straddle exactly one
+    hyperplane (the dominant miss mode: a pair at cosine 0.9+ rarely
+    crosses two of the random planes).  Each qualifying pair arises via
+    exactly one probe (home buckets are unique, probe buckets distinct),
+    so no dedup pass is needed.  Scale: candidate volume is bounded by
+    the probed-bucket sizes, never O(N^2); raise len(planes) as N grows
+    to keep buckets bounded."""
+    planes = planes if planes is not None else random_hyperplanes()
+    nbits = len(planes)
+    v = with_self_dot(with_vec(df, vec_col)).withColumn(
+        "bucket", projection_bucket("vec", planes)
+    )
     a = v.select(
         F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("dd").alias("da"), "bucket"
     )
+    if multiprobe:
+        a = a.select(
+            "vec_a",
+            "va",
+            "da",
+            F.explode(multiprobe_buckets("bucket", nbits)).alias("bucket"),
+        )
     b = v.select(
         F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("dd").alias("db"), "bucket"
     )

@@ -55,6 +55,33 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(perturbed)
 
 
+# Stored random projections shared by the Spark plans and the DuckDB
+# oracles (same decimal literals -> identical doubles -> identical
+# buckets). Used by both the ANN top-k query and embedding near-dup.
+_ANN_PLANES = S.random_hyperplanes(nbits=8, dim=64, seed=42)
+_ANN_NBITS = len(_ANN_PLANES)
+
+
+def _duck_projection_bucket(planes: list[list[float]]) -> str:
+    parts = [
+        "CASE WHEN list_dot_product(vec, ["
+        + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _duck_probe_flip(nbits: int) -> str:
+    """DuckDB expr: bucket with bit p flipped (p=0 -> home bucket)."""
+    return (
+        "CASE WHEN p = 0 THEN bucket "
+        "ELSE substr(bucket, 1, p - 1) || "
+        "(CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, p + 1, {nbits} - p) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -223,26 +250,77 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS dd,
-         array_to_string(list_transform(range(1, 9),
-             i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-  FROM embeddings
+_EMB_DEDUP_THRESHOLD = 0.9
+
+# Deterministic near-dup injection for embeddings: the raw table is
+# uniform-random vectors (exact all-pairs max cosine < 0.7 at sf0.01), so
+# without positives the near-dup query is vacuously empty.  Every 10th
+# vector gets a copy (vec_id + 1000000) with component 1 shifted by +0.3
+# IN DOUBLE on both engines — cosine(original, copy) ≈ 0.999, a real
+# positive at every scale factor.  Same pattern as _CORPUS_CTE for text.
+_EMB_CORPUS_CTE = """
+v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+embcorpus AS (
+  SELECT vec_id, vec FROM v0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([vec[1] + CAST(0.3 AS DOUBLE)], vec[2:64]) AS vec
+  FROM v0 WHERE vec_id % 10 = 0
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)), 6) AS cosine
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.vec, b.vec) / (sqrt(a.dd) * sqrt(b.dd)), 6) >= 0.9
-""",
+"""
+
+
+def emb_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 10th vector (near-dup
+    positives; columns vec_id, embedding as array<double>)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "concat(array(element_at(embedding, 1) + CAST(0.3 AS DOUBLE)), "
+            "slice(embedding, 2, 63))"
+        ).alias("embedding"),
+    )
+    return e.unionByName(perturbed)
+
+
+def _emb_dedup_oracle() -> str:
+    return f"""
+WITH {_EMB_CORPUS_CTE.strip()},
+v AS (
+  SELECT vec_id, vec, list_dot_product(vec, vec) AS dd FROM embcorpus
+),
+b AS (SELECT vec_id, vec, dd, {_duck_projection_bucket(_ANN_PLANES)} AS bucket FROM v),
+probes AS (
+  SELECT vec_id, vec, dd, {_duck_probe_flip(_ANN_NBITS)} AS bucket
+  FROM b, UNNEST(range(0, {_ANN_NBITS + 1})) AS pu(p)
 )
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       ROUND(list_dot_product(a.vec, c.vec) / (sqrt(a.dd) * sqrt(c.dd)), 6) AS cosine
+FROM probes a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_dot_product(a.vec, c.vec) / (sqrt(a.dd) * sqrt(c.dd)), 6)
+      >= {_EMB_DEDUP_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_emb_dedup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH bucket candidates + cosine >= 0.9."""
+    """Embedding near-dup pairs: stored-random-projection LSH buckets
+    (8 seeded Gaussian hyperplanes, literal-embedded on both engines) with
+    Hamming-1 multi-probe candidates + cosine >= 0.9, over the positive-
+    injected corpus.  Replaces the old component-sign bucketing, whose
+    recall collapses on real embeddings (a near-dup pair straddling one
+    axis landed in different buckets and was silently missed) — and which
+    was only ever hash-"passing" vacuously, on zero rows.  Recall vs the
+    exact all-pairs operator is asserted in
+    tests/test_operators.py::test_embedding_near_dup_recall."""
     return S.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.9, bucket_bits=8
+        emb_dedup_corpus(spark, sf_dir),
+        threshold=_EMB_DEDUP_THRESHOLD,
+        planes=_ANN_PLANES,
+        multiprobe=True,
     )
 
 
@@ -496,22 +574,6 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 100 == 0)
     res = S.cosine_topk(q, emb, k=5)
     return res.withColumn("rank", F.col("rank").cast("int"))
-
-
-# Stored random projections shared by the Spark plan and the DuckDB oracle
-# (same decimal literals -> identical doubles -> identical buckets).
-_ANN_PLANES = S.random_hyperplanes(nbits=8, dim=64, seed=42)
-_ANN_NBITS = len(_ANN_PLANES)
-
-
-def _duck_projection_bucket(planes: list[list[float]]) -> str:
-    parts = [
-        "CASE WHEN list_dot_product(vec, ["
-        + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
-        + "]) >= 0 THEN '1' ELSE '0' END"
-        for plane in planes
-    ]
-    return "concat(" + ", ".join(parts) + ")"
 
 
 @query(

@@ -76,6 +76,44 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.1, f"ANN recall {recall:.2f} below floor"
 
 
+def test_embedding_near_dup_recall(spark, sf_dir):
+    """Bucketed near-dup pairs must recover most of the exact all-pairs
+    result on the positive-injected corpus (the old component-sign
+    bucketing scored ~0 here on real positives)."""
+    from odni_apache_beam_consumer_spark.plans.llm import _ANN_PLANES, emb_dedup_corpus
+
+    corpus = emb_dedup_corpus(spark, sf_dir)
+    v = S.with_self_dot(S.with_vec(corpus))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("dd").alias("da"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("dd").alias("db"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in (
+            a.crossJoin(b)
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cosine",
+                F.round(S.cosine(S.dot("va", "vb"), F.col("da"), F.col("db")), 6),
+            )
+            .where(F.col("cosine") >= 0.9)
+            .collect()
+        )
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_near_dup_pairs(
+            corpus, threshold=0.9, planes=_ANN_PLANES, multiprobe=True
+        ).collect()
+    }
+    assert exact, "no exact positives — injection broken"
+    assert approx <= exact, "bucketing must never invent pairs"
+    recall = len(approx) / len(exact)
+    # A +0.3 single-component shift flips each of the 8 plane signs with
+    # small probability; Hamming-1 multi-probe recovers all single-flip
+    # pairs, so only >=2-flip pairs are missed.  Measured ~0.9 at sf0.01.
+    assert recall >= 0.7, f"near-dup recall {recall:.2f} below floor"
+
+
 def test_multiprobe_bucket_shapes(spark):
     df = spark.createDataFrame([("10110010",)], "bucket STRING")
     probes = df.select(F.explode(S.multiprobe_buckets("bucket", 8)).alias("p")).collect()

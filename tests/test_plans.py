@@ -380,10 +380,18 @@ def test_q19_pushes_common_filters_to_part_scan(spark, sf_dir):
 
 def test_q11_reuses_persisted_aggregate(spark, sf_dir):
     """The per-part value aggregate feeds both the threshold scalar and
-    the output filter — it must be computed once (InMemoryTableScan on
-    both consumers), not twice."""
-    plan = formatted_plan(spark, "q11_important_stock", sf_dir)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    the output filter — it must be computed once.  No persist (which
+    leaked a cached DataFrame into the shared session): both branches are
+    the identical canonicalized subtree, so AQE reuses the shuffle
+    exchange.  Reuse materializes at runtime, so assert on the executed
+    plan, not the initial one.  Pinned to sf0.01: at sf0.001 the
+    NATION_7 supplier set is empty and AQE collapses the whole plan to
+    EmptyRelation — no exchanges left to reuse."""
+    df = all_queries()["q11_important_stock"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_interval_overlap_join_is_binned_equi_join(spark, sf_dir):
