@@ -1,0 +1,121 @@
+"""Convergence property tests for the full iterative drivers (pagerank,
+kmeans) and the degree-orientation invariants for triangle counting.
+
+The one-step bodies are driver-verified against DuckDB oracles; these
+tests cover what an oracle can't: fixed points, conservation laws, and
+the skew cap the orientation exists for.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.plans import ml
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u BIGINT, v BIGINT")
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # Symmetrized 4-cycle: perfectly regular graph -> uniform ranks 1/4.
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    e = _edges(spark, und + [(b, a) for a, b in und])
+    ranks = {r.node: r.rank for r in ml.pagerank(e, n_iters=30, tol=1e-9).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    for v in ranks.values():
+        assert math.isclose(v, 0.25, abs_tol=1e-6)
+
+
+def test_pagerank_mass_conserved_and_hub_ranked_first(spark):
+    # Star: every spoke points at the hub, hub points back at spoke 1.
+    e = _edges(spark, [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)])
+    rows = ml.pagerank(e, n_iters=40, tol=1e-10).collect()
+    total = sum(r.rank for r in rows)
+    assert math.isclose(total, 1.0, abs_tol=1e-6), total
+    ranks = {r.node: r.rank for r in rows}
+    assert ranks[1] == max(ranks.values())
+    assert ranks[2] > ranks[3]  # spoke 2 gets the hub's whole outflow
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    # Node 3 has no out-edges: its mass must be redistributed, not lost.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    rows = ml.pagerank(e, n_iters=50, tol=1e-10).collect()
+    total = sum(r.rank for r in rows)
+    assert math.isclose(total, 1.0, abs_tol=1e-6), total
+
+
+def test_pagerank_fixed_point(spark):
+    # Converged ranks must be (near-)invariant under one more iteration.
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    e = _edges(spark, und + [(b, a) for a, b in und])
+    r1 = {r.node: r.rank for r in ml.pagerank(e, n_iters=60, tol=None).collect()}
+    r2 = {r.node: r.rank for r in ml.pagerank(e, n_iters=61, tol=None).collect()}
+    for n in r1:
+        assert math.isclose(r1[n], r2[n], abs_tol=1e-8)
+
+
+def _vec_corpus(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        f"vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+
+
+def test_kmeans_converges_to_cluster_means(spark):
+    # Two well-separated 4-point clusters in 2-d (padded to dim=4); seeds
+    # vec_id 0 and 50 land one in each cluster -> exact cluster means.
+    cluster_a = [(0, [0.0, 0.1, 0, 0]), (1, [0.1, 0.0, 0, 0]),
+                 (2, [0.0, -0.1, 0, 0]), (3, [-0.1, 0.0, 0, 0])]
+    cluster_b = [(50, [10.0, 10.1, 0, 0]), (51, [10.1, 10.0, 0, 0]),
+                 (52, [10.0, 9.9, 0, 0]), (53, [9.9, 10.0, 0, 0])]
+    corpus = _vec_corpus(spark, cluster_a + cluster_b, 4)
+    out = ml.kmeans(corpus, n_iters=10, tol=1e-9, centroid_every=50, dim=4)
+    got = {r.cid: (r.cvec, r.n_members) for r in out.collect()}
+    assert set(got) == {0, 50}
+    assert got[0][1] == 4 and got[50][1] == 4
+    assert got[0][0][0] == 0.0 and got[0][0][1] == 0.0
+    assert got[50][0][0] == 10.0 and got[50][0][1] == 10.0
+
+
+def test_kmeans_partition_is_total(spark, sf_dir):
+    # Membership counts must sum to the corpus size (every vector
+    # assigned exactly once) on the real table.
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ml.kmeans(emb, n_iters=3, tol=None)
+    assert out.agg(F.sum("n_members")).first()[0] == emb.count()
+
+
+def test_orientation_caps_hub_outdegree(spark):
+    # Hub 1 touches all of 2..21 (degree 20); rim vertices have degree
+    # <= 3.  Id-orientation would give the hub out-degree 20; degree
+    # orientation must give it 0 (every neighbor has lower degree).
+    hub = [(1, i) for i in range(2, 22)]
+    rim = [(2, 3), (4, 5), (6, 7)]
+    e = _edges(spark, hub + rim)
+    oriented = ml.orient_by_degree(e)
+    out_deg = {r.src: r.cnt for r in
+               oriented.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert 1 not in out_deg, f"hub kept out-edges: {out_deg}"
+    assert sum(out_deg.values()) == len(hub) + len(rim)  # every edge kept once
+
+
+def test_orientation_preserves_triangle_total(spark, sf_dir):
+    # Degree orientation re-apexes triangles but must not change the
+    # total triangle count vs the id-oriented enumeration.
+    e = ml.copurchase_edges(spark, sf_dir).persist()
+    deg_oriented = ml.orient_by_degree(e)
+
+    def total(ed, a, b):
+        e1 = ed.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        e2 = ed.select(F.col(a).alias("y"), F.col(b).alias("z"))
+        e3 = ed.select(F.col(a).alias("x"), F.col(b).alias("z"))
+        return e1.join(e2, "y").join(e3, ["x", "z"]).count()
+
+    assert total(deg_oriented, "src", "dst") == total(e, "u", "v")
+    e.unpersist()
