@@ -54,12 +54,34 @@ def read_view(spark, store: str) -> DataFrame | None:
     return spark.read.parquet(path) if path else None
 
 
-def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function maintaining per-user (total, n_events).
+# Algebraic measure kinds: (delta aggregate over raw rows, merge
+# aggregate over partial states).  Each is associative + commutative, so
+# snapshot ⊎ delta is independent of batch boundaries.  AVG is derived:
+# maintain a sum and a count, divide at read time (the classic algebraic
+# decomposition — a stored avg itself is NOT mergeable).
+_MEASURE_KINDS = {
+    "sum": (lambda src, out: F.sum(src).alias(out), lambda out: F.sum(out).alias(out)),
+    "count": (
+        lambda src, out: F.count(F.lit(1)).cast("long").alias(out),
+        lambda out: F.sum(out).cast("long").alias(out),
+    ),
+    "min": (lambda src, out: F.min(src).alias(out), lambda out: F.min(out).alias(out)),
+    "max": (lambda src, out: F.max(src).alias(out), lambda out: F.max(out).alias(out)),
+}
 
-    Merge is algebraic: snapshot ⊎ delta under groupBy(user_id).sum —
-    associative and commutative, so the result is independent of batch
-    boundaries (the property the equivalence test asserts).
+
+def algebraic_merger(
+    store: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+) -> Callable[[DataFrame, int], None]:
+    """Generic foreachBatch function maintaining a grouped algebraic
+    aggregate as a materialized view.
+
+    ``measures`` maps output column -> (kind, source column) with kind in
+    {sum, count, min, max} (source ignored for count).  Any aggregate
+    decomposable into these states is maintainable — e.g. avg as
+    sum/count at read time.
 
     Exactly-once protocol: the POINTER FLIP is the commit.  Batch ids are
     monotonically increasing, so ``pointer >= batch_id`` proves this
@@ -68,7 +90,19 @@ def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
     flip and marker (re-merging there would read snapshot_<batch_id>
     itself as ``prev`` and double-count the delta, and the overwrite
     would target the very path being read).  The marker is purely an
-    optimization to skip the pointer read+parse on the common path."""
+    optimization to skip the pointer read+parse on the common path.
+
+    Scale shape: the delta aggregation is one map-side-combined hash agg
+    over the micro-batch; the merge is one hash agg over
+    |snapshot| + |delta| rows keyed on the view key.  At 100 TB the
+    snapshot is key-partitioned storage and the merge becomes an
+    incremental MERGE INTO on a table format; protocol unchanged."""
+    for out, (kind, _) in measures.items():
+        if kind not in _MEASURE_KINDS:
+            raise ValueError(
+                f"measure {out!r}: unknown kind {kind!r} "
+                f"(supported: {sorted(_MEASURE_KINDS)})"
+            )
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(store, f"_committed_{batch_id}")
@@ -83,9 +117,11 @@ def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
                 pass
             return
         spark = batch.sparkSession
-        delta = batch.groupBy("user_id").agg(
-            F.sum("value").alias("total"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
+        delta = batch.groupBy(*keys).agg(
+            *[
+                _MEASURE_KINDS[kind][0](src, out)
+                for out, (kind, src) in measures.items()
+            ]
         )
         # committed < batch_id here, so prev is a STRICTLY OLDER snapshot
         # than the one we are about to write — never a self-overwrite.
@@ -94,14 +130,16 @@ def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
             delta
             if prev is None
             else prev.unionByName(delta)
-            .groupBy("user_id")
+            .groupBy(*keys)
             .agg(
-                F.sum("total").alias("total"),
-                F.sum("n_events").cast("long").alias("n_events"),
+                *[
+                    _MEASURE_KINDS[kind][1](out)
+                    for out, (kind, _) in measures.items()
+                ]
             )
         )
-        out = os.path.join(store, f"snapshot_{batch_id}")
-        merged.write.mode("overwrite").parquet(out)
+        out_path = os.path.join(store, f"snapshot_{batch_id}")
+        merged.write.mode("overwrite").parquet(out_path)
         # Order: snapshot durable -> pointer flip (THE commit; atomic
         # rename) -> marker (fast path only).
         tmp = os.path.join(store, f"._latest_{batch_id}")
@@ -112,3 +150,14 @@ def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
             pass
 
     return fn
+
+
+def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
+    """Per-user (total, n_events) materialized view — the concrete
+    instance the equivalence + crash tests drive; now a two-measure
+    instantiation of :func:`algebraic_merger`."""
+    return algebraic_merger(
+        store,
+        keys=["user_id"],
+        measures={"total": ("sum", "value"), "n_events": ("count", None)},
+    )

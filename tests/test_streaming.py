@@ -513,3 +513,78 @@ def test_materialized_view_equals_batch_aggregate(spark, sf_dir, tmp_path):
     assert os.path.exists(marker), "marker must be repaired"
     assert M.latest_version(store) == last_id
     assert key(M.read_view(spark, store)) == key(want)
+
+
+def test_algebraic_merger_min_max_measures(spark, sf_dir, tmp_path):
+    """The generic merger must maintain min/max/sum/count states that
+    converge to the batch aggregate regardless of batch boundaries
+    (min/max are the non-additive algebraic states; avg derives as
+    sum/count at read time)."""
+    from odni_apache_beam_consumer_spark.streaming import materialized as M
+
+    replay = R.write_replay_chunks(
+        spark, sf_dir, str(tmp_path / "chunks"), n_chunks=4
+    )
+    store = str(tmp_path / "store")
+    os.makedirs(store, exist_ok=True)
+    merger = M.algebraic_merger(
+        store,
+        keys=["event_type"],
+        measures={
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+            "total": ("sum", "value"),
+            "n": ("count", None),
+        },
+    )
+    q = sinks.foreach_batch(
+        R.read_stream(spark, replay),
+        merger,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["event_type"]: (
+            round(float(r["lo"]), 6),
+            round(float(r["hi"]), 6),
+            round(float(r["total"]), 6),
+            int(r["n"]),
+        )
+        for r in M.read_view(spark, store).collect()
+    }
+    want = {
+        r["event_type"]: (
+            round(float(r["lo"]), 6),
+            round(float(r["hi"]), 6),
+            round(float(r["total"]), 6),
+            int(r["n"]),
+        )
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+                F.sum("value").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+    # Derived avg at read time equals the batch avg.
+    view = M.read_view(spark, store).withColumn(
+        "avg_value", F.col("total") / F.col("n")
+    )
+    got_avg = {r["event_type"]: round(float(r["avg_value"]), 6) for r in view.collect()}
+    want_avg = {
+        r["event_type"]: round(float(r["a"]), 6)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("a"))
+        .collect()
+    }
+    assert got_avg == want_avg
