@@ -108,40 +108,120 @@ def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
     Deterministic fake codec (no av/ffmpeg in this container):
     n_frames = (n_bytes % 97) + 8, every ``stride``-th frame sampled,
     ts at 25 fps, frame identity = md5(payload # frame_idx).  Swapping in
-    a real demuxer changes only the closure body; schema, Arrow batching
-    and fan-out shape are the real contract."""
+    a real demuxer changes only the per-payload codec call; schema, Arrow
+    batching and fan-out shape are the real contract.
+
+    The fan-out SKELETON (doc_id/n_bytes/n_frames repeat, frame_idx/ts_ms
+    ranges) is vectorized with numpy repeat/arange — only the codec call
+    (here the md5 frame hash; in production the frame decode itself) runs
+    per output row, so the Python overhead is one C-speed pass plus the
+    irreducible per-frame work."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            out: dict[str, list] = {
-                "doc_id": [],
-                "n_bytes": [],
-                "n_frames": [],
-                "frame_idx": [],
-                "ts_ms": [],
-                "frame_hash": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                n_frames = (n % 97) + 8
-                for idx in range(0, n_frames, stride):
-                    out["doc_id"].append(doc_id)
-                    out["n_bytes"].append(n)
-                    out["n_frames"].append(n_frames)
-                    out["frame_idx"].append(idx)
-                    out["ts_ms"].append(idx * 40)
-                    out["frame_hash"].append(
-                        _hashlib.md5(payload + b"#" + str(idx).encode()).hexdigest()
-                    )
-            yield _pd.DataFrame(out)
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            n_frames = (n % 97) + 8
+            n_sampled = (n_frames + stride - 1) // stride
+            # Vectorized skeleton: repeat per-doc columns by each doc's
+            # sampled-frame count; per-frame indices via arange shifted by
+            # cumulative offsets (the standard ragged-fan-out idiom).
+            doc_rep = _np.repeat(_np.arange(len(pdf)), n_sampled)
+            offsets = _np.repeat(
+                _np.concatenate(([0], _np.cumsum(n_sampled)[:-1])), n_sampled
+            )
+            frame_idx = (_np.arange(doc_rep.size) - offsets) * stride
+            payloads = pdf["payload"].to_numpy(dtype=object)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_rep],
+                    "n_bytes": n[doc_rep],
+                    "n_frames": n_frames[doc_rep],
+                    "frame_idx": frame_idx,
+                    "ts_ms": frame_idx * 40,
+                    # Only the codec call is per-row:
+                    "frame_hash": [
+                        _hashlib.md5(
+                            payloads[d] + b"#" + str(i).encode()
+                        ).hexdigest()
+                        for d, i in zip(doc_rep, frame_idx)
+                    ],
+                }
+            )
 
     return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, sample_rate BIGINT, duration_ms BIGINT, "
+    "seg_idx BIGINT, seg_start_ms BIGINT, seg_end_ms BIGINT, seg_hash STRING"
+)
+
+
+def segment_audio(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """(doc_id, payload binary) -> one row per audio segment: the
+    fixed-window (overlapping-hop) segmentation every speech/ASR training
+    pipeline runs before feature extraction.  Same ``mapInPandas``
+    fan-out contract as ``sample_frames``: per-payload metadata (sample
+    rate, duration) is decided at decode time, the output has more rows
+    than the input, and the skeleton (repeat/arange) is numpy-vectorized
+    so only the codec call is per-row.
+
+    Deterministic fake demuxer (no librosa/soundfile in this container):
+    sample_rate = 8000 * ((n_bytes % 3) + 1), duration_ms =
+    (n_bytes % 9973) + 500, segment identity = md5(payload @ start_ms).
+    A real decoder replaces exactly those three expressions."""
+    if hop_ms <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            rate = 8000 * ((n % 3) + 1)
+            dur = (n % 9973) + 500
+            n_segs = (dur + hop_ms - 1) // hop_ms  # starts at 0, hop, ... < dur
+            doc_rep = _np.repeat(_np.arange(len(pdf)), n_segs)
+            offsets = _np.repeat(
+                _np.concatenate(([0], _np.cumsum(n_segs)[:-1])), n_segs
+            )
+            seg_idx = _np.arange(doc_rep.size) - offsets
+            start = seg_idx * hop_ms
+            end = _np.minimum(start + window_ms, dur[doc_rep])
+            payloads = pdf["payload"].to_numpy(dtype=object)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_rep],
+                    "n_bytes": n[doc_rep],
+                    "sample_rate": rate[doc_rep],
+                    "duration_ms": dur[doc_rep],
+                    "seg_idx": seg_idx,
+                    "seg_start_ms": start,
+                    "seg_end_ms": end,
+                    "seg_hash": [
+                        _hashlib.md5(
+                            payloads[d] + b"@" + str(s).encode()
+                        ).hexdigest()
+                        for d, s in zip(doc_rep, start)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_SEGMENT_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:

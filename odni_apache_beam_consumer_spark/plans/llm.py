@@ -1009,6 +1009,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_segments",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+a AS (
+  SELECT doc_id, text, n,
+         8000 * ((n % 3) + 1) AS sample_rate,
+         (n % 9973) + 500 AS duration_ms
+  FROM m
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(s / 500 AS BIGINT) AS seg_idx,
+       CAST(s AS BIGINT) AS seg_start_ms,
+       CAST(LEAST(s + 1000, duration_ms) AS BIGINT) AS seg_end_ms,
+       md5(text || '@' || CAST(s AS VARCHAR)) AS seg_hash
+FROM a, UNNEST(generate_series(0, duration_ms - 1, 500)) AS g(s)
+""",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation shape: fixed 1 s windows at 500 ms hop over
+    binary audio payloads (operators/multimodal.py::segment_audio) — the
+    pre-feature-extraction fan-out of a speech training pipeline.  The
+    fake demuxer's metadata (rate, duration) is reproduced by the oracle;
+    the Arrow fan-out plumbing and the numpy-vectorized ragged skeleton
+    are the real contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs, media_type="audio").select("doc_id", "payload")
+    return M.segment_audio(media, window_ms=1000, hop_ms=500)
+
+
+@query(
     "pandas_udf_token_stats",
     oracle="""
 WITH t AS (

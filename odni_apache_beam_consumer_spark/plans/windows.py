@@ -251,3 +251,42 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "purchase_click_outer_attribution",
+    oracle="""
+SELECT p.event_id AS p_event_id,
+       p.user_id AS p_user_id,
+       c.event_id AS c_event_id,
+       c.value AS c_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+""",
+)
+def purchase_click_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming.windows.stream_stream_left_outer_join —
+    the SAME function body runs here on batch frames (watermarks no-op),
+    so the driver's DuckDB hash check covers the join semantics while
+    tests/test_streaming.py::test_stream_stream_left_outer_join_equivalence
+    proves the streaming execution (watermark-held state, null emission
+    after horizon closure) converges to exactly this result.
+
+    Scale shape: an equi-join on user_id with a range residual; both
+    sides shuffle once on the key, the time predicate evaluates in the
+    join (no explode, no second exchange), and the outer side's NULL
+    rows cost nothing extra.  In streaming the same condition bounds
+    both state stores."""
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return stream_stream_left_outer_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        horizon="1 hour",
+    )

@@ -121,6 +121,47 @@ def stream_stream_join(
     ).select("p_event_id", "c_event_id", "p_user_id", "c_value")
 
 
+def stream_stream_left_outer_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    state_delay: str = "1 day",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, matched with clicks
+    within ``horizon`` after it — or emitted with NULL click columns once
+    the event-time watermark proves no match can still arrive.
+
+    The outer side is what makes this stateful in a way the inner join is
+    not: an unmatched purchase must be HELD until
+    ``watermark > p_ts + horizon`` and only then emitted as a null row
+    (Spark evicts left-side state at watermark passage; the same
+    condition bounds the state store on both sides, so state is
+    O(events within delay + horizon), not O(stream)).  Works identically
+    on batch DataFrames (the watermark is a no-op there), which is what
+    the equivalence test exploits.  A drained availableNow run needs the
+    replay's far-future flush sentinel to push the watermark past the
+    last real event, else the final horizon's worth of unmatched rows
+    stays in state (documented replay gotcha)."""
+    p = purchases.withWatermark("ts", state_delay).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", state_delay).select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return p.join(
+        c,
+        (p.p_user_id == c.c_user_id)
+        & (c.c_ts > p.p_ts)
+        & (c.c_ts <= p.p_ts + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select("p_event_id", "p_user_id", "c_event_id", "c_value")
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream joins
     against the (batch) dimension table.  No watermark needed — the static

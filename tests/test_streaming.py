@@ -105,6 +105,40 @@ def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir):
     assert want.count() > 0  # the equivalence is not vacuous
 
 
+def test_stream_stream_left_outer_join_equivalence(spark, sf_dir, replay_dir):
+    """Outer emission is the hard part: unmatched purchases must surface
+    with NULL click columns once the watermark proves no match can
+    arrive.  The flush sentinel (event_id < 0) is kept INSIDE both input
+    streams so it reaches the watermark operator and closes the final
+    horizon; sentinel rows are dropped from the comparison."""
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    def sides(df):
+        keep_p = (F.col("event_type") == "purchase") | (F.col("event_id") < 0)
+        keep_c = (F.col("event_type") == "click") | (F.col("event_id") < 0)
+        return df.where(keep_p), df.where(keep_c)
+
+    sp, sc = sides(R.read_stream(spark, replay_dir))
+    got = _drain(spark, stream_stream_left_outer_join(sp, sc), "t_ssloj")
+    e = load_table(spark, sf_dir, "events")
+    bp, bc = sides(e)
+    want = stream_stream_left_outer_join(bp, bc)
+
+    def key(df):
+        return {
+            (r.p_event_id, r.c_event_id, None if r.c_value is None else round(r.c_value, 6))
+            for r in df.where(F.col("p_event_id") >= 0).collect()
+        }
+
+    got_rows, want_rows = key(got), key(want)
+    assert got_rows == want_rows
+    # Non-vacuous on BOTH branches: real matches and real null-emissions.
+    assert any(c is not None for _, c, _ in want_rows)
+    assert any(c is None for _, c, _ in want_rows)
+
+
 def test_late_data_dropped(spark, tmp_path):
     """Watermark drop semantics: a chunk of old events arriving AFTER the
     watermark has advanced past them is provably excluded.
