@@ -67,18 +67,55 @@ def random_hyperplanes(
     ]
 
 
+def plane_dot_expr(vec_col_name: str, plane: list[float]) -> str:
+    """SQL expr string: dot(vec, literal plane) as a left-to-right fold —
+    the same evaluation order as DuckDB's ``list_dot_product``, so the
+    value is bit-identical across engines."""
+    arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+    return (
+        f"aggregate(zip_with({vec_col_name}, array({arr}), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def project(vec_col_name: str, plane: list[float]) -> Column:
+    """dot(vec, stored literal plane) as a Column (one JL component)."""
+    return F.expr(plane_dot_expr(vec_col_name, plane))
+
+
+def random_project(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: map each vector to
+    its k = len(planes) dot products against stored Gaussian planes.
+
+    THE standard pre-ANN / pre-clustering shrink for embedding corpora
+    (JL lemma: pairwise distances survive within (1±ε) for
+    k = O(log n / ε²)).  Pure JVM higher-order-function arithmetic — one
+    map-only stage, no shuffle, no Python — and the stored-literal planes
+    make the output bit-reproducible in DuckDB for the oracle.
+    Components are rounded to ``ndigits`` (same discipline as every other
+    float surface here)."""
+    v = with_vec(df, vec_col)
+    return v.withColumn(
+        out_col,
+        F.array(*[F.round(project("vec", p), ndigits) for p in planes]),
+    ).drop("vec")
+
+
 def projection_bucket(vec_col_name: str, planes: list[list[float]]) -> Column:
     """LSH bucket from stored hyperplanes: concat over planes of the sign
     bit of dot(vec, plane).  Left-to-right fold, same as the DuckDB
     ``list_dot_product`` evaluation order, so buckets are bit-identical
     across engines."""
-    parts = []
-    for plane in planes:
-        arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
-        parts.append(
-            f"IF(aggregate(zip_with({vec_col_name}, array({arr}), (x, y) -> x * y), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= CAST(0.0 AS DOUBLE), '1', '0')"
-        )
+    parts = [
+        f"IF({plane_dot_expr(vec_col_name, plane)} >= CAST(0.0 AS DOUBLE), '1', '0')"
+        for plane in planes
+    ]
     return F.expr("concat(" + ", ".join(parts) + ")")
 
 

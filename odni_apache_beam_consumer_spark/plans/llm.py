@@ -1008,6 +1008,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media, stride=4)
 
 
+def _jl_oracle() -> str:
+    comps = ", ".join(
+        "ROUND(list_dot_product(vec, ["
+        + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        + f"]), 6) AS p{i}"
+        for i, plane in enumerate(_ANN_PLANES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT vec_id, {comps} FROM v
+"""
+
+
+@query("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction of the embedding corpus to k=8
+    stored-Gaussian-projection components (operators/similarity.py::
+    random_project) — the standard shrink before ANN indexing or
+    clustering at corpus scale.  Map-only, zero shuffles, pure JVM array
+    arithmetic; the stored-literal planes make every component
+    bit-identical in DuckDB.  Emitted wide (p0..p7) so the hash check
+    covers each component."""
+    proj = S.random_project(
+        load_table(spark, sf_dir, "embeddings"), _ANN_PLANES, out_col="proj"
+    )
+    return proj.select(
+        "vec_id",
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(_ANN_NBITS)],
+    )
+
+
 @query(
     "multimodal_audio_segments",
     oracle="""
