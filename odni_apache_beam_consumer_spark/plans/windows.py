@@ -55,19 +55,28 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                            l_quantity
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
          AS running_qty
 FROM lineitem
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) sum with an explicit ROWS frame and a
-    deterministic total order inside each partition."""
+    """Running (cumulative) sum with an explicit ROWS frame.
+
+    The synthetic lineitem does NOT have unique (l_orderkey,
+    l_linenumber) (118k duplicate pairs at sf0.1), so the summed column
+    itself is the final ORDER BY tiebreak: rows that tie on every order
+    key then carry EQUAL quantities, making the prefix sums — and
+    therefore the emitted multiset — order-invariant across engines.
+    Without it, one full-key tie at sf0.1 let Spark and DuckDB order two
+    unequal quantities differently (found by the sf0.1 sweep; invisible
+    at sf0.01)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(

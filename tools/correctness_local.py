@@ -65,6 +65,10 @@ def main() -> int:
                     rec["err"] = "; ".join(problems)[:500]
         except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
             rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        # Drop caches some operators persist (dedup/graph self-join
+        # inputs) so the sweep's memory footprint stays flat across all
+        # queries — same hygiene as bench.py.
+        spark.catalog.clearCache()
         out[name] = rec
         status = "ok" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"[{i + 1}/{len(queries)}] {name}: {status}", file=sys.stderr)
