@@ -122,7 +122,8 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
-                                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                                 l_extendedprice
                                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
          AS smoothed_price
 FROM lineitem
@@ -130,11 +131,18 @@ WHERE l_suppkey <= 3
 """,
 )
 def window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding ROWS frame (moving average over 5 rows)."""
+    """Sliding ROWS frame (moving average over 5 rows).
+
+    Same tie discipline as window_running_sum: (l_orderkey,
+    l_linenumber) is NOT unique in the synthetic lineitem, so the
+    averaged column is the final ORDER BY tiebreak — rows still tied
+    after it are fully interchangeable (identical emitted columns and,
+    by symmetry, an identical output multiset), making the moving
+    average engine-order-invariant."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, 2)
     )
     return li.select(
