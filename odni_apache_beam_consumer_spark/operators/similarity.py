@@ -185,6 +185,7 @@ def ann_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via stored-random-projection LSH with multi-probe.
 
@@ -194,7 +195,12 @@ def ann_topk(
     candidates come from an equi-join on the bucket key — O(sum of probed
     bucket sizes), never O(Q x N).  Each (query, neighbor) candidate pair
     arises through at most one probe (a corpus vector lives in exactly one
-    bucket and probe buckets are distinct), so no dedup pass is needed."""
+    bucket and probe buckets are distinct), so no dedup pass is needed.
+
+    ``max_cosine`` caps similarity BEFORE ranking — the hard-negative-
+    mining mode: neighbors above the cap are presumed duplicates/positives
+    and excluded, so the top-k returned are the most-similar NON-duplicate
+    candidates (the informative negatives for contrastive training)."""
     planes = planes if planes is not None else random_hyperplanes()
     nbits = len(planes)
     q = with_self_dot(with_vec(queries, vec_col)).select(
@@ -218,6 +224,8 @@ def ann_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
+    if max_cosine is not None:
+        scored = scored.where(F.col("cosine") < max_cosine)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

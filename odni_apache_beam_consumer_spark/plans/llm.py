@@ -1008,6 +1008,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media, stride=4)
 
 
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH {_EMB_CORPUS_CTE.strip()},
+v AS (
+  SELECT vec_id, vec, list_dot_product(vec, vec) AS dd FROM embcorpus
+),
+b AS (SELECT vec_id, vec, dd, {_duck_projection_bucket(_ANN_PLANES)} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qv, dd AS qdd, bucket FROM b
+      WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, qv, qdd, {_duck_probe_flip(_ANN_NBITS)} AS bucket
+  FROM q, UNNEST(range(0, {_ANN_NBITS + 1})) AS pu(p)
+),
+scored AS (
+  SELECT pr.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(pr.qv, c.vec) / (sqrt(pr.qdd) * sqrt(c.dd)), 6)
+           AS cosine
+  FROM probes pr JOIN b c ON c.bucket = pr.bucket AND c.vec_id <> pr.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored WHERE cosine < 0.9
+) WHERE rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor (every 100th vector of the positive-injected corpus), the
+    top-5 most-similar candidates BELOW the near-duplicate ceiling
+    (cosine < 0.9) from the ANN's probed buckets — similar enough to be
+    informative negatives, excluded if so similar they are presumed
+    duplicates/positives.  The injected near-dup copies (cosine ≈ 0.999
+    to their anchors) make the exclusion non-vacuous: without the
+    ceiling they would top every affected anchor's list.  Pure
+    composition of the verified ANN path (stored projections, Hamming-1
+    multi-probe, bucket equi-join) plus one pre-rank filter — same
+    O(probed buckets) scale shape."""
+    corpus = emb_dedup_corpus(spark, sf_dir)
+    anchors = corpus.where(F.col("vec_id") % 100 == 0)
+    res = S.ann_topk(
+        anchors, corpus, k=5, planes=_ANN_PLANES, multiprobe=True, max_cosine=0.9
+    )
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _jl_oracle() -> str:
     comps = ", ".join(
         "ROUND(list_dot_product(vec, ["
