@@ -435,3 +435,38 @@ def test_sql_front_door_matches_dataframe_plan(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
+    """Fleet-wide plan-quality gate: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for the
+    documented deliberate broadcast-cross shapes (a tiny broadcast side —
+    scalar threshold, centroid table, broadcast query set — crossed into
+    a scan; bounded by the broadcast size, safe at any corpus scale).
+    A new query accidentally planning a quadratic join fails here before
+    it ever reaches a large input."""
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    # name -> why the NLJ is intentional
+    nlj_whitelist = {
+        "cosine_topk": "exact baseline: broadcast query set x corpus scan",
+        "ann_ivf_topk": "broadcast centroid (quantizer) table x corpus",
+        "kmeans_one_step": "broadcast k-row centroid table x corpus",
+        "q11_important_stock": "broadcast 1-row threshold scalar",
+        "q22_dormant_customers": "broadcast 1-row avg-balance scalar",
+        "dq_expectations": "broadcast 1-row expectation scalars",
+        "tfidf_top_terms": "broadcast 1-row corpus-size scalar",
+        "pmi_bigrams": "broadcast 1-row total-count scalars",
+        "semantic_dedup": "broadcast quantizer table x corpus",
+        "hard_negative_mining": "broadcast anchor set x corpus (ANN path)",
+    }
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in nlj_whitelist:
+            offenders[name] = "unwhitelisted BroadcastNestedLoopJoin"
+        spark.catalog.clearCache()
+    assert not offenders, offenders
