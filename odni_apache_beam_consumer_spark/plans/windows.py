@@ -307,3 +307,92 @@ def purchase_click_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         e.where(F.col("event_type") == "click"),
         horizon="1 hour",
     )
+
+
+@query(
+    "funnel_attribution",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+step1 AS (
+  SELECT *,
+         arg_max(event_id, ts) FILTER (event_type = 'view') OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 1 SECOND PRECEDING
+         ) AS attr_view
+  FROM e
+),
+step2 AS (
+  SELECT *,
+         arg_max(event_id, ts) FILTER (event_type = 'click') OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 1 SECOND PRECEDING
+         ) AS attr_click,
+         arg_max(COALESCE(attr_view, -1), ts) FILTER (event_type = 'click') OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 1 SECOND PRECEDING
+         ) AS attr_click_view
+  FROM step1
+)
+SELECT user_id, event_id AS purchase_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       attr_click AS click_id,
+       NULLIF(attr_click_view, -1) AS view_id
+FROM step2 WHERE event_type = 'purchase'
+""",
+)
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel attribution (view -> click -> purchase, 24 h per
+    step): each purchase attributes to the latest click strictly before
+    it within 24 h, and that click to the latest view strictly before IT
+    within 24 h — the last-touch attribution every product-analytics
+    pipeline computes, and the batch dual of the stateful streaming
+    operator streaming/stateful.py::funnel_attribution_stream (same
+    semantics, per-user state instead of windows; equivalence proven in
+    tests/test_streaming.py).
+
+    Scale shape: ONE shuffle on user_id and one sort serves BOTH
+    attribution steps (two window passes over the same ordering — no
+    second exchange); the conditional arg-max inside a RANGE frame stays
+    JVM-side.  (user_id, ts) is unique in the data, so argmax-by-ts is
+    deterministic; ts is second-granularity, so Spark's [-86400, -1]
+    seconds frame == DuckDB's [24 HOURS PRECEDING, 1 SECOND PRECEDING].
+    (24 h per step, not 1 h: the synthetic per-user event cadence is
+    ~11 h, so a 1 h horizon leaves the funnel vacuously cold — 24 h
+    yields all three outcome classes at every scale factor.)  Oracle
+    nuance: DuckDB's arg_max SKIPS NULL arguments, so the click's
+    possibly-NULL view rides through a -1 sentinel (COALESCE/NULLIF) —
+    otherwise DuckDB silently substitutes an older click's view where
+    Spark keeps the latest click's NULL."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    sec = F.unix_timestamp("ts")
+    e = e.withColumn("sec", sec)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, -1)
+    )
+    s1 = e.withColumn(
+        "attr_view",
+        F.max(
+            F.when(F.col("event_type") == "view", F.struct("sec", "event_id"))
+        ).over(w)["event_id"],
+    )
+    click_struct = F.when(
+        F.col("event_type") == "click",
+        F.struct("sec", "event_id", "attr_view"),
+    )
+    s2 = s1.withColumn("attr_click", F.max(click_struct).over(w))
+    return (
+        s2.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+            F.col("attr_click")["event_id"].alias("click_id"),
+            F.col("attr_click")["attr_view"].alias("view_id"),
+        )
+    )

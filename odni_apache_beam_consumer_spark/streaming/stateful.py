@@ -105,3 +105,81 @@ def user_high_water_marks(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id BIGINT, purchase_id BIGINT, purchase_ts STRING, "
+    "click_id BIGINT, view_id BIGINT"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "view_sec BIGINT, view_id BIGINT, "
+    "click_sec BIGINT, click_id BIGINT, click_view_id BIGINT"
+)
+
+
+def funnel_attribution_stream(events: DataFrame, horizon_s: int = 86400) -> DataFrame:
+    """Ordered-funnel attribution as a custom stateful operator — the
+    streaming twin of plans/windows.py::funnel_attribution (equivalence
+    proven in tests/test_streaming.py).
+
+    Per-user state is FIVE numbers: the latest view (ts, id) and the
+    latest click (ts, id, the view it attributed when processed).  Each
+    purchase emits one row attributing to the state's click if it is
+    within ``horizon_s`` strictly before the purchase, and through it to
+    that click's view — last-touch attribution with O(1) state per user,
+    versus the batch form's sort + two window passes.  This is the CEP
+    shape (pattern A -> B -> C with per-step deadlines) that windowed
+    aggregation cannot express and state can, in constant memory.
+
+    Ordering contract: events must arrive per-user in non-decreasing
+    event time ACROSS micro-batches (the replay source's ts-ranged chunks
+    guarantee it here; a production deployment buffers by watermark or
+    accepts last-delivered-wins).  Within a batch the fold sorts by
+    (ts, event_id), so intra-batch disorder is handled."""
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            v_sec, v_id, c_sec, c_id, c_view = state.get
+        else:
+            v_sec, v_id, c_sec, c_id, c_view = (-1, -1, -1, -1, -1)
+        out = {
+            "user_id": [],
+            "purchase_id": [],
+            "purchase_ts": [],
+            "click_id": [],
+            "view_id": [],
+        }
+        uid = int(key[0])
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            secs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            for sec, eid, etype, ts in zip(
+                secs, pdf["event_id"], pdf["event_type"], pdf["ts"]
+            ):
+                if etype == "view":
+                    v_sec, v_id = sec, int(eid)
+                elif etype == "click":
+                    attributed = v_id if (v_id >= 0 and v_sec >= sec - horizon_s) else -1
+                    c_sec, c_id, c_view = sec, int(eid), attributed
+                elif etype == "purchase":
+                    hit = c_id >= 0 and c_sec >= sec - horizon_s
+                    out["user_id"].append(uid)
+                    out["purchase_id"].append(int(eid))
+                    out["purchase_ts"].append(ts.strftime("%Y-%m-%d %H:%M:%S"))
+                    out["click_id"].append(c_id if hit else None)
+                    out["view_id"].append(c_view if (hit and c_view >= 0) else None)
+        state.update((v_sec, v_id, c_sec, c_id, c_view))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

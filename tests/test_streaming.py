@@ -139,6 +139,36 @@ def test_stream_stream_left_outer_join_equivalence(spark, sf_dir, replay_dir):
     assert any(c is None for _, c, _ in want_rows)
 
 
+def test_funnel_attribution_stream_equivalence(spark, sf_dir, replay_dir):
+    """The stateful CEP operator (view -> click -> purchase with per-step
+    1 h deadlines, O(1) state per user) must emit exactly the batch
+    window-based attribution.  Replay chunks are ts-ranged, satisfying
+    the operator's cross-batch event-time-order contract."""
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+    from odni_apache_beam_consumer_spark.streaming.stateful import (
+        funnel_attribution_stream,
+    )
+
+    got = _drain(
+        spark, funnel_attribution_stream(R.read_stream(spark, replay_dir)), "t_funnel"
+    )
+    want = all_queries()["funnel_attribution"](spark, sf_dir)
+
+    def key(df):
+        return {
+            (r.user_id, r.purchase_id, r.purchase_ts, r.click_id, r.view_id)
+            for r in df.collect()
+            if r.user_id >= 0
+        }
+
+    got_rows, want_rows = key(got), key(want)
+    assert got_rows == want_rows
+    # Non-vacuous: complete funnels, click-only, and cold purchases all occur.
+    assert any(c is not None and v is not None for *_, c, v in want_rows)
+    assert any(c is not None and v is None for *_, c, v in want_rows)
+    assert any(c is None for *_, c, v in want_rows)
+
+
 def test_late_data_dropped(spark, tmp_path):
     """Watermark drop semantics: a chunk of old events arriving AFTER the
     watermark has advanced past them is provably excluded.
