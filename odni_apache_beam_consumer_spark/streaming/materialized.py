@@ -152,6 +152,54 @@ def algebraic_merger(
     return fn
 
 
+def list_versions(store: str) -> list[int]:
+    """All snapshot versions present in the store, ascending — the time-
+    travel index (each ``snapshot_<batch_id>`` is a complete view as of
+    that commit; the pointer marks the latest)."""
+    out = []
+    for name in os.listdir(store):
+        if name.startswith("snapshot_"):
+            try:
+                out.append(int(name[len("snapshot_"):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_version(spark, store: str, version: int) -> DataFrame:
+    """Time travel: the materialized view as of commit ``version``."""
+    return spark.read.parquet(os.path.join(store, f"snapshot_{version}"))
+
+
+def diff_versions(
+    spark, store: str, v_old: int, v_new: int, keys: list[str]
+) -> DataFrame:
+    """Row-level diff between two snapshots: full outer join on the view
+    key with a change verdict per row ('inserted' / 'deleted' /
+    'changed' / 'unchanged').  The audit primitive for 'what did this
+    batch change' — on a table format this is the commit diff; here it
+    is one keyed join of two complete snapshots."""
+    old = read_version(spark, store, v_old)
+    new = read_version(spark, store, v_new)
+    measures = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*measures).alias("_old")
+    )
+    n = new.select(
+        *keys, F.struct(*measures).alias("_new")
+    )
+    return o.join(n, keys, "full_outer").select(
+        *keys,
+        F.when(F.col("_old").isNull(), F.lit("inserted"))
+        .when(F.col("_new").isNull(), F.lit("deleted"))
+        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("verdict"),
+        "_old",
+        "_new",
+    )
+
+
 def user_totals_merger(store: str) -> Callable[[DataFrame, int], None]:
     """Per-user (total, n_events) materialized view — the concrete
     instance the equivalence + crash tests drive; now a two-measure
