@@ -22,7 +22,7 @@ values are bit-reproducible against the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -357,4 +357,108 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", F.round(cosine(dot("va", "vb"), F.col("da"), F.col("db")), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: build once, probe many with partition pruning
+# ---------------------------------------------------------------------------
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize an LSH index of the corpus: parquet PARTITIONED BY the
+    projection bucket, with each vector's self-dot precomputed.
+
+    This is the missing half of ``ann_topk`` at 100 TB: that operator
+    re-buckets the full corpus per query batch, which is correct but pays
+    a corpus scan every time.  A search SERVICE builds the index once
+    (one map-only pass + a partitioned write — no shuffle: rows are
+    appended to their bucket's directory) and every later query batch
+    reads ONLY its probed bucket partitions — partition pruning at the
+    file listing level, so probe cost is O(probed bucket bytes),
+    independent of corpus size.  Returns the planes so the caller can
+    probe with the same ones (they are also implied by the seed).
+
+    2^nbits partition directories (256 for the default 8 planes) is a
+    deliberate balance: few enough that each partition's files stay large
+    (no small-file problem), many enough that a probe reads ~1/256 of
+    the corpus per bucket."""
+    planes = planes if planes is not None else random_hyperplanes()
+    c = with_self_dot(with_vec(corpus, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("dd").alias("cdd"),
+    )
+    # 'b' prefix: partition VALUES in directory names go through type
+    # inference on read — a pure bit-string like '00001101' would come
+    # back as the integer 1101 (leading zeros gone), silently breaking
+    # the literal probe filter.  The prefix pins the column to string.
+    c = c.withColumn(
+        "bucket", F.concat(F.lit("b"), projection_bucket("cv", planes))
+    )
+    c.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return planes
+
+
+def probe_buckets_py(vec: list[float], planes: list[list[float]]) -> list[str]:
+    """Driver-side bucket ids for one query vector: its home bucket plus
+    all Hamming-1 neighbors — the same probe set multiprobe_buckets
+    builds in-plan, computed in plain Python so the index read can prune
+    partitions BEFORE any Spark job runs (partition filters must be plan
+    literals to prune the file listing).  Bit-string format and sign rule
+    (dot >= 0 -> '1', left-to-right accumulation) mirror
+    ``projection_bucket`` exactly — a type or fold-order mismatch here
+    would silently defeat pruning (casted partition columns don't prune)
+    or probe the wrong bucket."""
+    acc = []
+    for p in planes:
+        d = 0.0
+        for x, y in zip(vec, p):
+            d += x * y
+        acc.append("1" if d >= 0 else "0")
+    home = "".join(acc)
+    flips = [
+        home[:b] + ("0" if home[b] == "1" else "1") + home[b + 1 :]
+        for b in range(len(planes))
+    ]
+    return [home] + flips
+
+
+def query_ann_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors of one query vector against a persisted
+    index, reading only the probed bucket partitions.
+
+    The probe set is computed driver-side (literal partition filter ->
+    the parquet source prunes non-probed directories from the file
+    listing; `.explain` shows them under PartitionFilters), the query
+    vector is embedded as an array literal, and the exact cosine +
+    WindowGroupLimit top-k runs over candidates only.  Scoring math is
+    identical to ann_topk, so results match it wherever the probe sets
+    coincide."""
+    buckets = ["b" + b for b in probe_buckets_py(query_vec, planes)]
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    qdd = float(sum(x * x for x in query_vec))
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+    scored = idx.select(
+        "neighbor_id",
+        F.round(
+            cosine(dot(qlit, F.col("cv")), F.lit(qdd), F.col("cdd")), 6
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), "neighbor_id")
+        .limit(k)
+        .select("neighbor_id", "cosine")
     )

@@ -1196,3 +1196,139 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pl),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup FROM pl GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS sup_uv
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT u, v, sup_uv, iu.sup AS sup_u, iv.sup AS sup_v,
+       ROUND(sup_uv / iu.sup, 6) AS confidence,
+       ROUND(sup_uv * n.n_orders / (iu.sup * iv.sup), 6) AS lift
+FROM pair
+JOIN item iu ON iu.l_partkey = u
+JOIN item iv ON iv.l_partkey = v
+CROSS JOIN n
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every part
+    pair co-occurring in >= 3 orders, support, confidence(u -> v) and
+    lift — the classic recommendation/affinity mining query (and the
+    statistical layer the co-purchase *graph* queries skip: lift > 1
+    separates genuine affinity from popularity coincidence).
+
+    Shape: the distinct (order, part) table is persisted and read three
+    times (pair self-join, item supports, basket count); pair generation
+    is the same support-thresholded equi-join as copurchase_edges; item
+    supports are part-cardinality-sized so both lookups broadcast; the
+    basket total is a 1-row broadcast cross (whitelisted NLJ).  At 100 TB
+    the support threshold bounds pair cardinality and the self-join is
+    the only super-linear stage — per-basket size caps (a WHERE on basket
+    length) are the standard guard when baskets are power-law."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    n = pl.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = pl.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup_uv"))
+        .where(F.col("sup_uv") >= 3)
+    )
+    iu = item.select(F.col("l_partkey").alias("u"), F.col("sup").alias("sup_u"))
+    iv = item.select(F.col("l_partkey").alias("v"), F.col("sup").alias("sup_v"))
+    return (
+        pair.join(F.broadcast(iu), "u")
+        .join(F.broadcast(iv), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "sup_uv",
+            "sup_u",
+            "sup_v",
+            F.round(F.col("sup_uv") / F.col("sup_u"), 6).alias("confidence"),
+            F.round(
+                F.col("sup_uv") * F.col("n_orders")
+                / (F.col("sup_u") * F.col("sup_v")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series anomaly detection (z-score on daily aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT STRFTIME(DATE_TRUNC('day', o_orderdate), '%Y-%m-%d') AS day,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT AVG(revenue) AS mu, STDDEV_SAMP(revenue) AS sigma FROM daily
+)
+SELECT day, revenue,
+       ROUND((revenue - stats.mu) / stats.sigma, 4) AS zscore
+FROM daily CROSS JOIN stats
+WHERE ABS((revenue - stats.mu) / stats.sigma) > 2
+""",
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flagging: days whose total order revenue sits
+    more than 2 standard deviations from the mean daily revenue — the
+    monitoring query behind every revenue/volume alerting dashboard.
+
+    Shape: the fact table collapses to a day-grained aggregate first
+    (one hash shuffle, output = #days rows — ~3.7k rows PER DECADE no
+    matter how many orders, so everything downstream is metadata-sized);
+    mean/stddev are a 1-row aggregate OVER THE DAILY TABLE broadcast-
+    crossed back (whitelisted NLJ), and the z-filter is map-side.  The
+    daily revenue is rounded to cents BEFORE the stats pass so both
+    engines fold identical inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")).persist()
+    stats = daily.agg(
+        F.avg("revenue").alias("mu"), F.stddev_samp("revenue").alias("sigma")
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where(F.abs(z) > 2)
+        .select("day", "revenue", F.round(z, 4).alias("zscore"))
+    )

@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table, spread
+from odni_apache_beam_consumer_spark.operators import dedup as D
 from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
 from odni_apache_beam_consumer_spark.operators.text_ops import STOPWORDS, with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
@@ -512,4 +513,91 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_tok") / F.greatest(F.col("n_kept"), F.lit(1)), 4).alias(
             "mean_tokens_kept"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: top-k most similar documents per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similar_docs_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+sym AS (
+  SELECT doc_a AS query_doc, doc_b AS neighbor, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS query_doc, doc_a AS neighbor, jaccard FROM pairs
+),
+ranked AS (
+  SELECT query_doc, neighbor, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY query_doc
+                            ORDER BY jaccard DESC, neighbor ASC) AS rnk
+  FROM sym
+)
+SELECT query_doc, neighbor, jaccard, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity SEARCH (not dedup): for every document, the top-3
+    most similar other documents by exact 5-gram Jaccard, among candidates
+    sharing at least one non-boilerplate shingle (document frequency
+    <= 10).  This is the retrieval dual of ``dedup_ngram_jaccard`` — no
+    similarity threshold, a per-query rank instead: the shape behind
+    "find me near-matches of this doc" and template-family mining.
+
+    Scale shape: identical inverted-index candidate generation as the
+    Jaccard dedup family (persisted shingle table, broadcast-anti df cap
+    bounding every posting list at 10 -> <= 45 pairs per shingle), then a
+    symmetrize (map-only union) and one per-doc window ranked by
+    (rounded jaccard, neighbor id) — WindowGroupLimit pushes the top-3
+    cut below the sort, so no doc's full candidate list is ever
+    materialized.  At 100 TB the df cap IS the cost bound: pairs are
+    O(sum over kept shingles of df^2), independent of corpus size for
+    fixed cap."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_words=5,
+        threshold=0.0,
+        max_doc_freq=10,
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("query_doc"),
+        F.col("doc_b").alias("neighbor"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("query_doc"),
+            F.col("doc_a").alias("neighbor"),
+            "jaccard",
+        )
+    )
+    w = W.partitionBy("query_doc").orderBy(F.desc("jaccard"), F.asc("neighbor"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_doc", "neighbor", "jaccard", "rnk")
     )

@@ -191,11 +191,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hottest vertex's wedge count is capped at O(sqrt(m)) (the
     round-2 docstring promised this upgrade; id-orientation left a
     power-law hub's wedge count unbounded).  Two hash equi-join shuffles
-    on vertex keys; the oriented edge list is persisted so the three
-    self-join sides read one materialization (cache lives until the
-    session's next clearCache — same documented pattern as the dedup
-    self-join inputs; bench.py clears between queries)."""
-    e = orient_by_degree(copurchase_edges(spark, sf_dir)).persist()
+    on vertex keys; BOTH the raw co-purchase edges and the oriented list
+    are persisted — orientation consumes the raw edges three times (the
+    symmetrize union twice + the final join once), and without the first
+    persist the expensive lineitem self-join behind copurchase_edges
+    re-runs for each (this exact recompute tripled the query's bench
+    time when orientation landed).  Caches live until the session's next
+    clearCache — same documented pattern as the dedup self-join inputs;
+    bench.py clears between queries."""
+    raw = copurchase_edges(spark, sf_dir).persist()
+    e = orient_by_degree(raw).persist()
     e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
@@ -250,7 +255,10 @@ def pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the contribution agg is pre-combined map-side so the hot key
     arrives as partial sums.  Symmetrized edges mean no dangling nodes,
     so no dangling-mass redistribution term is needed."""
-    e0 = copurchase_edges(spark, sf_dir)
+    # Persist the raw edges BEFORE the symmetrize union: the union reads
+    # them twice, and without this the lineitem self-join behind
+    # copurchase_edges runs twice while materializing the symmetric cache.
+    e0 = copurchase_edges(spark, sf_dir).persist()
     e = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
@@ -426,3 +434,95 @@ def kmeans(
             cents = new_cents.select("cid", "cvec")
     v.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation over undirected (u, v) edges:
+    labels start as vertex ids; each round every vertex adopts the most
+    frequent label among its neighbors, ties broken by smallest label
+    (the deterministic variant of Raghavan et al.'s LPA — vanilla LPA
+    breaks ties randomly, which would be irreproducible across engines
+    AND across reruns).
+
+    Per round: one equi-join of labels into the (persisted) symmetric
+    edge list + one (vertex, label) hash count + one per-vertex
+    WindowGroupLimit argmax — all keyed shuffles, no global state.
+    ``localCheckpoint`` per round truncates lineage exactly like
+    operators/dedup.py::connected_components.  Synchronous update +
+    deterministic tie-break means the result is a pure function of the
+    graph, so the 2-round registered query has a full SQL oracle.
+
+    The input edge list is persisted before the symmetrize union (which
+    consumes it twice) — when the caller passes an expensive subtree
+    (the co-purchase self-join), skipping that persist re-runs it for
+    both union branches."""
+    edges = edges.persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("vertex"), F.col("u").alias("label")
+    )
+    for _ in range(n_rounds):
+        neigh = sym.join(
+            labels.withColumnRenamed("vertex", "u"), "u"
+        ).select(F.col("v").alias("vertex"), "label")
+        counts = neigh.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = W.partitionBy("vertex").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vertex", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+@query(
+    "label_propagation_step",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l1 AS (
+  -- round 1 from identity labels: every neighbor label is distinct, so
+  -- the most-frequent-with-min-tiebreak argmax reduces to MIN(neighbor)
+  SELECT v AS vertex, MIN(u) AS label FROM sym GROUP BY v
+),
+n2 AS (
+  SELECT sym.v AS vertex, l1.label, COUNT(*) AS n
+  FROM sym JOIN l1 ON l1.vertex = sym.u
+  GROUP BY 1, 2
+),
+l2 AS (
+  SELECT vertex, label,
+         ROW_NUMBER() OVER (PARTITION BY vertex
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM n2
+)
+SELECT vertex, label FROM l2 WHERE rn = 1
+""",
+)
+def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic label-propagation rounds over the co-purchase
+    graph — the community-detection loop body (run more rounds via
+    ``label_propagation(edges, n)``; labels converge to community-
+    constant in a few rounds on modular graphs).  The oracle replays both
+    rounds in SQL: round 1 from identity labels degenerates to
+    MIN(neighbor id), round 2 is the real most-frequent-label argmax."""
+    return label_propagation(copurchase_edges(spark, sf_dir), n_rounds=2)

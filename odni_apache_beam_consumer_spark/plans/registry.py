@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         analytics,
         curation,
+        governance,
         llm,
         ml,
         relational,

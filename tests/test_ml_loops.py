@@ -119,3 +119,30 @@ def test_orientation_preserves_triangle_total(spark, sf_dir):
 
     assert total(deg_oriented, "src", "dst") == total(e, "u", "v")
     e.unpersist()
+
+
+def test_label_propagation_two_cliques_converge_to_clique_min(spark):
+    # Two 4-cliques joined by one bridge edge: LPA settles each clique on
+    # its min vertex id; the bridge is too weak to flip either side.
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    e = _edges(spark, clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)])
+    labels = {
+        r.vertex: r.label for r in ml.label_propagation(e, n_rounds=6).collect()
+    }
+    assert set(labels) == {1, 2, 3, 4, 10, 11, 12, 13}
+    left = {labels[v] for v in (1, 2, 3)}
+    right = {labels[v] for v in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the two cliques keep distinct communities
+
+
+def test_label_propagation_deterministic_across_runs(spark, sf_dir):
+    # Random tie-breaks would make LPA irreproducible; the min-label
+    # tie-break must give identical output on identical input.
+    e = ml.copurchase_edges(spark, sf_dir)
+    a = sorted(map(tuple, ml.label_propagation(e, n_rounds=3).collect()))
+    b = sorted(map(tuple, ml.label_propagation(e, n_rounds=3).collect()))
+    assert a == b
+    assert len(a) > 0

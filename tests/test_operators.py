@@ -250,3 +250,39 @@ def test_global_order_index_matches_naive_sort(spark):
     ]
     assert got == {d: i for i, d in enumerate(naive)}
     assert sorted(got.values()) == list(range(500))
+
+
+def test_ann_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The persisted LSH index must (a) prune non-probed bucket partitions
+    at the scan (PartitionFilters on the literal probe set) and (b) return
+    the same neighbors as the in-plan ann_topk for the same planes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    planes = S.build_ann_index(emb, path)
+
+    qrow = emb.where(F.col("vec_id") == 7).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    res = S.query_ann_index(spark, path, qvec, planes, k=6)
+
+    # The probe set (1 home + 8 Hamming-1 flips out of 256 buckets) must
+    # reach the scan as a PartitionFilters IN-list — that is what prunes
+    # the partition directory listing (inputFiles() reports the pre-prune
+    # listing, so the plan text is the ground truth here).
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    in_list = pf[1].split("]", 1)[0]
+    assert "bucket" in in_list and " IN " in in_list, in_list
+    probe = S.probe_buckets_py(qvec, planes)
+    assert "b" + probe[0] in in_list, (probe[0], in_list)
+    assert in_list.count(",") <= 10, in_list  # <= 9 literals + isnotnull
+
+    got = {(r.neighbor_id, r.cosine) for r in res.collect() if r.neighbor_id != 7}
+    q = emb.where(F.col("vec_id") == 7)
+    want = {
+        (r.neighbor_id, r.cosine)
+        for r in S.ann_topk(q, emb, k=6, planes=planes).collect()
+    }
+    # query_ann_index keeps the self-match (cos=1) that ann_topk excludes,
+    # so its k=6 yields 5 comparable rows — all must appear in ann_topk's.
+    assert got and got <= want, (got, want)

@@ -459,6 +459,9 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "pmi_bigrams": "broadcast 1-row total-count scalars",
         "semantic_dedup": "broadcast quantizer table x corpus",
         "hard_negative_mining": "broadcast anchor set x corpus (ANN path)",
+        "skew_diagnostics": "broadcast 1-row totals scalar over key counts",
+        "basket_association_rules": "broadcast 1-row basket-count scalar",
+        "daily_revenue_anomalies": "broadcast 1-row mean/stddev scalar",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -41,6 +41,10 @@ SLOW_FAMILY = [
     "dedup_simhash",
     "dedup_resolve_components",
     "minhash_jaccard_estimate",
+    # round-3 additions with self-join / iterative shapes worth watching
+    "similar_docs_topk",
+    "label_propagation_step",
+    "basket_association_rules",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
