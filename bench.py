@@ -107,12 +107,15 @@ def main(argv: list[str]) -> int:
     # Truncation-proof side artifact: the driver tail-captures stdout and
     # has lost the head of the one-line JSON before (BENCH_r02 kept only
     # the last ~71 of 126 queries).  The full result always lands in
-    # bench_out.json at the repo root as well.
-    try:
-        with open(os.path.join(_REPO_DIR, "bench_out.json"), "w") as f:
-            json.dump(result, f, indent=2, sort_keys=True)
-    except OSError as exc:
-        _log(f"could not write bench_out.json: {exc}")
+    # bench_out.json at the repo root as well — but ONLY for full-registry
+    # runs: a named-subset debug run must not clobber the committed
+    # artifact (tests/test_artifacts.py gates it against the registry).
+    if set(timings) == set(queries):
+        try:
+            with open(os.path.join(_REPO_DIR, "bench_out.json"), "w") as f:
+                json.dump(result, f, indent=2, sort_keys=True)
+        except OSError as exc:
+            _log(f"could not write bench_out.json: {exc}")
     print(json.dumps(result), flush=True)
     return 0
 

@@ -171,3 +171,31 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> 
     alternative to per-record lookups the reference's Beam pipeline would
     have needed a side input for)."""
     return events.join(dim, key, "left")
+
+
+def ingest_dedup_against_corpus(
+    stream: DataFrame,
+    seen_keys: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Two-layer streaming ingest dedup — the shape of a continuously-fed
+    training corpus: (1) a stream-static LEFT ANTI join drops records
+    whose key already exists in the ingested-corpus key table, then
+    (2) ``dropDuplicatesWithinWatermark`` drops re-deliveries WITHIN the
+    stream itself (state bounded by the watermark horizon).
+
+    Scale shape: the anti join re-resolves the static side per
+    micro-batch (so a corpus refresh is picked up on the next trigger)
+    and broadcasts while the key table is small; at 100 TB the key table
+    is a thin (key, _) projection of the corpus — if even that outgrows
+    broadcast, pre-bucket it on the key so the per-batch anti join is a
+    co-located probe, or collapse it into a Bloom filter for an
+    approximate first pass in front of the exact join.  Keys never seen
+    before pass through exactly once across BOTH layers."""
+    keys = keys or ["event_id"]
+    return (
+        stream.join(seen_keys.select(*keys), keys, "left_anti")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )

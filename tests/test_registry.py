@@ -46,3 +46,26 @@ def test_every_query_has_oracle_or_documented_exemption():
         f"unexpected rows-only queries: {sorted(no_oracle)} — add a DuckDB "
         "oracle or extend this documented exemption list"
     )
+
+
+def test_backlog_precedes_newer_unwitnessed():
+    """Within the unwitnessed block, the round-2 backlog (queries that
+    have waited longest for a driver entry) must come before queries
+    registered later — otherwise new additions push the backlog past the
+    driver's per-round cap forever."""
+    from odni_apache_beam_consumer_spark.plans.registry import (
+        _R2_BACKLOG,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    seen = _witnessed()
+    unwitnessed = [n for n in names if n not in seen]
+    backlog_left = [n for n in unwitnessed if n in _R2_BACKLOG]
+    if backlog_left:
+        last_backlog = max(unwitnessed.index(n) for n in backlog_left)
+        first_other = min(
+            (unwitnessed.index(n) for n in unwitnessed if n not in _R2_BACKLOG),
+            default=len(unwitnessed),
+        )
+        assert last_backlog < first_other

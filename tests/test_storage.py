@@ -174,3 +174,77 @@ def test_zorder_skips_files_on_both_dims(spark, sf_dir, tmp_path):
     assert max(u_fracs) <= 0.75 and max(d_fracs) <= 0.75, (u_fracs, d_fracs)
     assert sum(u_fracs) / 3 <= 0.5, (u_fracs, stats)
     assert sum(d_fracs) / 3 <= 0.5, (d_fracs, stats)
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """GDPR-style delete: affected partitions rewritten, untouched
+    partitions' files byte-identical (never read or rewritten), stale
+    fully-deleted partitions removed, and the operation is idempotent."""
+    import os
+
+    from odni_apache_beam_consumer_spark import storage
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    storage.write_date_partitioned(e, path, "ts")
+
+    # Pick a victim user and find its partitions + one untouched partition.
+    victim = e.select("user_id").first()[0]
+    victim_dates = {
+        r[0]
+        for r in e.where(F.col("user_id") == victim)
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .collect()
+    }
+    all_dates = {
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("event_date=")
+    }
+    untouched = sorted(all_dates - victim_dates)
+    assert untouched, "victim appears in every partition; pick a rarer key"
+    marker_dir = os.path.join(path, f"event_date={untouched[0]}")
+    before_files = {
+        f: os.path.getmtime(os.path.join(marker_dir, f))
+        for f in os.listdir(marker_dir)
+    }
+    n_total = spark.read.parquet(path).count()
+    n_victim = e.where(F.col("user_id") == victim).count()
+
+    res = storage.delete_keys_partitioned(spark, path, "user_id", [victim])
+    assert res["rows_deleted"] == n_victim
+    assert set(res["partitions_rewritten"]) == victim_dates
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("user_id") == victim).count() == 0
+    assert after.count() == n_total - n_victim
+    after_files = {
+        f: os.path.getmtime(os.path.join(marker_dir, f))
+        for f in os.listdir(marker_dir)
+    }
+    assert after_files == before_files  # untouched partition untouched
+
+    # Idempotent: second run finds nothing to do.
+    res2 = storage.delete_keys_partitioned(spark, path, "user_id", [victim])
+    assert res2 == {"partitions_rewritten": [], "rows_deleted": 0}
+
+
+def test_delete_keys_drops_fully_emptied_partition(spark, tmp_path):
+    """A partition whose every row belongs to deleted keys must disappear
+    (dynamic overwrite alone would leave its stale files)."""
+    import os
+
+    from odni_apache_beam_consumer_spark import storage
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),
+         (2, "2024-01-02 11:00:00")],
+        "user_id BIGINT, ts_s STRING",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "tiny")
+    storage.write_date_partitioned(df, path, "ts")
+
+    res = storage.delete_keys_partitioned(spark, path, "user_id", [1])
+    assert res["rows_deleted"] == 2
+    assert not os.path.exists(os.path.join(path, "event_date=2024-01-01"))
+    left = spark.read.parquet(path).collect()
+    assert [r.user_id for r in left] == [2]

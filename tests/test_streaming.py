@@ -686,3 +686,27 @@ def test_algebraic_merger_min_max_measures(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_avg == want_avg
+
+
+def test_ingest_dedup_against_corpus_equivalence(spark, sf_dir, replay_dir):
+    """Streaming ingest dedup: records already in the corpus key table
+    never come out; fresh records come out exactly once (the replay
+    feeds every event once, so intra-stream layer-2 passes them all)."""
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        ingest_dedup_against_corpus,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seen = events.where(F.col("event_id") % 2 == 0).select("event_id")
+    stream = R.read_stream(spark, replay_dir)
+    got = _drain(
+        spark, ingest_dedup_against_corpus(stream, seen), "t_ingest_dedup"
+    )
+    got_ids = {r.event_id for r in got.select("event_id").collect() if r.event_id >= 0}
+    want_ids = {
+        r.event_id
+        for r in events.where(F.col("event_id") % 2 == 1).select("event_id").collect()
+    }
+    assert got_ids == want_ids
+    # exactly-once: no key emitted twice
+    assert got.where(F.col("event_id") >= 0).count() == len(got_ids)
