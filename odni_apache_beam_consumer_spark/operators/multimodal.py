@@ -233,3 +233,53 @@ def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
         F.lit(media_type).alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, src_bytes BIGINT, dst_width BIGINT, "
+    "dst_height BIGINT, dst_bytes BIGINT, resized_hash STRING"
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch image resize to a fixed (width, height) — the normalization
+    step in front of every vision encoder (training corpora standardize
+    to the model's input resolution before tokenization/packing).
+
+    Same contract as ``decode_features``: ``mapInPandas`` with a declared
+    schema, Arrow-batched, column-wise pandas ops (only the hash itself
+    is per-element Python).  The fake codec derives the "resized" payload
+    identity as md5(payload || '@WxH') and the output size as the exact
+    W*H*3 RGB buffer; a real implementation swaps only the body (PIL
+    ``Image.resize`` into a bytes buffer) — schema, batching, and
+    partitioning are unchanged.  Deterministic, so the DuckDB oracle
+    reproduces it byte-for-byte."""
+    real_codecs = _REAL_CODECS
+    suffix = f"@{width}x{height}".encode()
+    dst_bytes = width * height * 3
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if real_codecs and (pdf["media_type"] == "image").any():
+                raise NotImplementedError("real image codec path not wired in CI")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "src_bytes": pdf["payload"].map(len),
+                    "dst_width": width,
+                    "dst_height": height,
+                    "dst_bytes": dst_bytes,
+                    "resized_hash": pdf["payload"].map(
+                        lambda p: _hashlib.md5(p + suffix).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)

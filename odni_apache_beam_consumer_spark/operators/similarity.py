@@ -462,3 +462,33 @@ def query_ann_index(
         .limit(k)
         .select("neighbor_id", "cosine")
     )
+
+
+def append_to_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted ANN index: bucket the new vectors
+    with the SAME stored planes and append them into their bucket
+    partitions.
+
+    This is what makes the index maintainable under continuous ingest
+    (pair with streaming/windows.py::ingest_dedup_against_corpus feeding
+    deduped batches): appends touch only the buckets the new vectors land
+    in, existing files are never rewritten, and probes see old + new
+    uniformly because bucketing is a pure function of (vector, planes).
+    Periodically `storage.compact` hot bucket partitions if micro-batch
+    appends fragment them.  Using DIFFERENT planes than the build would
+    silently corrupt recall — always reuse the returned build planes."""
+    c = with_self_dot(with_vec(new_vectors, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("dd").alias("cdd"),
+    )
+    c = c.withColumn(
+        "bucket", F.concat(F.lit("b"), projection_bucket("cv", planes))
+    )
+    c.write.mode("append").partitionBy("bucket").parquet(path)

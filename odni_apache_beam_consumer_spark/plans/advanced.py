@@ -487,3 +487,54 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["discount_range", "quantity_nonpositive"]))
         .unionByName(orphan)
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         l_extendedprice AS p,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(MIN(p), 2) AS weighted_median_price,
+       ROUND(MIN(tot), 2) AS total_weight
+FROM c
+WHERE cum >= tot / 2
+GROUP BY l_returnflag
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the total QUANTITY sits
+    below, per return flag — the robust central-tendency statistic when
+    rows carry unequal mass (plain median treats a 1-unit and a 50-unit
+    line item alike).  Definition: smallest price whose running quantity
+    mass reaches half the total.
+
+    Shape: one window pass per group key (running weight, RANGE frame so
+    equal prices are peers — both engines' default, which makes the
+    boundary row engine-independent) + one tiny group-min.  The window
+    partitions on the 3-value return flag, so local parallelism is
+    group-bound; at 100 TB with few groups, two-pass instead: histogram
+    the weight into price bins (one hash agg), find the half-mass bin,
+    then exact-scan only that bin — same answer, no giant sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(w_cum).alias("cum"),
+        F.sum("l_quantity").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("p"), 2).alias("weighted_median_price"),
+            F.round(F.min("tot"), 2).alias("total_weight"),
+        )
+    )

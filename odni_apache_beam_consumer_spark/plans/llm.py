@@ -1448,3 +1448,27 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.sent_idx, s.sentence, s.n_tokens "
         "FROM udtf_docs_subset, LATERAL sentence_split(text) s"
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, 'image' AS media_type,
+       octet_length(encode(text)) AS src_bytes,
+       CAST(224 AS BIGINT) AS dst_width,
+       CAST(224 AS BIGINT) AS dst_height,
+       CAST(224 * 224 * 3 AS BIGINT) AS dst_bytes,
+       md5(text || '@224x224') AS resized_hash
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize normalization via mapInPandas
+    (operators/multimodal.py::resize_images): the fixed-resolution
+    preprocessing step in front of a vision encoder, with the same
+    honest-fake codec + real Arrow plumbing contract as the decode /
+    frame-sample / audio-segment queries.  Map-only — zero shuffles; at
+    100 TB the only dial is Python-stage parallelism (file count or
+    min_parallelism repartition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_images(M.documents_as_media(docs), width=224, height=224)

@@ -396,3 +396,36 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("attr_click")["attr_view"].alias("view_id"),
         )
     )
+
+
+@query(
+    "purchase_click_full_outer",
+    oracle="""
+SELECT p.event_id AS p_event_id,
+       p.user_id AS p_user_id,
+       c.event_id AS c_event_id,
+       c.user_id AS c_user_id,
+       c.value AS c_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+""",
+)
+def purchase_click_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming.windows.stream_stream_full_outer_join (the
+    SAME function body; watermarks no-op on batch frames) — completes the
+    stream-stream join family's oracle coverage: unmatched rows from BOTH
+    sides survive with nulls.  Same scale shape as the left-outer dual:
+    one user_id shuffle per side, time predicate as join residual."""
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_full_outer_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return stream_stream_full_outer_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        horizon="1 hour",
+    )

@@ -199,3 +199,39 @@ def ingest_dedup_against_corpus(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def stream_stream_full_outer_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    state_delay: str = "1 day",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: matched purchase/click pairs, plus
+    purchases with no click in the horizon (null click columns) AND
+    clicks following no purchase (null purchase columns).
+
+    Completes the stream-stream join family (inner / left outer / full
+    outer): now BOTH sides hold state until the watermark proves their
+    match window closed, so both emit watermark-delayed null rows.  The
+    time-range condition bounds both state stores exactly as in the left
+    outer case; batch execution of the same body (watermarks no-op) is
+    the oracle-checked dual."""
+    p = purchases.withWatermark("ts", state_delay).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", state_delay).select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return p.join(
+        c,
+        (p.p_user_id == c.c_user_id)
+        & (c.c_ts > p.p_ts)
+        & (c.c_ts <= p.p_ts + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    ).select("p_event_id", "p_user_id", "c_event_id", "c_user_id", "c_value")

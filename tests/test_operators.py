@@ -286,3 +286,27 @@ def test_ann_index_partition_pruned_probe(spark, sf_dir, tmp_path):
     # query_ann_index keeps the self-match (cos=1) that ann_topk excludes,
     # so its k=6 yields 5 comparable rows — all must appear in ann_topk's.
     assert got and got <= want, (got, want)
+
+
+def test_ann_index_incremental_append(spark, sf_dir, tmp_path):
+    """Appended vectors must be probe-visible alongside the originals
+    without rewriting existing bucket files."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ann_index_inc")
+    planes = S.build_ann_index(old, path)
+    S.append_to_ann_index(new, path, planes)
+
+    # The merged index holds every vector exactly once...
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert idx.select("neighbor_id").distinct().count() == emb.count()
+    # ...and a probe result equals the one from an index built whole.
+    qrow = emb.where(F.col("vec_id") == 450).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    whole = str(tmp_path / "ann_index_whole")
+    S.build_ann_index(emb, whole, planes=planes)
+    got = [tuple(r) for r in S.query_ann_index(spark, path, qvec, planes, k=5).collect()]
+    want = [tuple(r) for r in S.query_ann_index(spark, whole, qvec, planes, k=5).collect()]
+    assert got == want

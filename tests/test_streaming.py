@@ -710,3 +710,40 @@ def test_ingest_dedup_against_corpus_equivalence(spark, sf_dir, replay_dir):
     assert got_ids == want_ids
     # exactly-once: no key emitted twice
     assert got.where(F.col("event_id") >= 0).count() == len(got_ids)
+
+
+def test_stream_stream_full_outer_join_equivalence(spark, sf_dir, replay_dir):
+    """Full outer adds the second held side: clicks with no preceding
+    purchase must also surface (null purchase columns) after the
+    watermark closes their window.  All three row classes — matches,
+    purchase-only, click-only — must be non-vacuous."""
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_full_outer_join,
+    )
+
+    def sides(df):
+        keep_p = (F.col("event_type") == "purchase") | (F.col("event_id") < 0)
+        keep_c = (F.col("event_type") == "click") | (F.col("event_id") < 0)
+        return df.where(keep_p), df.where(keep_c)
+
+    sp, sc = sides(R.read_stream(spark, replay_dir))
+    got = _drain(spark, stream_stream_full_outer_join(sp, sc), "t_ssfoj")
+    e = load_table(spark, sf_dir, "events")
+    bp, bc = sides(e)
+    want = stream_stream_full_outer_join(bp, bc)
+
+    def key(df):
+        real = (F.coalesce(F.col("p_event_id"), F.lit(0)) >= 0) & (
+            F.coalesce(F.col("c_event_id"), F.lit(0)) >= 0
+        )
+        return {
+            (r.p_event_id, r.c_event_id,
+             None if r.c_value is None else round(r.c_value, 6))
+            for r in df.where(real).collect()
+        }
+
+    got_rows, want_rows = key(got), key(want)
+    assert got_rows == want_rows
+    assert any(p is not None and c is not None for p, c, _ in want_rows)
+    assert any(c is None for _, c, _ in want_rows)  # purchase-only
+    assert any(p is None for p, _, _ in want_rows)  # click-only
