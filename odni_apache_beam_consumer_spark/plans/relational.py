@@ -759,3 +759,144 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+@query(
+    "set_ops_bag",
+    oracle="""
+SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier) GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier) GROUP BY k
+""",
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    multiplicities (a key appearing 60x in customer and 2x in supplier
+    survives EXCEPT ALL 58 times, vs 0 under DISTINCT semantics).  The
+    distinction matters for reconciliation workloads: "which rows of the
+    new load are NOT already present, counted per copy".  Both engines
+    implement bag semantics by min/difference of per-key counts — one
+    hash shuffle per side; the output here is rolled up per key so the
+    oracle hash stays order-insensitive."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    xa = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(xa).select("op", "k", "n")
+
+
+@query(
+    "array_functions",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS INT))) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(q) AS INT) AS n_lines,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS total_qty,
+       CAST(len(list_filter(q, x -> x >= 25)) AS INT) AS n_large,
+       CAST(q[len(q)] AS INT) AS max_qty,
+       array_to_string(list_transform(q, x -> CAST(x * 2 AS VARCHAR)), ',')
+         AS doubled_csv
+FROM g
+""",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function pack over collected-per-key arrays:
+    sort, size, fold-sum, lambda filter, positional max, transform +
+    join — the nested-data manipulation surface (Spark's
+    transform/filter/aggregate higher-order functions, all JVM-side
+    codegen, zero Python).  The per-key array is SORTED first so every
+    downstream value is independent of aggregation arrival order — the
+    discipline that makes collect_list usable under a hash-comparing
+    oracle at all.  One hash shuffle to build the arrays; everything
+    after is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("q")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("q").alias("n_lines"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_qty"
+        ),
+        F.size(F.filter("q", lambda x: x >= 25)).alias("n_large"),
+        F.element_at("q", -1).alias("max_qty"),
+        F.array_join(
+            F.transform("q", lambda x: (x * 2).cast("string")), ","
+        ).alias("doubled_csv"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+WITH pairs AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+m AS (
+  SELECT user_id,
+         list_sort(list(event_type)) AS ks,
+         COUNT(*) AS n_types,
+         string_agg(event_type || '=' || CAST(n AS VARCHAR), ','
+                    ORDER BY event_type) AS map_str
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id, CAST(n_types AS INT) AS n_types,
+       ks[1] AS first_key, map_str
+FROM m
+""",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type manipulation: per user, a map of event_type -> count is
+    built (map_from_entries over a SORTED entry array), then consumed via
+    map_keys / element_at / a transform-join serialization.  The map is
+    emitted as a canonical sorted "k=v,k=v" string because map column
+    ordering is engine-dependent — serializing through sorted keys is
+    exactly what a hash-comparable (or cache-keyed) map output requires
+    in production too.  One hash shuffle to the (user, type) grain, one
+    to the user grain; map ops are map-side JVM codegen."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    keys = F.map_keys("m")  # entries were sorted, so keys are sorted
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at(keys, 1).alias("first_key"),
+        F.array_join(
+            F.transform(
+                keys,
+                lambda k: F.concat(
+                    k, F.lit("="), F.element_at("m", k).cast("string")
+                ),
+            ),
+            ",",
+        ).alias("map_str"),
+    )
