@@ -462,6 +462,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "skew_diagnostics": "broadcast 1-row totals scalar over key counts",
         "basket_association_rules": "broadcast 1-row basket-count scalar",
         "daily_revenue_anomalies": "broadcast 1-row mean/stddev scalar",
+        "ann_recall_audit": "exact-baseline half: broadcast query set x corpus",
     }
     offenders = {}
     for name, fn in all_queries().items():
