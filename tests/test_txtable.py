@@ -90,3 +90,40 @@ def test_crash_before_flip_is_invisible_then_repaired(spark, tmp_path):
 def test_read_missing_version_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(version=7)
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: a random sequence of append/merge/delete ops
+    applied to the table must match a plain-dict model at every step,
+    and every historical version must stay readable afterwards."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        t = TransactionalTable(spark, str(tmp_path / f"mb{trial}"))
+        model = {1: "v0", 2: "v0"}
+        t.create(_df(spark, sorted(model.items())))
+        next_id = 3
+        for step in range(5):
+            op = rng.choice(["append", "merge", "delete"])
+            if op == "append":
+                rows = [(next_id, f"s{step}"), (next_id + 1, f"s{step}")]
+                next_id += 2
+                t.append(_df(spark, rows))
+                model.update(dict(rows))
+            elif op == "merge":
+                targets = rng.sample(sorted(model), k=min(2, len(model)))
+                rows = [(i, f"m{step}") for i in targets] + [(next_id, f"m{step}")]
+                next_id += 1
+                t.merge(_df(spark, rows), keys=["id"])
+                model.update(dict(rows))
+            else:
+                if model:
+                    victim = rng.choice(sorted(model))
+                    t.delete_where(F.col("id") == victim)
+                    model.pop(victim)
+            got = {r.id: r.val for r in t.read().collect()}
+            assert got == model, (trial, step, op)
+        # every version remains time-travel readable
+        for v in t.versions():
+            assert t.read(version=v).count() >= 0
