@@ -526,3 +526,78 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds in SQL: round 1 from identity labels degenerates to
     MIN(neighbor id), round 2 is the real most-frequent-label argmax."""
     return label_propagation(copurchase_edges(spark, sf_dir), n_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(edges: DataFrame, k: int = 3, n_rounds: int | None = None) -> DataFrame:
+    """Vertices of the k-core: repeatedly peel vertices with degree < k
+    until none remain (``n_rounds=None``) or for a fixed round count
+    (the oracle-checkable form).  Returns (vertex, degree) in the final
+    surviving subgraph.
+
+    Per round: one degree count (hash agg on vertex) + one semi join of
+    the edge list against surviving vertices on EACH endpoint — all
+    keyed shuffles; ``localCheckpoint`` per round truncates lineage like
+    every other iterative driver here.  Rounds are bounded by the peel
+    depth (typically small); at 100 TB each round's edge filter is the
+    dominant cost and shrinks monotonically."""
+    spark = edges.sparkSession
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    rounds = 0
+    while True:
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        survivors = deg.where(F.col("d") >= k).select("u")
+        peeled = deg.where(F.col("d") < k).limit(1)
+        rounds += 1
+        done_rounds = n_rounds is not None and rounds >= n_rounds
+        if done_rounds or (n_rounds is None and peeled.count() == 0):
+            return deg.where(F.col("d") >= k).select(
+                F.col("u").alias("vertex"), F.col("d").alias("degree")
+            )
+        sym = (
+            sym.join(survivors, "u")
+            .join(survivors.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+
+
+@query(
+    "kcore_peel",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+d1 AS (SELECT u, COUNT(*) AS d FROM s0 GROUP BY u),
+k1 AS (SELECT u FROM d1 WHERE d >= 3),
+s1 AS (
+  SELECT s0.u, s0.v FROM s0
+  JOIN k1 a ON a.u = s0.u
+  JOIN k1 b ON b.u = s0.v
+),
+d2 AS (SELECT u, COUNT(*) AS d FROM s1 GROUP BY u)
+SELECT u AS vertex, CAST(d AS BIGINT) AS degree
+FROM d2 WHERE d >= 3
+""",
+)
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peel rounds of 3-core decomposition on the co-purchase graph
+    (the loop body of the full ``kcore(edges, k)`` driver; k-cores are
+    the standard dense-subgraph/community-seed primitive).  The oracle
+    replays both rounds: degree count, peel < 3, induced-subgraph degree
+    recount, peel again."""
+    return kcore(copurchase_edges(spark, sf_dir), k=3, n_rounds=2)

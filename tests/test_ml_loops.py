@@ -146,3 +146,24 @@ def test_label_propagation_deterministic_across_runs(spark, sf_dir):
     b = sorted(map(tuple, ml.label_propagation(e, n_rounds=3).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_kcore_keeps_clique_peels_chain(spark):
+    # 4-clique (every vertex degree 3) + a pendant chain off vertex 4:
+    # the chain peels away round by round; the clique IS the 3-core.
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    e = _edges(spark, clique + chain)
+    core = {r.vertex: r.degree for r in ml.kcore(e, k=3).collect()}
+    assert set(core) == {1, 2, 3, 4}
+    assert all(d == 3 for d in core.values())
+    # 2-core: the chain is still pendant (degree-1 ends peel recursively)
+    core2 = {r.vertex for r in ml.kcore(e, k=2).collect()}
+    assert core2 == {1, 2, 3, 4}
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    # A tree has no 2-core at k=3 (every peel round removes leaves until
+    # nothing is left).
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert ml.kcore(e, k=3).count() == 0
