@@ -1332,3 +1332,115 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2)
         .select("day", "revenue", F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       STRFTIME(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       COALESCE(STRFTIME(p.first_purchase_ts, '%Y-%m-%d %H:%M:%S'), '')
+         AS first_purchase_ts,
+       CAST(COALESCE(date_diff('second', s.signup_ts, p.first_purchase_ts), -1)
+            AS BIGINT) AS latency_s
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+""",
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per signed-up user, the time from first signup
+    to first subsequent purchase (-1 sentinel if never converted) — the
+    canonical activation metric.  Two keyed min-aggregates + one left
+    join, all on user_id — one exchange each, reusable partitioning.
+    The purchase min is constrained to ts >= signup so pre-signup
+    purchases (possible in this synthetic stream) don't produce negative
+    latencies."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.coalesce(
+            F.date_format("first_purchase_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(""),
+        ).alias("first_purchase_ts"),
+        F.coalesce(
+            (
+                F.unix_timestamp("first_purchase_ts")
+                - F.unix_timestamp("signup_ts")
+            ),
+            F.lit(-1),
+        ).alias("latency_s"),
+    )
+
+
+@query(
+    "revenue_contribution_pareto",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS share,
+       ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation)
+             / SUM(revenue) OVER (), 6) AS cumulative_share
+FROM r
+""",
+)
+def revenue_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total + Pareto curve: each nation's revenue share and
+    the cumulative share walking down the ranking (the 80/20 readout on
+    any dimension).  The fact table collapses to the 25-row nation grain
+    FIRST (one hash shuffle with broadcast dims), so the whole-table
+    window (`OVER ()`) runs on a metadata-sized aggregate — the
+    unpartitioned window is only ever acceptable AFTER the cardinality
+    collapse, never on the raw fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_all = W.partitionBy()
+    w_cum = W.partitionBy().orderBy(F.desc("revenue"), F.asc("nation"))
+    return r.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("revenue").over(
+                w_cum.rangeBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / F.sum("revenue").over(w_all),
+            6,
+        ).alias("cumulative_share"),
+    )

@@ -429,3 +429,46 @@ def purchase_click_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "click"),
         horizon="1 hour",
     )
+
+
+@query(
+    "rolling_1h_user_value",
+    oracle="""
+SELECT event_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 4) AS rolling_1h_value,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_1h_events
+FROM events
+""",
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: for every event, the sum/count of the
+    same user's events in the trailing hour — the event-time rolling
+    window (distinct from row-count frames: the frame width is WALL
+    TIME, so burst periods aggregate more rows).  Spark expresses
+    interval frames by ordering on epoch seconds with a numeric
+    rangeBetween — semantically identical to DuckDB's
+    RANGE BETWEEN INTERVAL, and equal-ts peers are in-frame on both
+    engines by the RANGE definition.  One keyed window sort per user;
+    at 100 TB this is the standard trailing-window feature generator
+    (fraud velocity checks, rate features) and runs per key with no
+    global state."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
