@@ -452,18 +452,22 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user's events in the trailing hour — the event-time rolling
     window (distinct from row-count frames: the frame width is WALL
     TIME, so burst periods aggregate more rows).  Spark expresses
-    interval frames by ordering on epoch seconds with a numeric
-    rangeBetween — semantically identical to DuckDB's
-    RANGE BETWEEN INTERVAL, and equal-ts peers are in-frame on both
-    engines by the RANGE definition.  One keyed window sort per user;
-    at 100 TB this is the standard trailing-window feature generator
-    (fraud velocity checks, rate features) and runs per key with no
-    global state."""
+    interval frames by ordering on epoch MICROSECONDS with a numeric
+    rangeBetween — exactly DuckDB's RANGE BETWEEN INTERVAL, and equal-ts
+    peers are in-frame on both engines by the RANGE definition.  The
+    precision matters: ordering on unix_timestamp (whole seconds) made
+    one sf0.1 row disagree with the oracle — a pair 3600.4 s apart
+    truncates to exactly 3600 and wrongly enters the frame; every ts in
+    the test data carries sub-second microseconds, so the boundary WILL
+    be hit at scale (the sf0.1 determinism sweep caught it).  One keyed
+    window sort per user; at 100 TB this is the standard trailing-window
+    feature generator (fraud velocity checks, rate features) and runs
+    per key with no global state."""
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
