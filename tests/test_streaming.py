@@ -747,3 +747,49 @@ def test_stream_stream_full_outer_join_equivalence(spark, sf_dir, replay_dir):
     assert any(p is not None and c is not None for p, c, _ in want_rows)
     assert any(c is None for _, c, _ in want_rows)  # purchase-only
     assert any(p is None for p, _, _ in want_rows)  # click-only
+
+
+def test_streaming_index_maintenance_pipeline(spark, sf_dir, tmp_path):
+    """The continuous-corpus composition: embeddings arrive as a stream,
+    already-indexed ids are dropped (ingest dedup), and each micro-batch
+    appends its novel vectors into the persisted ANN index — which stays
+    probe-consistent with an index built from the full corpus at once."""
+    from odni_apache_beam_consumer_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") < 300)
+    path = str(tmp_path / "stream_ann")
+    planes = S.build_ann_index(old, path)
+    seen = old.select("vec_id")
+
+    # Stream the full corpus back in micro-batches; the dedup layer must
+    # keep only the 200 unseen vectors, and each batch appends them.
+    src = str(tmp_path / "stream_src")
+    emb.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    fresh = stream.join(seen, "vec_id", "left_anti")
+
+    def append_batch(batch_df, batch_id):
+        if batch_df.count():
+            S.append_to_ann_index(batch_df, path, planes)
+
+    q = (
+        fresh.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert idx.select("neighbor_id").distinct().count() == emb.count()
+    # Probe parity with a from-scratch index over the same corpus.
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 450).first()["embedding"]]
+    whole = str(tmp_path / "whole_ann")
+    S.build_ann_index(emb, whole, planes=planes)
+    got = [tuple(r) for r in S.query_ann_index(spark, path, qvec, planes, k=5).collect()]
+    want = [tuple(r) for r in S.query_ann_index(spark, whole, qvec, planes, k=5).collect()]
+    assert got == want
