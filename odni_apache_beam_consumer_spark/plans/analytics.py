@@ -1444,3 +1444,61 @@ def revenue_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cumulative_share"),
     )
+
+
+@query(
+    "mad_robust_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, ROUND(d.value, 4) AS value,
+       ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+""",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers: events whose robust z-score
+    |x - median| / (1.4826 * MAD) exceeds 3.5 per event type — the
+    standard robust complement to the IQR filter (mean/stddev z-scores
+    are themselves dragged by the outliers they hunt; median/MAD have a
+    50% breakdown point).
+
+    Shape: two percentile passes (median, then median of absolute
+    deviations), each producing a per-type row that broadcasts back into
+    a map-side filter — the fact table is scanned twice, never shuffled
+    on a row key.  At 100 TB both medians swap to approx_percentile
+    (same call shape, t-digest) and the second scan reuses the cached
+    first projection."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )

@@ -1562,3 +1562,47 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 5.0, 2).alias("recall_at_5"),
         )
     )
+
+
+# Ensemble oracle: the two member oracles are composed verbatim as
+# subqueries (each is a standalone WITH..SELECT), so the ensemble is
+# verified against exactly the SQL the members are verified against.
+_ENSEMBLE_ORACLE: str | None = None
+
+
+def _ensemble_oracle() -> str:
+    from odni_apache_beam_consumer_spark.plans.registry import ORACLES
+
+    return (
+        "SELECT doc_a, doc_b FROM (" + ORACLES["dedup_minhash"] + ") mh\n"
+        "INTERSECT\n"
+        "SELECT doc_a, doc_b FROM (" + ORACLES["dedup_simhash"] + ") sh"
+    )
+
+
+@query("dedup_ensemble_pairs", oracle="__DEFERRED__")
+def dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-boosting dedup ensemble: candidate pairs flagged by BOTH
+    MinHash-LSH (set overlap) and SimHash (weighted token profile).  The
+    two signatures fail differently — LSH bands fire on shingle overlap
+    (length-sensitive), SimHash on global token distribution (robust to
+    local edits) — so their intersection removes most single-method
+    false positives before expensive resolution; production pipelines
+    run exactly this AND-gate when deletion is irreversible.
+
+    Shape: both member pair sets are band/block-bounded (their own hot-
+    bucket guards apply unchanged); the intersection is one hash
+    shuffle on (doc_a, doc_b) over two already-small pair sets.  The
+    members are the REGISTERED, driver-verified queries — this plan and
+    its oracle both compose them verbatim."""
+    from odni_apache_beam_consumer_spark.plans.registry import QUERIES
+
+    mh = QUERIES["dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    sh = QUERIES["dedup_simhash"](spark, sf_dir).select("doc_a", "doc_b")
+    return mh.intersect(sh)
+
+
+# Resolve the deferred oracle now that both member oracles are registered.
+from odni_apache_beam_consumer_spark.plans.registry import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_ensemble_pairs"] = _ensemble_oracle()
