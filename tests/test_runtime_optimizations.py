@@ -22,6 +22,8 @@ plan shape is the contract.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -108,3 +110,50 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir, scaled_down_thresholds)
     j.collect()  # AQE decides from runtime stats — must execute this plan
     executed = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in executed, executed
+
+
+def test_analyze_table_statistics_feed_the_optimizer(spark, sf_dir, tmp_path):
+    """Catalog statistics surface: after ANALYZE TABLE ... COMPUTE
+    STATISTICS, the optimizer's plan statistics reflect the real row
+    count (not a size-based guess) — the inputs CBO join-reordering and
+    broadcast decisions consume.  Covers the stats-collection workflow a
+    100 TB warehouse runs after every large load."""
+    import uuid
+
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    tbl = f"orders_stats_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").write.option(
+        "path", str(tmp_path / "orders_tbl")
+    ).saveAsTable(tbl)
+    try:
+        n = spark.table(tbl).count()
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        assert f"{n} rows" in desc.get("Statistics", ""), desc.get("Statistics")
+        # Column-level stats exist for the analyzed column.
+        col = spark.sql(f"DESCRIBE EXTENDED {tbl} o_custkey").collect()
+        info = {r.info_name: r.info_value for r in col}
+        assert info.get("distinct_count") not in (None, "NULL"), info
+        # With CBO on, the optimized plan's statistics carry the exact
+        # row count (without it only sizeInBytes propagates).
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table(tbl)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+        assert "rowCount=" in stats and "sizeInBytes" in stats, stats
+        m = re.search(r"rowCount=([0-9.E+]+)", stats)
+        assert m and int(float(m.group(1))) == n, stats
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
