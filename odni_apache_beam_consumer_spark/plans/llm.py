@@ -1606,3 +1606,54 @@ def dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from odni_apache_beam_consumer_spark.plans.registry import ORACLES as _OR  # noqa: E402
 
 _OR["dedup_ensemble_pairs"] = _ensemble_oracle()
+
+
+def _dedup_method_oracle() -> str:
+    from odni_apache_beam_consumer_spark.plans.registry import ORACLES
+
+    mh, sh = ORACLES["dedup_minhash"], ORACLES["dedup_simhash"]
+    return f"""
+SELECT 'minhash' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({mh}) a
+UNION ALL
+SELECT 'simhash' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({sh}) b
+UNION ALL
+SELECT 'both' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+  SELECT doc_a, doc_b FROM ({mh}) c
+  INTERSECT
+  SELECT doc_a, doc_b FROM ({sh}) d
+) e
+"""
+
+
+@query("dedup_method_comparison", oracle="__DEFERRED2__")
+def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method calibration readout: pair counts per signature method
+    and the size of their agreement set — the summary a curation team
+    reads before choosing thresholds (a method whose count dwarfs the
+    agreement set is over-firing; one far below it is under-recalling).
+    Composes the driver-verified member queries verbatim on both sides;
+    output is 3 rows."""
+    from odni_apache_beam_consumer_spark.plans.registry import QUERIES
+
+    mh = QUERIES["dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    sh = QUERIES["dedup_simhash"](spark, sf_dir).select("doc_a", "doc_b")
+    both = mh.intersect(sh)
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(name).alias("method"), "n_pairs"
+        )
+
+    return (
+        counted(mh, "minhash")
+        .unionByName(counted(sh, "simhash"))
+        .unionByName(counted(both, "both"))
+    )
+
+
+from odni_apache_beam_consumer_spark.plans.registry import ORACLES as _OR2  # noqa: E402
+
+_OR2["dedup_method_comparison"] = _dedup_method_oracle()
