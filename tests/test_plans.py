@@ -474,3 +474,32 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
             offenders[name] = "unwhitelisted BroadcastNestedLoopJoin"
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_similar_docs_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 cut must push below the window sort."""
+    assert "WindowGroupLimit" in formatted_plan(spark, "similar_docs_topk", sf_dir)
+
+
+def test_quantile_binning_broadcasts_boundaries(spark, sf_dir):
+    """Boundary table is category-sized -> must broadcast; the fact scan
+    stays map-side (no shuffle on a row key)."""
+    plan = formatted_plan(spark, "quantile_binning", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_point_in_time_join_is_keyed(spark, sf_dir):
+    """The SCD2 temporal join must be an equi-join on the dimension key
+    (interval predicate as residual), never a non-equi nested loop."""
+    plan = formatted_plan(spark, "point_in_time_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_skew_diagnostics_uses_take_ordered(spark, sf_dir):
+    """Top-10 hottest keys must be TakeOrdered (partial per-partition
+    top-k), never a global sort of the key-count table."""
+    plan = formatted_plan(spark, "skew_diagnostics", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
