@@ -17,11 +17,16 @@ from odni_apache_beam_consumer_spark.catalog import TABLE_NAMES, table_path
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
-        )
+        p = table_path(sf_dir, name)
+        # Driver testdata is one file per table; Spark-written inputs
+        # (e.g. the 10x scale_bench synthesis) are directories of parts.
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
