@@ -1,4 +1,9 @@
-"""Multimodal column operators: decode / feature-extract over binary payloads.
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample / audio-segment over binary payloads.
+
+Reference parity: the reference moves opaque bytes (Kafka value: binary,
+/root/reference/main.py:85-108) without ever decoding them; this module
+is that binary-column convention carried into a typed decode surface.
 
 Convention (SURVEY.md §2.2 LLM-pipeline row): media travels as an opaque
 ``binary`` payload column plus typed metadata (``media_type`` string, plus

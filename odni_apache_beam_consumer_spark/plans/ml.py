@@ -1,5 +1,9 @@
-"""ML / graph analytics: a k-means Lloyd step over the embedding corpus
-and triangle counting over the co-purchase graph.
+"""ML / graph analytics: k-means, triangle counting, PageRank, label
+propagation and k-core decomposition over the co-purchase graph.
+
+Reference parity: none of this exists in the reference (its sole
+transform is a Kafka read piped to print, /root/reference/main.py:85-109);
+these are north-star additions per SURVEY.md §2.2.
 
 These demonstrate the two execution shapes the relational packs don't:
 an *iterative numeric* step (assignment + centroid update — the loop body

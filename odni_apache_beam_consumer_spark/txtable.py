@@ -1,5 +1,10 @@
 """Transactional batch table: versioned snapshots with atomic commits.
 
+Reference parity: the reference has no storage layer at all (its only
+durable effect is printing Kafka records, /root/reference/main.py:109);
+this module provides the committed-write surface any production
+consumer of that stream needs downstream.
+
 Closes the "no transactional table format" gap natively: the same
 pointer-is-commit protocol as the streaming materialized-view store
 (streaming/materialized.py), generalized into a BATCH write API —
