@@ -151,3 +151,20 @@ def global_order_index(
         )
         .drop("__pid")
     )
+
+
+def with_kfold(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "kfold",
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5-bucket(id) mod k.
+
+    Same hash-bucket machinery as ``with_split``, so folds share its
+    guarantees: a document's fold never changes as the corpus grows
+    (critical — re-folding on every data refresh leaks eval docs into
+    training), assignment is reproducible from the id alone on any
+    engine, and expected fold sizes are n/k with multinomial jitter."""
+    return df.withColumn(out, hash_bucket(id_col, salt) % k)

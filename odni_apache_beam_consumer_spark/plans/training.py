@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators import sampling as SMP
 from odni_apache_beam_consumer_spark.operators.sampling import (
     duck_bucket_sql,
     hash_bucket,
@@ -583,3 +584,36 @@ def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInArrow(_normalize, out_schema)
+
+
+@query(
+    "kfold_assignment",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         {SMP.duck_bucket_sql("doc_id", "kfold")} % 5 AS fold
+  FROM documents
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM f GROUP BY fold
+""",
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment over the corpus with per-fold
+    balance stats — the split layer under every CV training loop.  Folds
+    are a pure function of doc_id (md5 bucket mod k, operators/
+    sampling.py::with_kfold), so they survive corpus growth without
+    leaking documents across folds — the property random shuffles lose on
+    every refresh.  One map-side assignment + one 5-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = SMP.with_kfold(docs, k=5)
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

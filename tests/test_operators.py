@@ -310,3 +310,21 @@ def test_ann_index_incremental_append(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in S.query_ann_index(spark, path, qvec, planes, k=5).collect()]
     want = [tuple(r) for r in S.query_ann_index(spark, whole, qvec, planes, k=5).collect()]
     assert got == want
+
+
+def test_kfold_stability_under_growth_and_balance(spark):
+    """A doc's fold must not change when the corpus grows; folds must be
+    roughly balanced and exactly partition the corpus."""
+    from collections import Counter
+
+    from odni_apache_beam_consumer_spark.operators import sampling as SMP
+
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id BIGINT")
+    big = spark.createDataFrame([(i,) for i in range(2000)], "doc_id BIGINT")
+    f_small = {r.doc_id: r.fold for r in SMP.with_kfold(small, k=5).collect()}
+    f_big = {r.doc_id: r.fold for r in SMP.with_kfold(big, k=5).collect()}
+    assert all(f_big[d] == f for d, f in f_small.items())
+    c = Counter(f_big.values())
+    assert set(c) == {0, 1, 2, 3, 4}
+    assert sum(c.values()) == 2000
+    assert all(300 < n < 500 for n in c.values()), c  # ~400 each
