@@ -379,8 +379,17 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("c") / (F.col("nsh_a") + F.col("nsh_b") - F.col("c")), 6
+            # Tie-proof 6dp jaccard: integer ppm first, then one exact
+            # IEEE division by 1e6.  ROUND(c/union, 6) can land exactly on
+            # a rounding boundary when union is a multiple of 128 (e.g.
+            # 1/128 = 0.0078125) and DuckDB/JVM break the tie differently;
+            # integer DIV is bit-identical everywhere and int/1e6 is a
+            # single correctly-rounded IEEE op in both engines.
+            (
+                F.expr(
+                    "CAST(c * 1000000 DIV (nsh_a + nsh_b - c) AS BIGINT)"
+                )
+                / F.lit(1000000.0)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -542,7 +542,7 @@ common AS (
 ),
 pairs AS (
   SELECT doc_a, doc_b,
-         ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+         CAST(c * 1000000 // (sa.nsh + sb.nsh - c) AS BIGINT) / 1000000.0 AS jaccard
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b

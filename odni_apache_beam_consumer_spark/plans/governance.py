@@ -164,10 +164,11 @@ tot AS (
   FROM kc
 )
 SELECT key, key_rows,
-       ROUND(key_rows / tot.total_rows, 6) AS share,
-       ROUND(key_rows * tot.n_keys / tot.total_rows, 4) AS skew_ratio,
-       CAST(CEIL(key_rows * tot.n_keys / tot.total_rows) AS BIGINT)
-         AS suggested_salt
+       CAST(key_rows * 1000000 // tot.total_rows AS BIGINT) AS share_ppm,
+       CAST(key_rows * tot.n_keys * 10000 // tot.total_rows AS BIGINT)
+         AS skew_ratio_bp,
+       CAST((key_rows * tot.n_keys + tot.total_rows - 1) // tot.total_rows
+            AS BIGINT) AS suggested_salt
 FROM kc CROSS JOIN tot
 ORDER BY key_rows DESC, key ASC
 LIMIT 10
@@ -193,15 +194,25 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("key_rows").alias("total_rows"),
         F.count(F.lit(1)).alias("n_keys"),
     )
-    ratio = F.col("key_rows") * F.col("n_keys") / F.col("total_rows")
+    # All three derived columns are integer arithmetic (ppm / basis points
+    # / ceil-div) rather than ROUND on a double ratio: int-ratio quotients
+    # can land exactly on a decimal rounding boundary, which DuckDB and
+    # the JVM resolve differently (the sequence_packing bug class).
     return (
         kc.crossJoin(F.broadcast(tot))
         .select(
             "key",
             "key_rows",
-            F.round(F.col("key_rows") / F.col("total_rows"), 6).alias("share"),
-            F.round(ratio, 4).alias("skew_ratio"),
-            F.ceil(ratio).alias("suggested_salt"),
+            F.expr("CAST(key_rows * 1000000 DIV total_rows AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST(key_rows * n_keys * 10000 DIV total_rows AS BIGINT)"
+            ).alias("skew_ratio_bp"),
+            F.expr(
+                "CAST((key_rows * n_keys + total_rows - 1) DIV total_rows"
+                " AS BIGINT)"
+            ).alias("suggested_salt"),
         )
         .orderBy(F.desc("key_rows"), F.asc("key"))
         .limit(10)

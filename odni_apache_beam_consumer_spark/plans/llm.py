@@ -201,11 +201,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+       CAST(c * 1000000 // (sa.nsh + sb.nsh - c) AS BIGINT) / 1000000.0 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(c / (sa.nsh + sb.nsh - c), 6) >= 0.5
+WHERE CAST(c * 1000000 // (sa.nsh + sb.nsh - c) AS BIGINT) / 1000000.0 >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,11 +232,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(c / (sa.nsh + sb.nsh - c), 6) AS jaccard
+       CAST(c * 1000000 // (sa.nsh + sb.nsh - c) AS BIGINT) / 1000000.0 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(c / (sa.nsh + sb.nsh - c), 6) >= 0.5
+WHERE CAST(c * 1000000 // (sa.nsh + sb.nsh - c) AS BIGINT) / 1000000.0 >= 0.5
 """,
 )
 def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,8 +66,19 @@ def _driver_witnessed() -> set[str]:
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
-        except (OSError, ValueError):
+                for name, rec in json.load(f).items():
+                    # Only a PASSING entry retires a query from the
+                    # unwitnessed-first queue: full hash pass, or — for
+                    # by-design rows-only queries (no oracle) — a completed
+                    # rows check.  A failed hash (r3: sequence_packing)
+                    # must re-surface next round so the fix gets a fresh
+                    # driver witness.
+                    if rec.get("hash_match") is True or (
+                        rec.get("err") == "no_oracle"
+                        and rec.get("spark_rows") is not None
+                    ):
+                        seen.add(name)
+        except (OSError, ValueError, AttributeError):
             continue
     return seen
 

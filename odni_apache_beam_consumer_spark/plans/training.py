@@ -110,7 +110,8 @@ SELECT lang, shard, before_me // {_BUDGET} AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       ROUND(SUM(n_tokens) / {_BUDGET}.0, 6) AS fill_ratio
+       CAST((CAST(SUM(n_tokens) AS BIGINT) * 1000000) // {_BUDGET} AS BIGINT)
+         AS fill_ppm
 FROM placed
 GROUP BY lang, shard, before_me // {_BUDGET}
 """,
@@ -153,7 +154,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
-            F.round(F.sum("n_tokens") / F.lit(float(_BUDGET)), 6).alias("fill_ratio"),
+            # Integer fill fraction in parts-per-million.  The obvious
+            # ROUND(sum/budget, 6) is NOT hash-portable: sum/512 is exact
+            # binary, so the quotient can land exactly on a .xxxxxx5
+            # rounding boundary and DuckDB/JVM resolve the tie
+            # differently (the only driver-red cell of rounds 1-3).
+            # Integer division is bit-identical everywhere.
+            F.expr(f"CAST(sum(n_tokens) * 1000000 DIV {_BUDGET} AS BIGINT)")
+            .alias("fill_ppm"),
         )
     )
 
