@@ -472,7 +472,7 @@ def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
     labels = sym.select("u").distinct().select(
         F.col("u").alias("vertex"), F.col("u").alias("label")
     )
-    for _ in range(n_rounds):
+    for i in range(n_rounds):
         neigh = sym.join(
             labels.withColumnRenamed("vertex", "u"), "u"
         ).select(F.col("v").alias("vertex"), "label")
@@ -484,8 +484,14 @@ def label_propagation(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("vertex", "label")
-            .localCheckpoint(eager=False)
+            # last round is EAGER: materializing the result here lets the
+            # persisted inputs be released before returning — repeated
+            # library calls in one session must not accumulate cached
+            # RDDs until someone runs a global clearCache.
+            .localCheckpoint(eager=(i == n_rounds - 1))
         )
+    edges.unpersist()
+    sym.unpersist()
     return labels
 
 
@@ -550,9 +556,10 @@ def kcore(edges: DataFrame, k: int = 3, n_rounds: int | None = None) -> DataFram
     depth (typically small); at 100 TB each round's edge filter is the
     dominant cost and shrinks monotonically."""
     spark = edges.sparkSession
-    sym = edges.unionByName(
+    sym0 = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    sym = sym0
     rounds = 0
     while True:
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -561,9 +568,17 @@ def kcore(edges: DataFrame, k: int = 3, n_rounds: int | None = None) -> DataFram
         rounds += 1
         done_rounds = n_rounds is not None and rounds >= n_rounds
         if done_rounds or (n_rounds is None and peeled.count() == 0):
-            return deg.where(F.col("d") >= k).select(
-                F.col("u").alias("vertex"), F.col("d").alias("degree")
+            # Materialize the result eagerly so the persisted symmetric
+            # edge list can be released before returning — direct library
+            # callers (not just bench.py with its clearCache) must not
+            # accumulate cached RDDs across repeated calls.
+            out = (
+                deg.where(F.col("d") >= k)
+                .select(F.col("u").alias("vertex"), F.col("d").alias("degree"))
+                .localCheckpoint(eager=True)
             )
+            sym0.unpersist()
+            return out
         sym = (
             sym.join(survivors, "u")
             .join(survivors.select(F.col("u").alias("v")), "v")

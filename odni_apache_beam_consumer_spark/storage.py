@@ -214,7 +214,12 @@ def delete_keys_partitioned(
         return {"partitions_rewritten": [], "rows_deleted": 0}
     sub = t.where(F.col(partition_col).isin(affected))
     n_before = sub.count()
-    kept = sub.where(~F.col(key_col).isin(keys))
+    # NULL-safe keep: `~isin` evaluates to NULL (not true) for NULL keys,
+    # which would silently delete every NULL-key row in a rewritten
+    # partition — collateral loss beyond the requested keys.
+    kept = sub.where(
+        (~F.col(key_col).isin(keys)) | F.col(key_col).isNull()
+    )
     n_after = kept.count()
     # Which affected partitions still have rows — computed BEFORE the
     # overwrite: kept's plan reads the files the write replaces, so any

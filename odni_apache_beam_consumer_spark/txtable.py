@@ -5,33 +5,43 @@ durable effect is printing Kafka records, /root/reference/main.py:109);
 this module provides the committed-write surface any production
 consumer of that stream needs downstream.
 
-Closes the "no transactional table format" gap natively: the same
-pointer-is-commit protocol as the streaming materialized-view store
-(streaming/materialized.py), generalized into a BATCH write API —
-append / merge (upsert) / delete with ACID-style visibility, time
-travel, operation-id idempotency, and optimistic conflict detection.
-This is the format-free core of what Delta/Iceberg provide; the method
-surface (`append`, `merge`, `delete_where`, `read(version=...)`,
-`history`) maps 1:1 onto their transaction-log operations, so swapping a
-real table format in changes the storage calls, not the pipeline code.
+Closes the "no transactional table format" gap natively with the same
+commit design real lakehouse formats use — append / merge (upsert) /
+delete with ACID-style visibility, time travel, operation-id
+idempotency, and optimistic conflict detection.  The method surface
+(`append`, `merge`, `delete_where`, `read(version=...)`, `history`,
+`vacuum`) maps 1:1 onto Delta/Iceberg transaction-log operations, so
+swapping a real table format in changes the storage calls, not the
+pipeline code.
 
-Protocol (all on any shared filesystem — no lock service):
+Protocol (all on any shared filesystem — no lock service).  This is the
+Delta-style "log record IS the commit" design:
 
-* every committed state is a COMPLETE immutable snapshot directory
-  ``snapshot_v{n}`` plus a commit metadata file ``commit_v{n}.json``;
-* the pointer file ``_LATEST`` names the committed version; it is
-  written via tmp-file + atomic rename, and IS the commit record —
-  readers resolve it once and then read only immutable files, so a
-  reader never observes a partial write;
-* a crash before the pointer flip leaves an orphan snapshot that is
-  invisible and harmlessly overwritten by the next attempt;
-* idempotency: a commit may carry an ``op_id``; if the history already
-  contains it the commit is a no-op (safe replay of e.g. a retried
-  orchestrator task);
-* optimistic concurrency: the writer records the version it read; if
-  the pointer moved before its flip, the commit raises
-  ``CommitConflict`` instead of clobbering the other writer (rewrite
-  semantics: re-run the operation on the new base).
+* data for version ``n`` is written to a UNIQUELY-NAMED immutable
+  snapshot directory ``snapshot_v{n}-{token}``; unique names mean data
+  dirs are never renamed, contended for, or deleted by the protocol —
+  a crashed writer leaves invisible garbage, never a wedge;
+* the COMMIT POINT is the creation of ``commit_v{n}.json`` via
+  write-to-tmp + ``os.link`` — an atomic put-if-absent on POSIX.  The
+  meta names the snapshot directory it commits.  Exactly one writer can
+  create it; the loser sees ``CommitConflict``.  Because the link is
+  the single commit action, there is no window in which a crash leaves
+  the table half-committed: before the link the version does not exist,
+  after the link it is durable;
+* ``_LATEST`` is a CACHED HINT only (for humans and fast paths), healed
+  opportunistically; the authoritative latest version is the max
+  ``commit_v{n}.json`` present.  A crash between the meta link and the
+  hint refresh therefore loses nothing;
+* idempotency: a commit may carry an ``op_id``; if the log already
+  contains it the commit is a no-op — including when the replay is
+  detected only inside the commit-race conflict handler (two retries of
+  the same orchestrator task racing each other resolve to one commit
+  and one clean no-op);
+* optimistic concurrency: the writer records the version it read; a
+  commit derived from a stale base loses the meta-link race for
+  ``base+1`` (versions are dense, so a moved pointer always implies the
+  next meta exists) and surfaces as ``CommitConflict`` — rerun on the
+  new base.
 
 Scale shape: a commit rewrites ONE new snapshot — for append that is
 ``prev ∪ delta`` (at 100 TB a real format appends files + log entry
@@ -45,12 +55,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
+_META_RE = re.compile(r"^commit_v(\d+)\.json$")
 
 
 class CommitConflict(RuntimeError):
@@ -68,41 +80,74 @@ class TransactionalTable:
     def _pointer_path(self) -> str:
         return os.path.join(self.path, _POINTER)
 
-    def latest_version(self) -> int | None:
-        p = self._pointer_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
-
-    def _snapshot(self, v: int) -> str:
-        return os.path.join(self.path, f"snapshot_v{v}")
-
     def _commit_meta(self, v: int) -> str:
         return os.path.join(self.path, f"commit_v{v}.json")
 
-    def _flip(self, v: int, expected_prev: int | None) -> None:
-        if self.latest_version() != expected_prev:
-            raise CommitConflict(
-                f"pointer moved (expected {expected_prev}, "
-                f"found {self.latest_version()}) — rerun on the new base"
-            )
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+    def latest_version(self) -> int | None:
+        """Authoritative latest = max committed meta present (the pointer
+        file is only a cached hint; scanning the log directory is what
+        makes a crash between meta link and hint refresh harmless)."""
+        vs = self.versions()
+        latest = vs[-1] if vs else None
+        self._heal_pointer(latest)
+        return latest
+
+    def _heal_pointer(self, latest: int | None) -> None:
+        """Refresh the _LATEST hint if stale.  Best-effort: failure to
+        heal never affects correctness, only the human-readable hint."""
+        if latest is None:
+            return
+        try:
+            with open(self._pointer_path()) as f:
+                if int(f.read().strip()) == latest:
+                    return
+        except (OSError, ValueError):
+            pass
+        try:
+            tmp = self._pointer_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(latest))
+            os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        except OSError:
+            pass
+
+    def _read_meta(self, v: int) -> dict:
+        with open(self._commit_meta(v)) as f:
+            return json.load(f)
+
+    def _snapshot_dir(self, v: int) -> str:
+        return os.path.join(self.path, self._read_meta(v)["snapshot"])
 
     def _committed_op_ids(self) -> set[str]:
         ids = set()
         for v in self.versions():
             try:
-                with open(self._commit_meta(v)) as f:
-                    op = json.load(f).get("op_id")
+                op = self._read_meta(v).get("op_id")
                 if op:
                     ids.add(op)
             except (OSError, ValueError):
                 continue
         return ids
+
+    def _link_meta(self, v: int, meta: dict) -> None:
+        """Atomically publish ``commit_v{v}.json`` — THE commit point.
+
+        Content is fully written and flushed to a tmp file first, then
+        ``os.link``ed to the final name: link is put-if-absent (raises
+        FileExistsError if the version is already committed) and the
+        content is complete before the name exists, so no reader can
+        observe a partial meta."""
+        tmp = self._commit_meta(v) + ".tmp-" + os.urandom(6).hex()
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._commit_meta(v))
+        except FileExistsError:
+            raise CommitConflict(f"version {v} already committed")
+        finally:
+            os.unlink(tmp)
 
     def _commit(
         self,
@@ -111,14 +156,17 @@ class TransactionalTable:
         op_id: str | None,
         expected_prev: int | None,
     ) -> int | None:
-        """Write df as the next snapshot and atomically flip the pointer.
+        """Write df as a uniquely-named snapshot, then atomically publish
+        the commit meta for ``expected_prev + 1``.
 
         ``expected_prev`` is the version the transaction READ its base
         from — the optimistic-concurrency token.  If another writer
-        flipped the pointer since, the flip raises ``CommitConflict``
-        instead of committing a result derived from a stale base.
-        Returns the committed version, or None if op_id was already
-        committed (idempotent replay)."""
+        committed since, this writer loses the meta link race and raises
+        ``CommitConflict`` instead of committing a result derived from a
+        stale base.  Returns the committed version, or None if op_id was
+        already committed (idempotent replay — checked both up front and
+        again inside the conflict handler, so a replay racing an
+        unrelated commit still resolves to the documented no-op)."""
         prev = expected_prev
         if op_id is not None and op_id in self._committed_op_ids():
             return None
@@ -128,78 +176,59 @@ class TransactionalTable:
                 f"{self.latest_version()}) — rerun on the new base"
             )
         v = 0 if prev is None else prev + 1
-        # Write to a private staging dir, then CLAIM snapshot_v{v} via
-        # atomic rename (put-if-absent: rename onto an existing non-empty
-        # dir fails) — a concurrent writer racing for the same version
-        # can therefore never overwrite files a reader may already see.
-        staging = self._snapshot(v) + ".staging-" + os.urandom(6).hex()
-        df.write.mode("overwrite").parquet(staging)
+        snap_name = f"snapshot_v{v}-" + os.urandom(6).hex()
+        df.write.mode("overwrite").parquet(os.path.join(self.path, snap_name))
         try:
-            self._claim(staging, v)
+            self._link_meta(
+                v,
+                {
+                    "version": v,
+                    "operation": operation,
+                    "op_id": op_id,
+                    "snapshot": snap_name,
+                },
+            )
         except CommitConflict:
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
+            # The data dir is invisible garbage (no meta references it);
+            # remove it eagerly, then distinguish "our op already landed
+            # via a racing replay" (no-op) from a genuine conflict.
+            shutil.rmtree(
+                os.path.join(self.path, snap_name), ignore_errors=True
+            )
+            if op_id is not None and op_id in self._committed_op_ids():
+                return None
             raise
-        with open(self._commit_meta(v), "w") as f:
-            json.dump({"version": v, "operation": operation, "op_id": op_id}, f)
-        # ...then the atomic flip, re-checked against concurrent commits.
-        self._flip(v, prev)
+        self._heal_pointer(v)
         return v
-
-    def _claim(self, staging: str, v: int) -> None:
-        dst = self._snapshot(v)
-        try:
-            os.rename(staging, dst)
-            return
-        except OSError:
-            pass
-        # dst exists.  Committed (meta present or pointer reached v) ->
-        # genuine conflict.  Otherwise it is an orphan from a writer that
-        # crashed between snapshot write and flip: repair by removing it
-        # and claiming again.
-        latest = self.latest_version()
-        if os.path.exists(self._commit_meta(v)) or (
-            latest is not None and latest >= v
-        ):
-            raise CommitConflict(f"snapshot_v{v} already claimed")
-        import shutil
-
-        shutil.rmtree(dst, ignore_errors=True)
-        try:
-            os.rename(staging, dst)
-        except OSError as exc:  # lost the repair race too
-            raise CommitConflict(f"snapshot_v{v} already claimed") from exc
 
     # -- public API ---------------------------------------------------------
 
     def versions(self) -> list[int]:
-        latest = self.latest_version()
-        if latest is None:
+        out = []
+        try:
+            names = os.listdir(self.path)
+        except OSError:
             return []
-        return [
-            v
-            for v in range(latest + 1)
-            if os.path.exists(self._commit_meta(v))
-        ]
+        for name in names:
+            m = _META_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def history(self) -> list[dict]:
-        out = []
-        for v in self.versions():
-            with open(self._commit_meta(v)) as f:
-                out.append(json.load(f))
-        return out
+        return [self._read_meta(v) for v in self.versions()]
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot-isolated read: resolve the pointer once, then scan
-        only immutable files.  ``version`` time-travels."""
+        """Snapshot-isolated read: resolve the commit log once, then scan
+        only immutable files.  ``version`` time-travels; only committed
+        versions (meta present) are readable — an orphan data dir from a
+        crashed writer is never served."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.path}: no committed version")
-        snap = self._snapshot(v)
-        if version is not None and not os.path.exists(self._commit_meta(v)):
+        if not os.path.exists(self._commit_meta(v)):
             raise FileNotFoundError(f"{self.path}: no committed version {v}")
-        return self.spark.read.parquet(snap)
+        return self.spark.read.parquet(self._snapshot_dir(v))
 
     def _base(self, base_version: int | None) -> tuple[DataFrame, int]:
         """The transaction's base snapshot + its version (the OCC token).
@@ -231,23 +260,29 @@ class TransactionalTable:
         op_id: str | None = None,
         base_version: int | None = None,
     ) -> int | None:
-        """MERGE INTO (upsert): rows matching on ``keys`` are replaced by
-        the update row, unmatched update rows are inserted.  Implemented
-        as union + keep-latest per key (updates win) — the merge-on-read
-        compaction shape, executed eagerly at commit time.  ``updates``
-        must carry at most one row per key (dedupe upstream; with
-        multiple update rows per key the survivor among them would be
-        arrival-order dependent)."""
+        """MERGE INTO (upsert): base rows whose key matches an update row
+        are replaced by that update row; unmatched update rows are
+        inserted; every other base row — including duplicate-key rows a
+        prior ``append`` may have introduced — passes through untouched.
+
+        Implemented as ``base ANTI-JOIN updates  ∪  updates``: only keys
+        the update actually names are rewritten, so merge never collapses
+        or reorders pre-existing base duplicates (``append`` enforces no
+        key uniqueness, so they are legal).  NULL-key base rows never
+        equal any update key (SQL null semantics) and pass through.
+        ``updates`` must carry at most one row per key (dedupe upstream;
+        with multiple update rows per key the inserted survivors would
+        all land, duplicating the key).
+
+        Scale shape: updates are typically delta-sized — broadcast the
+        anti-join side so the base scan is map-only (the merge-on-read
+        compaction shape, executed eagerly at commit time)."""
         base, v = self._base(base_version)
-        up = updates.withColumn("_src", F.lit(1))
-        w = W.partitionBy(*keys).orderBy(F.desc("_src"))
-        merged = (
-            base.withColumn("_src", F.lit(0))
-            .unionByName(up)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
+        merged = base.join(
+            F.broadcast(updates.select(*keys).dropDuplicates(keys)),
+            on=keys,
+            how="left_anti",
+        ).unionByName(updates)
         return self._commit(merged, "merge", op_id, v)
 
     def delete_where(
@@ -256,5 +291,35 @@ class TransactionalTable:
         op_id: str | None = None,
         base_version: int | None = None,
     ) -> int | None:
+        """DELETE WHERE: drop rows where ``condition`` is TRUE.  Rows
+        where it evaluates to NULL (e.g. a predicate over a NULL column)
+        are KEPT — SQL DELETE semantics — rather than being silently
+        swept up by the three-valued ``~condition``."""
         base, v = self._base(base_version)
-        return self._commit(base.where(~condition), "delete", op_id, v)
+        return self._commit(
+            base.where(~F.coalesce(condition, F.lit(False))), "delete", op_id, v
+        )
+
+    def vacuum(self) -> list[str]:
+        """Remove data directories no commit meta references — the debris
+        of crashed or conflict-losing writers.  Safe with concurrent
+        READERS (referenced dirs are never touched); like Delta's VACUUM
+        it must not run concurrently with an in-flight WRITER, whose
+        not-yet-committed snapshot is indistinguishable from debris.
+        Returns the removed directory names."""
+        referenced = set()
+        for v in self.versions():
+            try:
+                referenced.add(self._read_meta(v)["snapshot"])
+            except (OSError, ValueError, KeyError):
+                continue
+        removed = []
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("snapshot_v")
+                and name not in referenced
+                and os.path.isdir(os.path.join(self.path, name))
+            ):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                removed.append(name)
+        return sorted(removed)

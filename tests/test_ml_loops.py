@@ -167,3 +167,34 @@ def test_kcore_empty_when_graph_too_sparse(spark):
     # nothing is left).
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
     assert ml.kcore(e, k=3).count() == 0
+
+
+def test_iterative_drivers_release_their_caches(spark):
+    """kcore()/label_propagation() persist the symmetric edge list
+    internally; direct library callers (no bench.py clearCache around
+    them) must not accumulate cached RDDs across repeated calls."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "u BIGINT, v BIGINT"
+    )
+    import gc
+    import time
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    for _ in range(3):
+        ml.kcore(edges, k=2, n_rounds=2).count()
+        ml.label_propagation(edges, n_rounds=2).count()
+    # The explicitly persisted inputs (kcore: 1, lpa: 2 per call) are
+    # unpersisted synchronously.  What remains are the returned
+    # DataFrames' localCheckpoint blocks, reclaimed by the ContextCleaner
+    # once unreferenced — drive GC and poll for the async cleanup
+    # (empirically ~7 s; pre-fix, the leaked persist() inputs are pinned
+    # by live references and NEVER drain, so the deadline distinguishes).
+    deadline = time.time() + 60
+    while n_persisted() > base and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_persisted() <= base

@@ -248,3 +248,26 @@ def test_delete_keys_drops_fully_emptied_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "event_date=2024-01-01"))
     left = spark.read.parquet(path).collect()
     assert [r.user_id for r in left] == [2]
+
+
+def test_delete_keys_keeps_null_key_rows(spark, tmp_path):
+    """NULL-key rows in a rewritten partition must survive a keyed delete:
+    `~isin` alone evaluates to NULL for them, which where() treats as
+    false — silent collateral deletion beyond the requested keys."""
+    from odni_apache_beam_consumer_spark import storage
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (None, "2024-01-01 11:00:00"),
+         (2, "2024-01-02 11:00:00")],
+        "user_id BIGINT, ts_s STRING",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "nullkeys")
+    storage.write_date_partitioned(df, path, "ts")
+
+    res = storage.delete_keys_partitioned(spark, path, "user_id", [1])
+    assert res["rows_deleted"] == 1
+    left = sorted(
+        (r.user_id for r in spark.read.parquet(path).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert left == [2, None]

@@ -127,3 +127,129 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         # every version remains time-travel readable
         for v in t.versions():
             assert t.read(version=v).count() >= 0
+
+
+def test_merge_preserves_base_duplicates(spark, tmp_path):
+    """append() enforces no key uniqueness, so duplicate-key base rows are
+    legal; merge() must pass untouched keys through verbatim — including
+    their duplicates — and only rewrite keys the update names."""
+    t = TransactionalTable(spark, str(tmp_path / "dups"))
+    t.create(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(2, "b2"), (3, "c")]))  # key 2 now duplicated
+    t.merge(_df(spark, [(3, "C!"), (9, "new")]), keys=["id"])
+    rows = sorted((r.id, r.val) for r in t.read().collect())
+    # both rows for key 2 survive; key 3 replaced; key 9 inserted
+    assert rows == [(1, "a"), (2, "b"), (2, "b2"), (3, "C!"), (9, "new")]
+
+
+def test_merge_keeps_null_key_rows(spark, tmp_path):
+    t = TransactionalTable(spark, str(tmp_path / "nullk"))
+    t.create(_df(spark, [(1, "a"), (None, "null-key")]))
+    t.merge(_df(spark, [(1, "A!")]), keys=["id"])
+    rows = sorted(
+        ((r.id, r.val) for r in t.read().collect()),
+        key=lambda p: (p[0] is None, p),
+    )
+    assert rows == [(1, "A!"), (None, "null-key")]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE WHERE drops only rows where the condition is TRUE; a NULL
+    predicate result (NULL column) keeps the row — SQL semantics, not the
+    three-valued ~condition which would silently delete it."""
+    t = TransactionalTable(spark, str(tmp_path / "nulldel"))
+    t.create(_df(spark, [(1, "a"), (None, "null-key"), (2, "b")]))
+    t.delete_where(F.col("id") == 2)
+    vals = {r.val for r in t.read().collect()}
+    assert vals == {"a", "null-key"}
+
+
+def test_crash_after_meta_link_is_committed(spark, tmp_path):
+    """The meta link IS the commit point: a crash after commit_v{n}.json
+    exists but before the _LATEST hint refresh must leave version n
+    durable and visible (the round-3 protocol wedged here forever)."""
+    import json as _json
+
+    path = str(tmp_path / "metacrash")
+    t = TransactionalTable(spark, path)
+    t.create(_df(spark, [(1, "a")]))
+    # Simulate the crash window: a fully-linked commit whose pointer hint
+    # was never refreshed.
+    snap = "snapshot_v1-deadbeef"
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(os.path.join(path, snap))
+    with open(os.path.join(path, "commit_v1.json"), "w") as f:
+        _json.dump(
+            {"version": 1, "operation": "append", "op_id": None,
+             "snapshot": snap}, f)
+    with open(os.path.join(path, "_LATEST"), "w") as f:
+        f.write("0")  # stale hint
+    assert t.latest_version() == 1  # log scan, not the hint, is truth
+    assert t.read().count() == 2
+    # the next commit builds on v1 and lands as v2 — no wedge, no retry loop
+    assert t.append(_df(spark, [(3, "c")])) == 2
+    assert t.read().count() == 3
+
+
+def test_vacuum_removes_only_unreferenced_dirs(spark, tmp_path):
+    path = str(tmp_path / "vac")
+    t = TransactionalTable(spark, path)
+    t.create(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    # orphan debris from a crashed writer
+    _df(spark, [(9, "junk")]).write.parquet(
+        os.path.join(path, "snapshot_v9-junk"))
+    removed = t.vacuum()
+    assert removed == ["snapshot_v9-junk"]
+    assert t.read().count() == 2
+    for v in t.versions():
+        assert t.read(version=v).count() >= 1
+
+
+def test_concurrent_writers_one_winner_per_version(spark, tmp_path):
+    """OCC under genuinely interleaved commit attempts: N threads race
+    appends against the same table with conflict-retry.  The meta-link
+    commit point must admit exactly one winner per version — every
+    append lands exactly once, versions are dense, no data is lost."""
+    import threading
+
+    path = str(tmp_path / "race")
+    t0 = TransactionalTable(spark, path)
+    t0.create(_df(spark, [(0, "base")]))
+
+    n_threads, per_thread = 4, 3
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n_threads)
+
+    def writer(tid: int) -> None:
+        try:
+            t = TransactionalTable(spark, path)
+            barrier.wait()
+            for k in range(per_thread):
+                row_id = 100 * (tid + 1) + k
+                while True:
+                    try:
+                        t.append(_df(spark, [(row_id, f"w{tid}")]),
+                                 op_id=f"op-{tid}-{k}")
+                        break
+                    except CommitConflict:
+                        continue  # stale base — retry on the new one
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,))
+               for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    total = n_threads * per_thread
+    rows = {r.id for r in t0.read().collect()}
+    assert len(rows) == total + 1  # every append landed exactly once
+    assert t0.versions() == list(range(total + 1))  # dense, one winner each
+    ops = {h["op_id"] for h in t0.history() if h["op_id"]}
+    assert len(ops) == total  # no op committed twice
+    # replaying any op after the fact is a clean no-op
+    assert t0.append(_df(spark, [(999, "dup")]), op_id="op-0-0") is None
+    assert t0.read().count() == total + 1
