@@ -578,12 +578,17 @@ def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized.  At 100 TB the df cap IS the cost bound: pairs are
     O(sum over kept shingles of df^2), independent of corpus size for
     fixed cap."""
+    # The symmetrize union consumes `pairs` twice; persist it so the
+    # inverted-index join + groupBy above it run once (the shingle table
+    # below it is already cached inside ngram_jaccard_pairs, but that
+    # does not cover the pair-generation stages).  Pair sets are df-cap-
+    # bounded, so the cache is small at any corpus size.
     pairs = D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         shingle_words=5,
         threshold=0.0,
         max_doc_freq=10,
-    )
+    ).persist()
     sym = pairs.select(
         F.col("doc_a").alias("query_doc"),
         F.col("doc_b").alias("neighbor"),

@@ -1635,11 +1635,18 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads before choosing thresholds (a method whose count dwarfs the
     agreement set is over-firing; one far below it is under-recalling).
     Composes the driver-verified member queries verbatim on both sides;
-    output is 3 rows."""
+    output is 3 rows.
+
+    Each member pair set feeds TWO consumers (its own count and the
+    intersect), so both are persisted — without this the full minhash and
+    simhash pipelines execute twice for a 3-row readout (round-3 bench's
+    slowest query at 2× its irreducible cost).  The pair sets are
+    candidate-pair-sized (band/block-bounded), so caching them is cheap
+    at any scale; bench.py's clearCache releases them."""
     from odni_apache_beam_consumer_spark.plans.registry import QUERIES
 
-    mh = QUERIES["dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
-    sh = QUERIES["dedup_simhash"](spark, sf_dir).select("doc_a", "doc_b")
+    mh = QUERIES["dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b").persist()
+    sh = QUERIES["dedup_simhash"](spark, sf_dir).select("doc_a", "doc_b").persist()
     both = mh.intersect(sh)
 
     def counted(df: DataFrame, name: str) -> DataFrame:

@@ -503,3 +503,24 @@ def test_skew_diagnostics_uses_take_ordered(spark, sf_dir):
     top-k), never a global sort of the key-count table."""
     plan = formatted_plan(spark, "skew_diagnostics", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_method_comparison_reads_cached_member_pair_sets(spark, sf_dir):
+    """dedup_method_comparison feeds each member pair set to two
+    consumers (its count + the intersect); both branches must read the
+    persisted materialization, not re-run the member pipelines (which
+    made it round-3's slowest bench query at 2x its irreducible cost).
+    Four InMemoryTableScans: minhash-count, simhash-count, and the two
+    intersect inputs."""
+    plan = formatted_plan(spark, "dedup_method_comparison", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_similar_docs_topk_reads_cached_pairs_on_both_union_branches(
+    spark, sf_dir
+):
+    """similar_docs_topk symmetrizes the pair set through a union that
+    consumes it twice; both branches must read the persisted pair table
+    so the inverted-index join + groupBy run once."""
+    plan = formatted_plan(spark, "similar_docs_topk", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2, plan
