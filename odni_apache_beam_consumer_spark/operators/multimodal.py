@@ -44,7 +44,11 @@ except Exception:
     _REAL_CODECS = False
 
 
-def decode_features(media: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+def decode_features(
+    media: DataFrame,
+    min_parallelism: int | None = None,
+    codec=None,
+) -> DataFrame:
     """(doc_id, media_type, payload binary) -> decoded feature rows.
 
     ``mapInPandas``: Arrow ships each partition to Python in columnar
@@ -57,13 +61,18 @@ def decode_features(media: DataFrame, min_parallelism: int | None = None) -> Dat
     worth the shuffle for real decode work; at 100 TB the file count
     usually provides parallelism and this stays None.
 
-    The whole decode body is a self-contained closure: cloudpickle then
-    serializes it BY VALUE, so executors do not need this package on
-    their own sys.path (an external driver session — e.g. the correctness
-    harness — ships no PYTHONPATH to its Python workers)."""
+    ``codec``: the real-decoder seam — ``decode(payload: bytes) ->
+    (width, height, n_channels)``, e.g.
+    :func:`operators.codecs.pure_python_image_codec` (BMP/PPM, stdlib
+    only, exercised by a non-skipped test) or a PIL-backed equivalent in
+    a container that has it.  ``None`` keeps the deterministic fake
+    (length-derived pseudo-dimensions) the registered oracle query
+    reproduces.  Pass a CLOSURE (not a module-level function): the whole
+    decode body is serialized by value, so executors do not need this
+    package on their own sys.path (an external driver session — e.g. the
+    correctness harness — ships no PYTHONPATH to its Python workers)."""
     if min_parallelism is not None:
         media = media.repartition(min_parallelism)
-    real_codecs = _REAL_CODECS
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -73,13 +82,17 @@ def decode_features(media: DataFrame, min_parallelism: int | None = None) -> Dat
         for pdf in batches:
             if not len(pdf):
                 continue
-            if real_codecs and (pdf["media_type"] == "image").any():
-                # Real path: Image.open(io.BytesIO(payload)) -> size.
-                # Unreachable in this container; the swap-in point.
-                raise NotImplementedError("real image codec path not wired in CI")
-            # Column-wise (not row-tuple-building): only the md5 itself is
-            # per-element Python; everything else stays in numpy/pandas.
+            # Column-wise (not row-tuple-building): only the md5 / codec
+            # call is per-element Python; everything else stays in
+            # numpy/pandas.
             n = pdf["payload"].map(len)
+            if codec is not None:
+                dims = pdf["payload"].map(lambda p: codec(bytes(p)))
+                width = dims.map(lambda t: t[0])
+                height = dims.map(lambda t: t[1])
+                channels = dims.map(lambda t: t[2])
+            else:
+                width, height, channels = n % 640, n % 480, 3
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -88,9 +101,9 @@ def decode_features(media: DataFrame, min_parallelism: int | None = None) -> Dat
                     "content_hash": pdf["payload"].map(
                         lambda p: _hashlib.md5(p).hexdigest()
                     ),
-                    "width": n % 640,
-                    "height": n % 480,
-                    "n_channels": 3,
+                    "width": width,
+                    "height": height,
+                    "n_channels": channels,
                 }
             )
 

@@ -121,6 +121,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm,
         ml,
         relational,
+        streaming_duals,
         tpch,
         tpch2,
         training,

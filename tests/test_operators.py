@@ -328,3 +328,47 @@ def test_kfold_stability_under_growth_and_balance(spark):
     assert set(c) == {0, 1, 2, 3, 4}
     assert sum(c.values()) == 2000
     assert all(300 < n < 500 for n in c.values()), c  # ~400 each
+
+
+def test_real_codec_seam_decodes_bmp_and_ppm(spark):
+    """The non-fake branch of decode_features, driven for real: a pure-
+    Python BMP/PPM decoder (stdlib only — the codec a PIL-less container
+    CAN run) goes through the same Arrow-batched mapInPandas plumbing a
+    production codec would, and the decoded dimensions are the actual
+    image dimensions, not the length-derived fake."""
+    from odni_apache_beam_consumer_spark.operators import codecs as C
+
+    bmp = C.make_bmp(17, 9, channels=3)
+    ppm = C.make_ppm(33, 21, comment="fixture")
+    gray = C.make_bmp(5, 4, channels=1)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "image", bytearray(ppm)),
+         (3, "image", bytearray(gray))],
+        "doc_id BIGINT, media_type STRING, payload BINARY",
+    )
+    feats = {
+        r.doc_id: r
+        for r in M.decode_features(
+            media, codec=C.pure_python_image_codec()
+        ).collect()
+    }
+    assert (feats[1].width, feats[1].height, feats[1].n_channels) == (17, 9, 3)
+    assert (feats[2].width, feats[2].height, feats[2].n_channels) == (33, 21, 3)
+    assert (feats[3].width, feats[3].height, feats[3].n_channels) == (5, 4, 1)
+    # the shared columns still behave like the fake path
+    assert feats[2].n_bytes == len(ppm)
+    import hashlib
+
+    assert feats[1].content_hash == hashlib.md5(bmp).hexdigest()
+
+
+def test_pure_python_codec_rejects_garbage():
+    from odni_apache_beam_consumer_spark.operators import codecs as C
+
+    import pytest as _pytest
+
+    decode = C.pure_python_image_codec()
+    for bad in (b"", b"JUNKJUNKJUNK", b"P6\nnot-a-number\n",
+                C.make_bmp(4, 4)[:20]):
+        with _pytest.raises(ValueError):
+            decode(bad)

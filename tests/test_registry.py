@@ -16,10 +16,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _witnessed() -> set[str]:
+    """Mirror of registry._driver_witnessed: only a PASSING entry (full
+    hash pass, or a completed rows-only check for no-oracle queries)
+    retires a query from the unwitnessed-first queue — a failed hash must
+    re-surface for a fresh driver check."""
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(path) as f:
-            seen.update(json.load(f).keys())
+            for name, rec in json.load(f).items():
+                if rec.get("hash_match") is True or (
+                    rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None
+                ):
+                    seen.add(name)
     return seen
 
 
