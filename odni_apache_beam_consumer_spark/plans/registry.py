@@ -11,6 +11,16 @@ Conventions that keep the Spark result and the DuckDB oracle hash-equal:
   * float aggregates are ROUND()ed (2dp for money sums, 4-6dp for
     averages/ratios) so partial-aggregation order differences between the
     two engines can never surface in the hash;
+  * ratios of INTEGERS never use ROUND at all — an int/int quotient can
+    be exactly representable in binary AND sit exactly on a decimal
+    rounding boundary (sum/512, 1/128 = .0078125), where DuckDB and the
+    JVM break the half-tie differently (the only driver-red cell of
+    rounds 1-3, sequence_packing).  Emit integer ppm/bp via `DIV`
+    (`x * 1000000 DIV y`), or ppm-then-one-IEEE-divide when a double
+    column is wanted — both are bit-identical across engines;
+  * FLOOR(x * scale) is the portable way to carry a double measure
+    through an aggregate exactly (floor of the same IEEE double is
+    deterministic; see plans/streaming_duals.py);
   * timestamps are emitted as formatted strings (date_format / strftime),
     never raw timestamp values;
   * BIGINT sums are cast explicitly (DuckDB widens integer SUM to
@@ -121,6 +131,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm,
         ml,
         relational,
+        storage_duals,
         streaming_duals,
         tpch,
         tpch2,
