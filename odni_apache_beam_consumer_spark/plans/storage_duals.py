@@ -1,0 +1,147 @@
+"""Batch duals witnessing the storage layer through the driver's oracle.
+
+Like plans/streaming_duals.py for the streaming commit protocols, these
+queries drive the ACTUAL storage code — the transactional table's
+create/append/merge/replay/delete lifecycle (txtable.py) and the
+partition-pruned GDPR delete (storage.py) — against a temp store and
+return the resulting table contents, so the driver's DuckDB hash check
+verifies the storage semantics end-to-end: a double-applied merge, a
+collapsed duplicate, a swept-up NULL key, or an extra commit version all
+shift the output and fail the hash.
+
+Portability: money readouts are exact integer cents via
+``FLOOR(bal * 100)`` — floor of an identical IEEE double is bit-identical
+in both engines (both read the same parquet doubles and apply the same
+IEEE ops), with no ROUND half-tie exposure.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+
+@query(
+    "transactional_table_ops",
+    oracle="""
+WITH merged AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000
+              ELSE c_acctbal END AS bal
+  FROM customer
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(FLOOR(bal * 100) AS BIGINT) AS bal_cents,
+       CAST(4 AS BIGINT) AS n_versions
+FROM merged
+WHERE NOT (bal < 0)
+""",
+)
+def transactional_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional-table lifecycle, driver-checked: create the
+    customer table in two halves (create + append), upsert a +1000
+    balance adjustment for the BUILDING segment (merge), REPLAY the merge
+    with the same op_id (must be a no-op), then delete negative balances.
+    The output carries the commit count as a column, so the oracle pins
+    the whole protocol: a replayed merge that re-applies (+2000, or a 5th
+    version), a merge that collapses append-introduced rows, or a delete
+    that sweeps NULL-predicate rows would each fail the hash.
+
+    Scale shape: each commit is one snapshot rewrite (copy-on-write by
+    design — see txtable.py's docstring for the real-format mapping); the
+    readout is a single snapshot scan."""
+    from odni_apache_beam_consumer_spark.txtable import TransactionalTable
+
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    store = tempfile.mkdtemp(prefix="txtable_dual_")
+    try:
+        t = TransactionalTable(spark, store)
+        t.create(c.where(F.col("c_custkey") % 2 == 0))
+        t.append(c.where(F.col("c_custkey") % 2 == 1))
+        updates = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        t.merge(updates, keys=["c_custkey"], op_id="bal-adjust-1")
+        replay = t.merge(updates, keys=["c_custkey"], op_id="bal-adjust-1")
+        assert replay is None, "op_id replay must be a no-op"
+        t.delete_where(F.col("c_acctbal") < 0, op_id="purge-neg")
+        out = t.read().select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.lit(len(t.versions())).cast("long").alias("n_versions"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+@query(
+    "partitioned_gdpr_delete",
+    oracle="""
+WITH victims AS (
+  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+         AS total_scaled
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM victims)
+GROUP BY event_type
+""",
+)
+def partitioned_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure, driver-checked: write events date-partitioned,
+    delete the 3 lowest user ids via the partition-pruned two-phase
+    delete (rewriting only partitions that contain them), read the store
+    back and reconcile per event type against the oracle's logical
+    delete.  A missed partition, a duplicated rewrite, or collateral
+    NULL-key loss all shift the counts.
+
+    The victim list is a 3-row driver-side collect — metadata-sized by
+    construction, same class as the documented collects in storage.py.
+
+    Scale shape: the write is one map-side date-derivation + partitioned
+    write; the delete scans a thin column once to locate partitions and
+    rewrites only those; the readout is one scan + hash agg."""
+    from odni_apache_beam_consumer_spark import storage
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    victims = [
+        r[0]
+        for r in e.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(3)
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="gdpr_dual_")
+    try:
+        storage.write_date_partitioned(e, path, "ts")
+        storage.delete_keys_partitioned(spark, path, "user_id", victims)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                .cast("long")
+                .alias("total_scaled"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -165,3 +165,61 @@ def idempotent_sink_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ledger.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
+
+
+@query(
+    "snapshot_diff_audit",
+    oracle="""
+WITH e0 AS (
+  SELECT user_id FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+),
+e1 AS (
+  SELECT user_id FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+)
+SELECT CASE WHEN e0.user_id IS NULL THEN 'inserted'
+            WHEN e1.user_id IS NULL THEN 'unchanged'
+            ELSE 'changed' END AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM e0 FULL OUTER JOIN e1 ON e0.user_id = e1.user_id
+GROUP BY 1
+""",
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'What did this batch change': maintain the user-totals view for
+    two micro-batches (even / odd event ids) and run the snapshot diff
+    between commit 0 and commit 1, returning per-verdict key counts.
+    The oracle derives the verdicts set-theoretically: a user with only
+    odd-batch events is 'inserted', only even-batch 'unchanged', both
+    'changed' (any new event strictly increases n_events, so the struct
+    compare cannot miss).  'deleted' is impossible under algebraic merge
+    — a nonzero count proves a protocol bug, and so does any count
+    drift.
+
+    Scale shape: the diff is one keyed full-outer join of two complete
+    snapshots (on a table format: the commit diff read off the log);
+    verdict rollup is a tiny hash agg."""
+    store = tempfile.mkdtemp(prefix="mv_diff_")
+    try:
+        merger = MV.algebraic_merger(
+            store,
+            keys=["user_id"],
+            measures={
+                "total_scaled": ("sum", "v_scaled"),
+                "n_events": ("count", None),
+            },
+        )
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("v_scaled"),
+        )
+        merger(e.where(F.pmod(F.col("event_id"), F.lit(2)) == 0), 0)
+        merger(e.where(F.pmod(F.col("event_id"), F.lit(2)) == 1), 1)
+        diff = MV.diff_versions(spark, store, 0, 1, keys=["user_id"])
+        return (
+            diff.groupBy("verdict")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
