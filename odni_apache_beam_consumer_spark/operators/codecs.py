@@ -99,3 +99,41 @@ def make_ppm(width: int, height: int, comment: str | None = None) -> bytes:
         head += b"# " + comment.encode() + b"\n"
     head += f"{width} {height}\n255\n".encode()
     return head + b"\x00" * (width * height * 3)
+
+
+def pure_python_wav_codec() -> Callable[[bytes], tuple[int, int]]:
+    """Returns ``decode(payload) -> (sample_rate, duration_ms)`` for WAV
+    payloads via the standard library's ``wave`` module — the real-audio
+    analog of :func:`pure_python_image_codec`, driving segment_audio's
+    codec seam without any external demuxer.  Closure for the same
+    pickle-by-value reason."""
+
+    def decode(payload: bytes) -> tuple[int, int]:
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                frames = w.getnframes()
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"not a WAV payload: {exc}") from exc
+        if rate <= 0:
+            raise ValueError("malformed WAV: nonpositive frame rate")
+        return rate, (frames * 1000) // rate
+
+    return decode
+
+
+def make_wav(sample_rate: int, n_frames: int, channels: int = 1) -> bytes:
+    """A minimal valid PCM-16 WAV byte string with silent frames."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * channels * n_frames)
+    return buf.getvalue()

@@ -183,7 +183,7 @@ AUDIO_SEGMENT_SCHEMA = (
 
 
 def segment_audio(
-    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500, codec=None
 ) -> DataFrame:
     """(doc_id, payload binary) -> one row per audio segment: the
     fixed-window (overlapping-hop) segmentation every speech/ASR training
@@ -196,7 +196,12 @@ def segment_audio(
     Deterministic fake demuxer (no librosa/soundfile in this container):
     sample_rate = 8000 * ((n_bytes % 3) + 1), duration_ms =
     (n_bytes % 9973) + 500, segment identity = md5(payload @ start_ms).
-    A real decoder replaces exactly those three expressions."""
+
+    ``codec``: the real-demuxer seam — ``decode(payload: bytes) ->
+    (sample_rate, duration_ms)``, e.g.
+    :func:`operators.codecs.pure_python_wav_codec` (stdlib ``wave``,
+    exercised by a non-skipped test).  Pass a closure, not a module-level
+    function (pickled by value; see decode_features)."""
     if hop_ms <= 0 or window_ms <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
 
@@ -210,8 +215,13 @@ def segment_audio(
             if not len(pdf):
                 continue
             n = pdf["payload"].map(len).to_numpy(dtype="int64")
-            rate = 8000 * ((n % 3) + 1)
-            dur = (n % 9973) + 500
+            if codec is not None:
+                decoded = pdf["payload"].map(lambda p: codec(bytes(p)))
+                rate = decoded.map(lambda t: t[0]).to_numpy(dtype="int64")
+                dur = decoded.map(lambda t: t[1]).to_numpy(dtype="int64")
+            else:
+                rate = 8000 * ((n % 3) + 1)
+                dur = (n % 9973) + 500
             n_segs = (dur + hop_ms - 1) // hop_ms  # starts at 0, hop, ... < dur
             doc_rep = _np.repeat(_np.arange(len(pdf)), n_segs)
             offsets = _np.repeat(

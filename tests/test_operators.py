@@ -372,3 +372,30 @@ def test_pure_python_codec_rejects_garbage():
                 C.make_bmp(4, 4)[:20]):
         with _pytest.raises(ValueError):
             decode(bad)
+
+
+def test_real_wav_codec_drives_audio_segmentation(spark):
+    """segment_audio's non-fake branch: stdlib-wave-parsed sample rate
+    and duration feed the same vectorized fan-out skeleton, so segment
+    counts and boundaries derive from the REAL audio length."""
+    from odni_apache_beam_consumer_spark.operators import codecs as C
+
+    wav_1500ms = C.make_wav(16000, 24000)   # 1500 ms @ 16 kHz
+    wav_500ms = C.make_wav(8000, 4000)      # 500 ms @ 8 kHz
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_1500ms)), (2, bytearray(wav_500ms))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    segs = M.segment_audio(
+        media, window_ms=1000, hop_ms=500, codec=C.pure_python_wav_codec()
+    ).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 1500 ms -> starts at 0/500/1000; 500 ms -> one segment
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    r0 = sorted(by_doc[1], key=lambda r: r.seg_idx)
+    assert [x.seg_start_ms for x in r0] == [0, 500, 1000]
+    assert r0[0].sample_rate == 16000 and r0[0].duration_ms == 1500
+    assert r0[2].seg_end_ms == 1500  # clipped to the real duration
+    assert by_doc[2][0].sample_rate == 8000 and by_doc[2][0].duration_ms == 500
