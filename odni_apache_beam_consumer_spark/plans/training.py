@@ -625,3 +625,219 @@ def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency sweep across token budgets
+# ---------------------------------------------------------------------------
+
+_SWEEP_BUDGETS = [128, 256, 512, 1024, 2048]
+
+
+@query(
+    "packing_efficiency_sweep",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id % {_SHARDS} AS shard,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT lang, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before_me
+  FROM t
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM placed),
+per_b AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({b} AS BIGINT) AS budget, "
+      f"CAST(COUNT(DISTINCT (lang, shard, before_me // {b})) AS BIGINT) AS n_bins "
+      f"FROM placed"
+      for b in _SWEEP_BUDGETS
+  )}
+)
+SELECT budget, n_bins,
+       tot.total_tokens,
+       CAST(tot.total_tokens * 1000000 // (n_bins * budget) AS BIGINT)
+         AS util_ppm
+FROM per_b CROSS JOIN tot
+""",
+)
+def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget calibration for sequence packing: for each candidate
+    context budget, how many bins does the greedy contiguous fill use and
+    what fraction of the bin capacity is real tokens (util_ppm) — the
+    readout that picks the context length / packing tradeoff before a
+    training run.
+
+    Scale shape: ONE window pass computes the per-doc prefix sum (same
+    single (lang, shard) shuffle as sequence_packing), then all budgets
+    are measured together as multiple COUNT(DISTINCT floor(before_me/B))
+    aggregates over that one pass — Spark plans the multi-distinct via
+    expand (|budgets| ×, map-side partial), the oracle as a UNION of
+    scans; no per-budget repacking, no second window.  Integer ppm
+    utilization, hash-portable by construction."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.withColumn(
+        "before_me", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    aggs = [F.sum("n_tokens").cast("long").alias("total_tokens")]
+    for b in _SWEEP_BUDGETS:
+        aggs.append(
+            F.countDistinct(
+                F.struct(
+                    "lang", "shard", F.floor(F.col("before_me") / b).alias("bin")
+                )
+            )
+            .cast("long")
+            .alias(f"bins_{b}")
+        )
+    wide = placed.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), bins_{b}" for b in _SWEEP_BUDGETS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_SWEEP_BUDGETS)}, {stack_args}) AS (budget, n_bins)"
+        ),
+        "total_tokens",
+    ).select(
+        "budget",
+        "n_bins",
+        "total_tokens",
+        F.expr(
+            "CAST(total_tokens * 1000000 DIV (n_bins * budget) AS BIGINT)"
+        ).alias("util_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted priority sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_per_lang",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens,
+         md5(concat('wsamp:', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(n_tokens AS BIGINT) * (
+           (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+         ) AS priority
+  FROM t
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY priority DESC, doc_id ASC) AS rnk
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(priority AS BIGINT) AS priority, rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample: top-5 documents per
+    language by ``n_tokens x md5-uniform`` priority — the reproducible
+    stand-in for weight-proportional sampling (longer documents get
+    proportionally higher expected priority, the md5 term decorrelates
+    the pick from raw length ordering).  Every refresh of a growing
+    corpus re-derives the same priorities for existing docs, so the
+    sample is stable under growth — the property an rng-based
+    A-Res/Efraimidis-Spirakis sampler loses on every rerun, and the
+    integer priority (token count x 16-bit md5 value) avoids the
+    transcendental ``ln(u)/w`` key whose libm rounding differs across
+    engines.
+
+    Scale shape: map-side priority derivation (same instr-digit md5
+    trick as operators/sampling.py), one per-lang window with
+    WindowGroupLimit pushing the top-5 cut below the sort — no global
+    sort, no full-partition materialization."""
+    hexd = "0123456789abcdef"
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    m = "md5(concat('wsamp:', CAST(doc_id AS STRING)))"
+    pri = F.expr(
+        f"CAST(size(tk) AS BIGINT) * ("
+        f"(instr('{hexd}', substr({m}, 1, 1)) - 1) * 4096 + "
+        f"(instr('{hexd}', substr({m}, 2, 1)) - 1) * 256 + "
+        f"(instr('{hexd}', substr({m}, 3, 1)) - 1) * 16 + "
+        f"(instr('{hexd}', substr({m}, 4, 1)) - 1))"
+    )
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        pri.alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_tokens", "priority", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding distribution audit (drift detection input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle="""
+SELECT i - 1 AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
+       ROUND(STDDEV_SAMP(CAST(embedding[i] AS DOUBLE)), 4) AS std,
+       ROUND(MIN(CAST(embedding[i] AS DOUBLE)), 4) AS lo,
+       ROUND(MAX(CAST(embedding[i] AS DOUBLE)), 4) AS hi
+FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+GROUP BY i
+""",
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution audit (n/mean/std/min/max for
+    each of the 64 components) — the fingerprint compared across corpus
+    snapshots or encoder versions to catch embedding drift before it
+    poisons ANN recall or dedup thresholds.
+
+    Scale shape: posexplode fans each vector into 64 (dim, value) rows
+    map-side, then ONE hash aggregate with 64 groups — partial
+    aggregation collapses every partition to 64 rows before the
+    exchange, so the shuffle is O(partitions x 64) regardless of corpus
+    size.  All-algebraic measures; mergeable across replicas like the
+    content digest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("x"), 4).alias("mean"),
+            F.round(F.stddev_samp("x"), 4).alias("std"),
+            F.round(F.min("x"), 4).alias("lo"),
+            F.round(F.max("x"), 4).alias("hi"),
+        )
+    )

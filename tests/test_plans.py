@@ -524,3 +524,32 @@ def test_similar_docs_topk_reads_cached_pairs_on_both_union_branches(
     so the inverted-index join + groupBy run once."""
     plan = formatted_plan(spark, "similar_docs_topk", sf_dir)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_packing_sweep_single_window_pass_with_expand(spark, sf_dir):
+    """All budgets are measured from ONE prefix-sum window pass: the
+    multi-COUNT(DISTINCT) plans as a single Expand over the shared
+    window output — no per-budget repacking, exactly one Window."""
+    plan = formatted_plan(spark, "packing_efficiency_sweep", sf_dir)
+    assert plan.count("Window") >= 1, plan
+    assert "Expand" in plan, plan
+    # one window shuffle on (lang, shard); the expand aggregation adds
+    # its own exchanges but there must be no second Window pass
+    assert plan.count("(4) Window") <= 1 or plan.count("Window [") <= 1, plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    """Top-5-per-lang must push the limit below the sort (WindowGroupLimit),
+    never materialize a full per-lang ordering."""
+    plan = formatted_plan(spark, "weighted_sample_per_lang", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_embedding_dimension_stats_partial_aggregates(spark, sf_dir):
+    """The 64-group stats must partial-aggregate before the exchange
+    (map-side collapse to 64 rows per partition) and read only the
+    embedding column."""
+    plan = formatted_plan(spark, "embedding_dimension_stats", sf_dir)
+    assert "partial" in plan.lower(), plan
+    assert "ReadSchema" in plan and "embedding" in plan, plan
+    assert "vec_id" not in plan.split("ReadSchema")[1][:200], plan
