@@ -399,3 +399,43 @@ def test_real_wav_codec_drives_audio_segmentation(spark):
     assert r0[0].sample_rate == 16000 and r0[0].duration_ms == 1500
     assert r0[2].seg_end_ms == 1500  # clipped to the real duration
     assert by_doc[2][0].sample_rate == 8000 and by_doc[2][0].duration_ms == 500
+
+
+def test_bloom_no_false_negatives_and_routes_like_plain_anti_join(spark):
+    from odni_apache_beam_consumer_spark.operators import bloom as B
+
+    corpus = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "k STRING"
+    )
+    # batch: 100 members + 1000 fresh keys
+    batch = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(100)]
+        + [(f"fresh-{i}",) for i in range(1000)],
+        "k STRING",
+    )
+    bloom = B.build_bloom(corpus, "k").persist()
+    marked = B.with_bloom_hit(batch, bloom, "k")
+    hits = {r.k for r in marked.where("_bloom_hit").collect()}
+    # no false negatives: every true member is flagged maybe
+    assert all(f"key-{i}" in hits for i in range(100))
+    # false-positive sanity: 400 set bits in 65536 -> fp ~ 4e-5; allow 5%
+    fp = len([k for k in hits if k.startswith("fresh")])
+    assert fp <= 50, fp
+    # the routed anti join is exactly the plain anti join
+    got = {r.k for r in B.bloom_anti_join(batch, corpus, "k").collect()}
+    want = {r.k for r in batch.join(corpus, "k", "left_anti").collect()}
+    assert got == want
+    bloom.unpersist()
+
+
+def test_bloom_bitmap_is_sparse_and_bounded(spark):
+    from odni_apache_beam_consumer_spark.operators import bloom as B
+
+    corpus = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)], "k STRING"
+    )
+    rows = B.build_bloom(corpus, "k").collect()
+    assert len(rows) <= 1024  # never exceeds M_BITS/64 words
+    assert all(0 <= r.word_idx < 1024 for r in rows)
+    # ~1000 bits over 1024 words: sparse (far fewer rows than corpus keys)
+    assert len(rows) < 1000

@@ -553,3 +553,12 @@ def test_embedding_dimension_stats_partial_aggregates(spark, sf_dir):
     assert "partial" in plan.lower(), plan
     assert "ReadSchema" in plan and "embedding" in plan, plan
     assert "vec_id" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_bloom_dedup_broadcast_probes_no_batch_shuffle_for_probe(spark, sf_dir):
+    """The bloom probe must be broadcast joins (<=1024-row bitmap) — the
+    incoming batch is never exchanged to test membership; only the
+    maybe-branch carries into the exact anti join."""
+    plan = formatted_plan(spark, "bloom_prefilter_dedup", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # 2 probes x 2 branches
+    assert "CartesianProduct" not in plan, plan
