@@ -1502,3 +1502,153 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / crosstab: daily event-type matrix
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "daily_event_type_pivot",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY 1
+""",
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT/crosstab: one row per day, one column per event type — the
+    wide activity matrix dashboards and feature stores consume.  The
+    pivot VALUES ARE DECLARED (the five known event types), which is the
+    scale-correct form: undeclared pivot makes Spark run an extra
+    distinct-collect job and caps cardinality at
+    spark.sql.pivotMaxValues; declared values plan as a single
+    conditional aggregate — identical to the oracle's FILTER clauses,
+    one hash shuffle on day."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                 "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+              for t in _EVENT_TYPES],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# behavioral sequence mining: top event trigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_trigram_mining",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+""",
+)
+def event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (ordered event-type triples per user) —
+    the sequence-mining readout behind funnel discovery and next-action
+    models; the n-gram dual of the pairwise transition matrix
+    (event_transition_matrix).
+
+    Scale shape: one window shuffle on user_id (two LEADs share the
+    frame), then a partial-aggregated hash count over at most
+    |event_types|^3 = 125 groups and a TakeOrdered top-20 — never a
+    global sort.  Ties broken lexically so the cut is deterministic in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       CAST(LAG(rev_cents) OVER (ORDER BY month) AS BIGINT) AS prev_cents,
+       CAST(FLOOR((rev_cents - LAG(rev_cents) OVER (ORDER BY month))
+                  * 10000.0 / LAG(rev_cents) OVER (ORDER BY month))
+            AS BIGINT) AS growth_bp
+FROM m
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in integer basis points — the KPI
+    trend readout.  Revenue is exact integer cents (FLOOR per row, then
+    integer sum — order-independent), growth is FLOOR of one IEEE double
+    division (identical in both engines; integer DIV would differ on
+    NEGATIVE growth because Spark truncates toward zero while DuckDB
+    floors).
+
+    Scale shape: the fact table collapses to month grain first (one
+    partial-aggregated hash shuffle, ~80 rows); the unpartitioned LAG
+    window runs on that metadata-sized aggregate only — the same
+    collapse-before-global-window discipline as
+    revenue_contribution_pareto."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = W.partitionBy().orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "rev_cents",
+        prev.cast("long").alias("prev_cents"),
+        F.floor((F.col("rev_cents") - prev) * 10000.0 / prev)
+        .cast("long")
+        .alias("growth_bp"),
+    )

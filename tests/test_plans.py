@@ -562,3 +562,35 @@ def test_bloom_dedup_broadcast_probes_no_batch_shuffle_for_probe(spark, sf_dir):
     plan = formatted_plan(spark, "bloom_prefilter_dedup", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 4, plan  # 2 probes x 2 branches
     assert "CartesianProduct" not in plan, plan
+
+
+def test_declared_pivot_single_scan_single_agg_pass(spark, sf_dir):
+    """Pivot with DECLARED values must not run the undeclared-pivot
+    distinct-collect pre-job: one scan of events (pivotfirst over the
+    (day, type) counts, no separate distinct job)."""
+    import re
+
+    plan = formatted_plan(spark, "daily_event_type_pivot", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "pivotfirst" in plan or "pivot_first" in plan, plan
+
+
+def test_event_trigram_mining_take_ordered(spark, sf_dir):
+    """Global top-20 must be TakeOrdered over the 125-group count table,
+    never a global sort; the two LEADs share one window pass."""
+    import re
+
+    plan = formatted_plan(spark, "event_trigram_mining", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_monthly_growth_window_after_collapse(spark, sf_dir):
+    """The unpartitioned LAG window must consume the month-grain
+    aggregate (its input columns are (month, rev_cents)), never the raw
+    fact rows."""
+    import re
+
+    plan = formatted_plan(spark, "monthly_revenue_growth", sf_dir)
+    m = re.search(r"\(\d+\) Window\nInput \[2\]: \[month#\d+, rev_cents#\d+L\]", plan)
+    assert m, plan
