@@ -841,3 +841,49 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x"), 4).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix (X^T X): the normal-equations / covariance building block
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+SELECT u.i - 1 AS i, v.j - 1 AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(embedding[u.i] AS DOUBLE)
+                 * CAST(embedding[v.j] AS DOUBLE)), 2) AS xx
+FROM embeddings, UNNEST(range(1, 65)) AS u(i), UNNEST(range(1, 65)) AS v(j)
+WHERE v.j >= u.i
+GROUP BY 1, 2
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix X^T X of the embedding corpus — the
+    one-pass distributed primitive behind closed-form linear regression
+    (normal equations), PCA (covariance after centering), and whitening.
+    The 64x64 matrix is emitted as 2080 (i, j, sum) rows; the driver-side
+    solve of a 64x64 system is metadata-sized by construction.
+
+    Scale shape: a double posexplode fans each vector into its
+    upper-triangle component products MAP-SIDE (no join — the second
+    explode re-reads the row's own array), then ONE partial-aggregated
+    hash exchange collapses every partition to <= 2080 groups before any
+    data moves.  At 100 TB the exchange still carries O(partitions x
+    2080) rows; the quadratic term is in the DIMENSION (64), never the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    e2 = e1.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("embedding").alias("j", "xj"),
+    ).where(F.col("j") >= F.col("i"))
+    return e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("xi") * F.col("xj").cast("double")), 2).alias("xx"),
+    )

@@ -594,3 +594,15 @@ def test_monthly_growth_window_after_collapse(spark, sf_dir):
     plan = formatted_plan(spark, "monthly_revenue_growth", sf_dir)
     m = re.search(r"\(\d+\) Window\nInput \[2\]: \[month#\d+, rev_cents#\d+L\]", plan)
     assert m, plan
+
+
+def test_gram_matrix_map_side_fanout_single_exchange(spark, sf_dir):
+    """The upper-triangle product fan-out must be generator-only
+    (map-side double posexplode, NO self-join) with exactly one
+    partial-aggregated exchange carrying <=2080 groups."""
+    import re
+
+    plan = formatted_plan(spark, "embedding_gram_matrix", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
