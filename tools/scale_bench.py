@@ -64,6 +64,10 @@ SLOW_FAMILY = [
     "similar_docs_topk",
     "label_propagation_step",
     "basket_association_rules",
+    # round-4 additions with full-corpus window / fan-out / probe shapes
+    "bloom_prefilter_dedup",
+    "embedding_gram_matrix",
+    "packing_efficiency_sweep",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
@@ -177,6 +181,7 @@ def main() -> int:
     copies = arg("--copies", 10)
     min_of = arg("--min-of", 2)
     out_name = arg("--out", "SCALE_r4.json")
+    only = arg("--only", "")  # comma-separated subset of SLOW_FAMILY
     dst = f"/tmp/sf_synth_{copies}x"
     col = f"{copies}x"
 
@@ -205,7 +210,8 @@ def main() -> int:
     doc["min_of"] = min_of
     doc["scales"][col] = {"copies": copies, "dir": dst}
 
-    for name in SLOW_FAMILY:
+    family = [n for n in SLOW_FAMILY if not only or n in only.split(",")]
+    for name in family:
         base = time_query(spark, queries, name, SRC, min_of)
         big = time_query(spark, queries, name, dst, min_of)
         rec = doc["queries"].setdefault(name, {})
