@@ -106,7 +106,12 @@ placed AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS before_me
   FROM t
 )
-SELECT lang, shard, before_me // {_BUDGET} AS bin_id,
+SELECT lang, shard,
+       -- DuckDB's windowed SUM(BIGINT) widens to HUGEINT, so the //
+       -- quotient is HUGEINT too and materializes as float64 through
+       -- the pandas bridge ("5.0") while Spark emits int64 — the r3/r4
+       -- driver-red cell.  Cast back down explicitly.
+       CAST(before_me // {_BUDGET} AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
@@ -853,8 +858,15 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT u.i - 1 AS i, v.j - 1 AS j,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(CAST(embedding[u.i] AS DOUBLE)
-                 * CAST(embedding[v.j] AS DOUBLE)), 2) AS xx
+       -- Quantize each product to integer centi-units BEFORE summing:
+       -- ROUND on the double SUM is order-dependent AND DuckDB's ROUND
+       -- emits -0.0 (14 cells measured at sf0.01) where Spark's
+       -- BigDecimal round cannot.  FLOOR of the same IEEE product is
+       -- deterministic on both engines and an integer SUM has no -0
+       -- and no ordering sensitivity.
+       CAST(SUM(CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE)
+                           * CAST(embedding[v.j] AS DOUBLE) * 100)
+                AS BIGINT)) AS BIGINT) AS xx_centi
 FROM embeddings, UNNEST(range(1, 65)) AS u(i), UNNEST(range(1, 65)) AS v(j)
 WHERE v.j >= u.i
 GROUP BY 1, 2
@@ -883,7 +895,16 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xi").cast("double").alias("xi"),
         F.posexplode("embedding").alias("j", "xj"),
     ).where(F.col("j") >= F.col("i"))
+    # Per-row FLOOR((xi*xj)*100) -> BIGINT, then integer SUM: the same
+    # IEEE product floors identically in both engines, and an integer sum
+    # is order-independent and has no -0.0 — unlike ROUND on the double
+    # aggregate (the r4 driver-red divergence: DuckDB emitted -0.0 on 14
+    # near-zero cells, Spark's BigDecimal round cannot).
     return e2.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum(F.col("xi") * F.col("xj").cast("double")), 2).alias("xx"),
+        F.sum(
+            F.floor(F.col("xi") * F.col("xj").cast("double") * F.lit(100))
+        )
+        .cast("long")
+        .alias("xx_centi"),
     )

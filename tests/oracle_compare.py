@@ -39,8 +39,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
+def _neg_zero_count(s: pd.Series) -> int:
+    """Count -0.0 values in a float series (equal to 0.0 under tolerance,
+    but a value-representation hash sees the sign bit)."""
+    import numpy as np
+
+    if not pd.api.types.is_float_dtype(s):
+        return 0
+    vals = s.to_numpy(dtype=float, na_value=float("nan"))
+    return int((np.signbit(vals) & (vals == 0.0)).sum())
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+    """Return a list of mismatch descriptions (empty == match).
+
+    Beyond tolerance-based value comparison, this flags two classes the
+    driver's value-REPRESENTATION hash catches but float tolerance masks
+    (the r3/r4 driver-red cells that stayed green through four local
+    sweeps):
+      * int-vs-float dtype class mismatch between sides (e.g. a DuckDB
+        HUGEINT column materializing as float64 while Spark emits int64);
+      * -0.0 on either side (equal to +0.0 under tolerance, hash-distinct).
+    """
     sp = _normalize(spark_df.toPandas())
     du = _normalize(oracle_df)
     problems: list[str] = []
@@ -52,7 +72,24 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     for c in sp.columns:
         a, b = sp[c], du[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+        a_float = pd.api.types.is_float_dtype(a)
+        b_float = pd.api.types.is_float_dtype(b)
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        if (a_float and b_int) or (a_int and b_float):
+            problems.append(
+                f"column {c!r}: dtype class mismatch spark={a.dtype} "
+                f"oracle={b.dtype} — hash-unportable (a HUGEINT oracle "
+                f"column materializes as float64; cast it to BIGINT)"
+            )
+        nz_a, nz_b = _neg_zero_count(a), _neg_zero_count(b)
+        if nz_a or nz_b:
+            problems.append(
+                f"column {c!r}: -0.0 present (spark={nz_a} oracle={nz_b} "
+                f"cells) — hash-distinct from +0.0; emit integer "
+                f"FLOOR(x*scale) units instead of ROUND on a double"
+            )
+        if a_float or b_float:
             af = a.astype(float)
             bf = b.astype(float)
             bad = ~(
@@ -85,7 +122,23 @@ def run_one(spark, con, name: str, sf_dir: str) -> list[str]:
         if not sdf.columns or any(c.startswith("_") for c in sdf.columns):
             problems.append(f"{name}: unstable/unnamed output columns {sdf.columns}")
         return problems
-    odf = con.sql(sql).df()
+    rel = con.sql(sql)
+    # Catch hash-unportable oracle types BEFORE the pandas bridge hides
+    # them: DuckDB widens windowed/plain SUM(BIGINT) to HUGEINT, which
+    # materializes as float64 ("5.0") while Spark emits int64 — row count
+    # and name-schema still match, only the driver's value hash diverges
+    # (the r3/r4 sequence_packing red cell).
+    huge = [
+        col
+        for col, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    if huge:
+        return [
+            f"{name}: oracle columns typed HUGEINT/UHUGEINT "
+            f"(hash-unportable — CAST to BIGINT): {huge}"
+        ]
+    odf = rel.df()
     return compare(sdf, odf)
 
 
