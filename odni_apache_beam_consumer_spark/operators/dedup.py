@@ -159,18 +159,26 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-duplicate candidate pairs.
 
     The band table is persisted before the self-join so the signature
     pipeline (scan → shingle → signature agg) materializes once and both
     join sides read the cache — without it the executed plan duplicates
-    the entire upstream subtree per side."""
+    the entire upstream subtree per side.
+
+    ``cache_registry``: Dataset-level persists register in Spark's
+    CacheManager with strong references and never drain via GC; a caller
+    that fully materializes the result (eager checkpoint / write) should
+    pass a list here and unpersist everything appended to it afterwards."""
     sh = shingle_table(df, shingle_words, id_col, text_col)
     mh = minhash_signatures(sh, num_hashes, id_col)
     bands = lsh_band_signatures(mh, rows_per_band, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cache_registry is not None:
+        cache_registry.append(bands)
     return lsh_candidate_pairs(bands, id_col, max_bucket=max_bucket)
 
 
@@ -245,9 +253,11 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block candidates (pigeonhole on
     ``n_blocks`` 16-bit blocks) then exact Hamming distance filter.
+    ``cache_registry``: see ``minhash_lsh_pairs``.
 
     The signature table (one short row per doc) is persisted: both
     self-join sides derive their blocks from the single cached
@@ -263,6 +273,8 @@ def simhash_pairs(
     unchanged.
     """
     sig = simhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(sig)
     usig = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("ndocs"))
     block_len = 64 // n_blocks
     blocks = usig.select(
@@ -333,9 +345,11 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-grams, for pairs sharing >= 1
-    (non-boilerplate) shingle.
+    (non-boilerplate) shingle.  ``cache_registry``: see
+    ``minhash_lsh_pairs``.
 
     Inverted-index join: |A∩B| comes from grouping the shingle table with
     itself, so cost is sum over shingles of (docs-per-shingle)^2.
@@ -349,6 +363,8 @@ def ngram_jaccard_pairs(
     sh = shingle_table(df, shingle_words, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     joinable = sh
     if max_doc_freq is not None:

@@ -578,17 +578,41 @@ def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized.  At 100 TB the df cap IS the cost bound: pairs are
     O(sum over kept shingles of df^2), independent of corpus size for
     fixed cap."""
+    out, cached = _similar_docs_topk_lazy(spark, sf_dir)
+    # Eagerly checkpoint the top-3 table (<= 3 rows/doc — far smaller
+    # than the corpus) and release every cache (the pair set plus the
+    # operator-internal shingle table) before returning: Dataset persists
+    # live in the CacheManager with strong references and never drain via
+    # GC, so direct library callers would otherwise pin them forever
+    # (the ml.py iterative-driver pattern).
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
+def _similar_docs_topk_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Build the lazy top-3 plan; returns (plan, persisted frames).
+
+    Split out so plan-shape tests can assert the WindowGroupLimit pushdown
+    and that both symmetrize branches read the cached pairs — the public
+    query checkpoints eagerly, which hides both from the returned plan."""
     # The symmetrize union consumes `pairs` twice; persist it so the
     # inverted-index join + groupBy above it run once (the shingle table
     # below it is already cached inside ngram_jaccard_pairs, but that
     # does not cover the pair-generation stages).  Pair sets are df-cap-
     # bounded, so the cache is small at any corpus size.
+    cached: list[DataFrame] = []
     pairs = D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         shingle_words=5,
         threshold=0.0,
         max_doc_freq=10,
+        cache_registry=cached,
     ).persist()
+    cached.append(pairs)
     sym = pairs.select(
         F.col("doc_a").alias("query_doc"),
         F.col("doc_b").alias("neighbor"),
@@ -601,11 +625,12 @@ def similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_doc").orderBy(F.desc("jaccard"), F.asc("neighbor"))
-    return (
+    out = (
         sym.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("query_doc", "neighbor", "jaccard", "rnk")
     )
+    return out, cached
 
 
 # ---------------------------------------------------------------------------

@@ -131,13 +131,19 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """,
 )
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(
+    spark: SparkSession, sf_dir: str, cache_registry: list | None = None
+) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (3-word shingles,
     12 hashes, 4 bands x 3 rows). See operators/dedup.py for the shuffle
     shape; the band self-join key includes the full band signature so
     buckets stay tiny and skew-safe."""
     return D.minhash_lsh_pairs(
-        dedup_corpus(spark, sf_dir), shingle_words=3, num_hashes=12, rows_per_band=3
+        dedup_corpus(spark, sf_dir),
+        shingle_words=3,
+        num_hashes=12,
+        rows_per_band=3,
+        cache_registry=cache_registry,
     )
 
 
@@ -178,10 +184,17 @@ WHERE list_sum(list_transform(range(1, 65),
       i -> CASE WHEN sig_a[i:i] = sig_b[i:i] THEN 0 ELSE 1 END)) <= 8
 """,
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, cache_registry: list | None = None
+) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, 4x16-bit block candidate
     generation (pigeonhole), exact Hamming <= 8 filter."""
-    return D.simhash_pairs(dedup_corpus(spark, sf_dir), max_hamming=8, n_blocks=4)
+    return D.simhash_pairs(
+        dedup_corpus(spark, sf_dir),
+        max_hamming=8,
+        n_blocks=4,
+        cache_registry=cache_registry,
+    )
 
 
 @query(
@@ -1628,6 +1641,38 @@ FROM (
 """
 
 
+def _method_comparison_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Build the lazy comparison plan; returns (plan, persisted inputs).
+
+    Split out so the plan-shape test can assert both consumers of each
+    member pair set read the persisted materialization — the public query
+    eagerly checkpoints its 3-row result and releases the caches, which
+    hides the InMemoryTableScans from the returned plan."""
+    cached: list[DataFrame] = []
+    mh = dedup_minhash(spark, sf_dir, cache_registry=cached).select(
+        "doc_a", "doc_b"
+    ).persist()
+    sh = dedup_simhash(spark, sf_dir, cache_registry=cached).select(
+        "doc_a", "doc_b"
+    ).persist()
+    cached += [mh, sh]
+    both = mh.intersect(sh)
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(name).alias("method"), "n_pairs"
+        )
+
+    out = (
+        counted(mh, "minhash")
+        .unionByName(counted(sh, "simhash"))
+        .unionByName(counted(both, "both"))
+    )
+    return out, cached
+
+
 @query("dedup_method_comparison", oracle="__DEFERRED2__")
 def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method calibration readout: pair counts per signature method
@@ -1640,25 +1685,16 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each member pair set feeds TWO consumers (its own count and the
     intersect), so both are persisted — without this the full minhash and
     simhash pipelines execute twice for a 3-row readout (round-3 bench's
-    slowest query at 2× its irreducible cost).  The pair sets are
-    candidate-pair-sized (band/block-bounded), so caching them is cheap
-    at any scale; bench.py's clearCache releases them."""
-    from odni_apache_beam_consumer_spark.plans.registry import QUERIES
-
-    mh = QUERIES["dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b").persist()
-    sh = QUERIES["dedup_simhash"](spark, sf_dir).select("doc_a", "doc_b").persist()
-    both = mh.intersect(sh)
-
-    def counted(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_pairs")).select(
-            F.lit(name).alias("method"), "n_pairs"
-        )
-
-    return (
-        counted(mh, "minhash")
-        .unionByName(counted(sh, "simhash"))
-        .unionByName(counted(both, "both"))
-    )
+    slowest query at 2× its irreducible cost).  The 3-row result is
+    eagerly checkpointed and the caches released before returning, so
+    direct library callers don't accumulate cached RDDs across
+    invocations (the ml.py iterative-driver pattern; previously only
+    bench.py's clearCache saved this)."""
+    out, cached = _method_comparison_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 from odni_apache_beam_consumer_spark.plans.registry import ORACLES as _OR2  # noqa: E402

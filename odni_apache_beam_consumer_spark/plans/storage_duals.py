@@ -96,7 +96,9 @@ SELECT event_type,
        CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
          AS total_scaled
 FROM events
-WHERE user_id NOT IN (SELECT user_id FROM victims)
+-- NULL-consistent with delete_keys_partitioned, which deliberately KEEPS
+-- NULL-key rows: bare NOT IN evaluates to NULL for them and drops them.
+WHERE user_id IS NULL OR user_id NOT IN (SELECT user_id FROM victims)
 GROUP BY event_type
 """,
 )

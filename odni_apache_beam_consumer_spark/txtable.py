@@ -274,12 +274,16 @@ class TransactionalTable:
         with multiple update rows per key the inserted survivors would
         all land, duplicating the key).
 
-        Scale shape: updates are typically delta-sized — broadcast the
-        anti-join side so the base scan is map-only (the merge-on-read
-        compaction shape, executed eagerly at commit time)."""
+        Scale shape: updates are typically delta-sized, and then the
+        anti-join side broadcasts so the base scan is map-only (the
+        merge-on-read compaction shape, executed eagerly at commit time).
+        The hint is NOT forced: a large updates DataFrame force-broadcast
+        would bypass spark.sql.autoBroadcastJoinThreshold and collect the
+        whole update set onto the driver — let the optimizer (and AQE's
+        runtime size estimate) pick broadcast when it actually fits."""
         base, v = self._base(base_version)
         merged = base.join(
-            F.broadcast(updates.select(*keys).dropDuplicates(keys)),
+            updates.select(*keys).dropDuplicates(keys),
             on=keys,
             how="left_anti",
         ).unionByName(updates)

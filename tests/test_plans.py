@@ -476,9 +476,26 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
     assert not offenders, offenders
 
 
+def _lazy_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
 def test_similar_docs_topk_uses_window_group_limit(spark, sf_dir):
-    """The per-doc top-3 cut must push below the window sort."""
-    assert "WindowGroupLimit" in formatted_plan(spark, "similar_docs_topk", sf_dir)
+    """The per-doc top-3 cut must push below the window sort.  Asserted
+    on the lazy builder: the public query eagerly checkpoints (cache
+    stewardship), which replaces the returned plan with an RDD scan."""
+    from odni_apache_beam_consumer_spark.plans.curation import (
+        _similar_docs_topk_lazy,
+    )
+
+    out, cached = _similar_docs_topk_lazy(spark, sf_dir)
+    try:
+        assert "WindowGroupLimit" in _lazy_plan(spark, out)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def test_quantile_binning_broadcasts_boundaries(spark, sf_dir):
@@ -511,9 +528,17 @@ def test_method_comparison_reads_cached_member_pair_sets(spark, sf_dir):
     persisted materialization, not re-run the member pipelines (which
     made it round-3's slowest bench query at 2x its irreducible cost).
     Four InMemoryTableScans: minhash-count, simhash-count, and the two
-    intersect inputs."""
-    plan = formatted_plan(spark, "dedup_method_comparison", sf_dir)
-    assert plan.count("InMemoryTableScan") >= 4, plan
+    intersect inputs.  Asserted on the lazy builder: the public query
+    eagerly checkpoints its 3-row result (cache stewardship)."""
+    from odni_apache_beam_consumer_spark.plans.llm import _method_comparison_lazy
+
+    out, cached = _method_comparison_lazy(spark, sf_dir)
+    try:
+        plan = _lazy_plan(spark, out)
+        assert plan.count("InMemoryTableScan") >= 4, plan
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def test_similar_docs_topk_reads_cached_pairs_on_both_union_branches(
@@ -522,8 +547,53 @@ def test_similar_docs_topk_reads_cached_pairs_on_both_union_branches(
     """similar_docs_topk symmetrizes the pair set through a union that
     consumes it twice; both branches must read the persisted pair table
     so the inverted-index join + groupBy run once."""
-    plan = formatted_plan(spark, "similar_docs_topk", sf_dir)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    from odni_apache_beam_consumer_spark.plans.curation import (
+        _similar_docs_topk_lazy,
+    )
+
+    out, cached = _similar_docs_topk_lazy(spark, sf_dir)
+    try:
+        plan = _lazy_plan(spark, out)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
+def test_method_comparison_and_similar_docs_release_their_caches(
+    spark, sf_dir
+):
+    """The public query wrappers checkpoint their result and release
+    EVERY Dataset-level persist (the member pair sets plus the
+    operator-internal band/sig/shingle tables, collected via
+    ``cache_registry``) before returning: Dataset persists live in the
+    CacheManager with strong references and never drain via GC, so
+    pre-fix each invocation pinned 5 more cached tables forever.
+    Post-fix the only residue is the most recent localCheckpoint block,
+    which the ContextCleaner reclaims once a later query displaces it —
+    so the persisted-RDD count must stay BOUNDED across repeated
+    invocations instead of growing ~5 per call."""
+    import gc
+
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    q = all_queries()
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    counts = []
+    for _ in range(3):
+        q["dedup_method_comparison"](spark, sf_dir).count()
+        q["similar_docs_topk"](spark, sf_dir).count()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        counts.append(n_persisted())
+    # Steady state: at most the two most recent checkpoint blocks — and
+    # critically, NOT increasing with iteration count (pre-fix: 5/call).
+    assert counts[-1] <= base + 2, counts
+    assert counts[-1] <= counts[0], counts
 
 
 def test_packing_sweep_single_window_pass_with_expand(spark, sf_dir):
