@@ -55,8 +55,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def query_digest(name: str) -> str:
+    """Content digest of a registered query: sha256 over the query
+    function's source text plus its oracle SQL.  Used to key witness
+    retirement on WHAT the driver actually ran, not just the name — a
+    query whose plan or oracle changes after its last passing witness
+    must re-queue for a fresh driver witness (round-5 verdict item 5:
+    four queries changed post-witness and would otherwise never
+    resurface)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(QUERIES[name])
+    oracle = ORACLES.get(name, "")
+    return hashlib.sha256((src + "\n##oracle##\n" + oracle).encode()).hexdigest()[:16]
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def _witness_manifest() -> dict[str, str] | None:
+    """name -> digest-at-last-passing-witness, maintained by
+    tools/witness_manifest.py (run at round START, before any code edits,
+    so the recorded digest is exactly what the driver's latest
+    CORRECTNESS run executed).  None if the manifest doesn't exist
+    (pre-adoption fallback to name-only retirement)."""
+    import json
+    import os
+
+    path = os.path.join(_repo_root(), "WITNESS_MANIFEST.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def _driver_witnessed() -> set[str]:
-    """Names that already have an entry in any driver CORRECTNESS_r*.json.
+    """Names that already have a PASSING entry in a driver
+    CORRECTNESS_r*.json *for their current content digest*.
 
     The driver's per-round correctness harness caps at roughly 50 queries
     per round and (empirically, r01/r02) walks ``queries()`` in dict
@@ -64,16 +106,18 @@ def _driver_witnessed() -> set[str]:
     entry, ``all_queries()`` orders never-witnessed queries first.  This
     is self-maintaining: once a round's artifact lands in the repo, its
     queries automatically deprioritize and the remainder surfaces next.
-    """
+
+    Retirement is change-aware: WITNESS_MANIFEST.json records the digest
+    each name had when the driver last witnessed it passing; a name whose
+    current ``query_digest`` differs re-queues automatically (its plan or
+    oracle changed since the witness, so the old pass no longer vouches
+    for the current code)."""
     import glob
     import json
     import os
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 for name, rec in json.load(f).items():
@@ -90,6 +134,15 @@ def _driver_witnessed() -> set[str]:
                         seen.add(name)
         except (OSError, ValueError, AttributeError):
             continue
+
+    manifest = _witness_manifest()
+    if manifest is not None:
+        stale = {
+            n
+            for n in seen
+            if n in QUERIES and manifest.get(n) != query_digest(n)
+        }
+        seen -= stale
     return seen
 
 

@@ -19,7 +19,10 @@ def _witnessed() -> set[str]:
     """Mirror of registry._driver_witnessed: only a PASSING entry (full
     hash pass, or a completed rows-only check for no-oracle queries)
     retires a query from the unwitnessed-first queue — a failed hash must
-    re-surface for a fresh driver check."""
+    re-surface for a fresh driver check.  Since round 6 retirement is
+    also change-aware: a name whose current query_digest differs from its
+    WITNESS_MANIFEST.json entry re-queues (its plan or oracle changed
+    after the witness)."""
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(path) as f:
@@ -29,6 +32,22 @@ def _witnessed() -> set[str]:
                     and rec.get("spark_rows") is not None
                 ):
                     seen.add(name)
+    manifest_path = os.path.join(REPO, "WITNESS_MANIFEST.json")
+    if os.path.exists(manifest_path):
+        from odni_apache_beam_consumer_spark.plans.registry import (
+            QUERIES,
+            all_queries,
+            query_digest,
+        )
+
+        all_queries()
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        seen = {
+            n
+            for n in seen
+            if n in QUERIES and manifest.get(n) == query_digest(n)
+        }
     return seen
 
 
@@ -78,3 +97,67 @@ def test_backlog_precedes_newer_unwitnessed():
             default=len(unwitnessed),
         )
         assert last_backlog < first_other
+
+
+def test_changed_query_requeues_despite_old_witness():
+    """A query whose source or oracle changes after its last passing
+    driver witness must drop out of the witnessed set (round-5 verdict
+    item 5: four queries changed post-witness and never resurfaced).
+    Simulated by perturbing the manifest digest for a witnessed name."""
+    from odni_apache_beam_consumer_spark.plans import registry
+
+    witnessed_now = registry._driver_witnessed()
+    if not witnessed_now:
+        return  # nothing witnessed yet — nothing to check
+    victim = sorted(witnessed_now)[0]
+
+    manifest_path = os.path.join(REPO, "WITNESS_MANIFEST.json")
+    assert os.path.exists(manifest_path), "WITNESS_MANIFEST.json missing"
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    assert manifest.get(victim) == registry.query_digest(victim)
+
+    # Perturb the stored digest — equivalent to the query changing.
+    orig = registry._witness_manifest
+    try:
+        registry._witness_manifest = lambda: {**manifest, victim: "0" * 16}
+        assert victim not in registry._driver_witnessed(), (
+            "digest mismatch did not re-queue the query"
+        )
+    finally:
+        registry._witness_manifest = orig
+
+
+def test_manifest_covers_all_witnessed_names():
+    """Every name with a passing driver entry must have a manifest digest
+    (run tools/witness_manifest.py at round start) — a missing entry
+    silently re-queues the query forever, burning driver budget."""
+    from odni_apache_beam_consumer_spark.plans.registry import (
+        QUERIES,
+        all_queries,
+    )
+
+    all_queries()
+    raw_passing: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, rec in json.load(f).items():
+                if rec.get("hash_match") is True or (
+                    rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None
+                ):
+                    raw_passing.add(name)
+    with open(os.path.join(REPO, "WITNESS_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    missing = (raw_passing & set(QUERIES)) - set(manifest)
+    # The four round-5-modified queries are deliberately stale until the
+    # driver re-witnesses them (round-5 verdict item 5).
+    allowed_stale = {
+        "dedup_method_comparison",
+        "similar_docs_topk",
+        "partitioned_gdpr_delete",
+        "transactional_table_ops",
+    }
+    assert missing <= allowed_stale, (
+        f"witnessed names missing a manifest digest: {sorted(missing)}"
+    )
