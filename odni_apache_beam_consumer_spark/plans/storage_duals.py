@@ -88,7 +88,12 @@ def transactional_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned_gdpr_delete",
     oracle="""
 WITH victims AS (
-  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
+  -- NULL-consistent victim SELECTION too: Spark's orderBy sorts NULLs
+  -- first while DuckDB's ORDER BY sorts them last, so if NULL user_ids
+  -- ever appear the two sides would pick different victim sets.
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL
+  ORDER BY user_id LIMIT 3
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -121,9 +126,13 @@ def partitioned_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
+    # NULL-filter BEFORE orderBy/limit: Spark sorts NULLs first, DuckDB
+    # last — an unfiltered limit-3 would pick different victim sets the
+    # moment a NULL user_id appears (latent today: sf0.01 has none).
     victims = [
         r[0]
         for r in e.select("user_id")
+        .where(F.col("user_id").isNotNull())
         .distinct()
         .orderBy("user_id")
         .limit(3)

@@ -83,11 +83,16 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
                 f"column materializes as float64; cast it to BIGINT)"
             )
         nz_a, nz_b = _neg_zero_count(a), _neg_zero_count(b)
-        if nz_a or nz_b:
+        # Only a -0.0 count MISMATCH is a definite driver red (the driver
+        # hashes representation, so -0.0 in the SAME cells on both sides
+        # hashes equal).  Equal nonzero counts are still a convention
+        # violation, but that's enforced oracle-side by
+        # tests/test_oracle_portability.py, which bans -0.0 outright.
+        if nz_a != nz_b:
             problems.append(
-                f"column {c!r}: -0.0 present (spark={nz_a} oracle={nz_b} "
-                f"cells) — hash-distinct from +0.0; emit integer "
-                f"FLOOR(x*scale) units instead of ROUND on a double"
+                f"column {c!r}: -0.0 count mismatch (spark={nz_a} "
+                f"oracle={nz_b} cells) — hash-distinct from +0.0; emit "
+                f"integer FLOOR(x*scale) units instead of ROUND on a double"
             )
         if a_float or b_float:
             af = a.astype(float)

@@ -19,20 +19,23 @@ round-5 fix makes this test fail locally.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
 
 from tests.oracle_compare import duckdb_con
 
-SF_DIR = "/root/testdata/sf0.01"
+# The driver's correctness scale; overridable like the rest of the suite
+# (conftest honors SPARK_GRAFT_TEST_SF_DIR for sf0.001 tests — this sweep
+# runs at the driver's sf0.01 by default but must not hardcode the root).
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01"
+)
 
 
 def _oracles() -> dict[str, str]:
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from odni_apache_beam_consumer_spark.plans.registry import all_oracles
 
     return all_oracles()

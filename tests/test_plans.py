@@ -574,6 +574,7 @@ def test_method_comparison_and_similar_docs_release_their_caches(
     so the persisted-RDD count must stay BOUNDED across repeated
     invocations instead of growing ~5 per call."""
     import gc
+    import time
 
     from odni_apache_beam_consumer_spark.plans.registry import all_queries
 
@@ -583,17 +584,22 @@ def test_method_comparison_and_similar_docs_release_their_caches(
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     base = n_persisted()
-    counts = []
     for _ in range(3):
         q["dedup_method_comparison"](spark, sf_dir).count()
         q["similar_docs_topk"](spark, sf_dir).count()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        counts.append(n_persisted())
     # Steady state: at most the two most recent checkpoint blocks — and
     # critically, NOT increasing with iteration count (pre-fix: 5/call).
-    assert counts[-1] <= base + 2, counts
-    assert counts[-1] <= counts[0], counts
+    # localCheckpoint blocks drain ASYNCHRONOUSLY via the ContextCleaner
+    # after GC, so poll with a gc+sleep retry loop instead of asserting
+    # immediately (a single gc.collect()+System.gc() is timing-dependent
+    # on a loaded machine; pre-fix the Dataset-level persists are pinned
+    # by the CacheManager and NEVER drain, so the deadline distinguishes).
+    deadline = time.time() + 60
+    while n_persisted() > base + 2 and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_persisted() <= base + 2, n_persisted()
 
 
 def test_packing_sweep_single_window_pass_with_expand(spark, sf_dir):
