@@ -35,13 +35,6 @@ FEATURE_SCHEMA = (
     "width BIGINT, height BIGINT, n_channels BIGINT"
 )
 
-_REAL_CODECS = False
-try:  # pragma: no cover - codecs absent in this container by design
-    from PIL import Image  # noqa: F401
-
-    _REAL_CODECS = True
-except Exception:
-    _REAL_CODECS = False
 
 
 def decode_features(
@@ -269,33 +262,59 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, codec=None
+) -> DataFrame:
     """Batch image resize to a fixed (width, height) — the normalization
     step in front of every vision encoder (training corpora standardize
     to the model's input resolution before tokenization/packing).
 
     Same contract as ``decode_features``: ``mapInPandas`` with a declared
-    schema, Arrow-batched, column-wise pandas ops (only the hash itself
-    is per-element Python).  The fake codec derives the "resized" payload
-    identity as md5(payload || '@WxH') and the output size as the exact
-    W*H*3 RGB buffer; a real implementation swaps only the body (PIL
-    ``Image.resize`` into a bytes buffer) — schema, batching, and
-    partitioning are unchanged.  Deterministic, so the DuckDB oracle
-    reproduces it byte-for-byte."""
-    real_codecs = _REAL_CODECS
+    schema, Arrow-batched, column-wise pandas ops (only the per-payload
+    codec/hash call is per-element Python).
+
+    ``codec``: the real-codec seam — ``decode_raster(payload) -> (width,
+    height, n_channels, raster)`` with a top-down row-major raster, e.g.
+    :func:`operators.codecs.pure_python_image_raster_codec` (BMP/P6,
+    stdlib only, exercised by a non-skipped test with real gradient
+    pixels) or a PIL-backed equivalent.  With a codec, the operator
+    performs a REAL nearest-neighbor downsample — numpy fancy-indexing
+    ``raster[ys][:, xs]`` — and hashes the resized pixel buffer, so a
+    wrong source-pixel selection changes the output.  Pass a CLOSURE
+    (pickled by value; executors don't import this package).
+
+    ``None`` keeps the deterministic fake (resized identity =
+    md5(payload || '@WxH'), size = exact W*H*3 RGB buffer) that the
+    registered oracle query reproduces byte-for-byte."""
     suffix = f"@{width}x{height}".encode()
-    dst_bytes = width * height * 3
+    fake_dst_bytes = width * height * 3
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        import numpy as _np
         import pandas as _pd
+
+        ys_cache: dict[tuple[int, int], object] = {}
+
+        def resize_one(p: bytes) -> tuple[int, str]:
+            if codec is None:
+                return fake_dst_bytes, _hashlib.md5(p + suffix).hexdigest()
+            w, h, ch, raster = codec(p)
+            arr = _np.frombuffer(raster, dtype=_np.uint8).reshape(h, w, ch)
+            if (h, w) not in ys_cache:
+                ys_cache[(h, w)] = (
+                    (_np.arange(height) * h) // height,
+                    (_np.arange(width) * w) // width,
+                )
+            ys, xs = ys_cache[(h, w)]
+            resized = _np.ascontiguousarray(arr[ys][:, xs]).tobytes()
+            return len(resized), _hashlib.md5(resized).hexdigest()
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            if real_codecs and (pdf["media_type"] == "image").any():
-                raise NotImplementedError("real image codec path not wired in CI")
+            out = pdf["payload"].map(lambda p: resize_one(bytes(p)))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -303,10 +322,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "src_bytes": pdf["payload"].map(len),
                     "dst_width": width,
                     "dst_height": height,
-                    "dst_bytes": dst_bytes,
-                    "resized_hash": pdf["payload"].map(
-                        lambda p: _hashlib.md5(p + suffix).hexdigest()
-                    ),
+                    "dst_bytes": out.map(lambda t: t[0]),
+                    "resized_hash": out.map(lambda t: t[1]),
                 }
             )
 
