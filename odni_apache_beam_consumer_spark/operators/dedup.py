@@ -469,6 +469,97 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, component) labels via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round alternative to
+    :func:`connected_components`' min-label propagation, whose round
+    count is the graph DIAMETER.  On long-chain components (diameter d)
+    label propagation needs d rounds; star contraction needs O(log d),
+    because each round re-points whole neighborhoods at their local
+    minimum instead of moving labels one hop.
+
+    Per round, both operations are one hash aggregation (per-node min)
+    plus one re-keyed projection of the edge list — keyed shuffles only,
+    no global state; ``localCheckpoint`` per round truncates lineage
+    exactly like every other iterative driver here.  At fixpoint the edge
+    set is a star forest: every non-root node holds exactly one edge to
+    its component minimum.
+
+    Same output contract as :func:`connected_components` (labels for
+    every node appearing in ``pairs``), so the two are interchangeable —
+    and their agreement is asserted in tests/test_operators.py."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # m = min(neighborhood ∪ {u}); re-point every LARGER neighbor at m.
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Orient larger -> smaller, so every neighbor of u is < u and the
+        # neighborhood minimum is the candidate root.
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        with_min = oriented.join(mins, "u")
+        # Re-point u itself and every smaller neighbor at the minimum.
+        return (
+            with_min.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(with_min.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        n = edges.count()
+        if prev is not None and n == prev[1] and edges.exceptAll(prev[0]).count() == 0:
+            break
+        prev = (edges, n)
+
+    # Star forest -> labels: non-roots point at their component min;
+    # roots (and isolated post-contraction nodes) label themselves.
+    out_edge = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    return (
+        nodes.join(out_edge.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("comp", "id").alias("component"),
+        )
+    )
+
+
 def resolve_duplicates(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -323,6 +323,113 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantile_sketch_merge",
+    oracle="""
+WITH sk AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+merged AS (
+  SELECT flag, bin, cnt FROM sk
+  UNION ALL
+  SELECT '__ALL__' AS flag, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM sk GROUP BY bin
+),
+cum AS (
+  SELECT flag, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY flag) AS total
+  FROM merged
+)
+SELECT flag,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST((MIN(CASE WHEN c * 100 >= 25 * total THEN bin END) + 1) * 500
+            AS BIGINT) AS p25_upper,
+       CAST((MIN(CASE WHEN c * 100 >= 50 * total THEN bin END) + 1) * 500
+            AS BIGINT) AS p50_upper,
+       CAST((MIN(CASE WHEN c * 100 >= 75 * total THEN bin END) + 1) * 500
+            AS BIGINT) AS p75_upper,
+       CAST((MIN(CASE WHEN c * 100 >= 90 * total THEN bin END) + 1) * 500
+            AS BIGINT) AS p90_upper
+FROM cum GROUP BY flag
+""",
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch as an ALGEBRAIC aggregate — the
+    deterministic, driver-hash-checkable cousin of KLL/t-digest: a
+    fixed-width histogram (bin = FLOOR(price / 500)) whose bin counts are
+    the sketch.  Like the HLL store above, the point is MERGEABILITY:
+    per-group sketches build with one map-side-combined hash aggregation,
+    and the ``__ALL__`` rollup row is re-derived by merging the STORED
+    per-flag sketches (summing bin counts), never by rescanning rows —
+    the incremental-stats pattern where daily jobs persist tiny
+    (group, bin, count) tables and any later quantile query unions them.
+    Quantile estimates are bin upper edges at the smallest bin whose
+    cumulative count reaches ceil(q * n) — within one bin width (500) of
+    exact, bounded error asserted against percentile_approx in
+    tests/test_advanced.py.
+
+    Portability: every output is integer arithmetic (FLOOR of one IEEE
+    divide, integer cumulative compare ``c*100 >= q*total``) — no ROUND,
+    no float aggregate in the hash.
+
+    Scale shape: sketch build is one hash agg with map-side partials
+    (|flags| x ~210 bins out); the quantile extraction windows over the
+    SKETCH (tiny), not the data — at 100 TB only the first aggregation
+    touches rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sk = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / 500).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sk.unionByName(
+        sk.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__ALL__").alias("flag"), "bin", "cnt")
+    )
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("flag")
+    cum = merged.select(
+        "flag",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+
+    def q_upper(pct: int, name: str) -> F.Column:
+        return (
+            (
+                F.min(
+                    F.when(
+                        F.col("c") * 100 >= F.col("total") * pct, F.col("bin")
+                    )
+                )
+                + 1
+            )
+            * 500
+        ).cast("long").alias(name)
+
+    return cum.groupBy("flag").agg(
+        F.max("total").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        q_upper(25, "p25_upper"),
+        q_upper(50, "p50_upper"),
+        q_upper(75, "p75_upper"),
+        q_upper(90, "p90_upper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ordered-set aggregates (arg_min/arg_max) — OHLC bars
 # ---------------------------------------------------------------------------

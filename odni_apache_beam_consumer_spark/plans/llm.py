@@ -396,6 +396,67 @@ def dedup_resolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components_star",
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_CTE},
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS hu(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 3 AS band, STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh GROUP BY doc_id, h // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+""",
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash/LSH near-dup graph via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14; operators/dedup.py::connected_components_star) — the
+    O(log n)-ROUND algorithm, vs the diameter-bounded min-label
+    propagation behind ``dedup_resolve_components``.  Same cluster
+    answer, different iteration structure: at 100 TB, components with
+    long chains (forum threads quoting each other, boilerplate families)
+    make diameter the binding constraint, and star contraction cuts the
+    number of shuffling rounds from O(d) to O(log d).
+
+    The oracle is the exact transitive-closure fixpoint as a DuckDB
+    RECURSIVE CTE (min reachable id per node), so this is a full
+    value-hash check of an iterative distributed algorithm; agreement
+    with the propagation variant is additionally asserted in
+    tests/test_operators.py.
+
+    Scale shape: per round two hash aggregations (per-node minimum) and
+    two re-keyed edge projections — keyed shuffles on vertex id, edge set
+    never grows beyond the input, localCheckpoint per round truncates
+    lineage."""
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, shingle_words=3, num_hashes=12, rows_per_band=3)
+    return D.connected_components_star(pairs)
+
+
+@query(
     "train_test_split",
     oracle=f"""
 SELECT doc_id,

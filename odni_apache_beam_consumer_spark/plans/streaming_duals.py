@@ -223,3 +223,251 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query(
+    "session_window_stream_dual",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+),
+flagged AS (
+  SELECT user_id, ts, v,
+         -- Spark merges an event into the open session when
+         -- ts <= session_end (verified: an event at exactly prev_ts+gap
+         -- MERGES), so a NEW session starts strictly past the gap.
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts, v,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS total_scaled
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_window_stream_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (MERGING state — the one window type whose state
+    keys change as events arrive) driven through a REAL Structured
+    Streaming micro-batch replay, then hash-checked against a batch SQL
+    sessionization oracle.  The other streaming-window queries are
+    batch duals; this one runs readStream end-to-end: 6 time-ordered
+    parquet chunks + a far-future flush sentinel replay the events table
+    one file per micro-batch through withWatermark + session_window in
+    APPEND mode, so the emitted rows are exactly the sessions the
+    watermark closed — any late-drop, missed merge, or double emission
+    fails the driver's hash.
+
+    The oracle is the classic gaps-and-islands rewrite: a new session
+    starts when the gap to the previous event exceeds 30 minutes
+    (Spark's merge condition is ts <= session_end, verified empirically
+    — an event at exactly prev_ts+gap merges), session_end = last ts +
+    gap.  Measures are integer micro-units; window bounds are formatted
+    strings (registry conventions).
+
+    Scale shape: streaming session aggregation shuffles each micro-batch
+    by user_id into the state store and merges adjacent sessions there —
+    state is bounded by the watermark horizon; the sentinel flush is how
+    a bounded drain would close out a real backfill."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+
+    replay_root = tempfile.mkdtemp(prefix="session_dual_")
+    try:
+        chunks = R.write_replay_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=6,
+            flush_sentinel=True,
+        )
+        agg = (
+            R.read_stream(spark, chunks)
+            .withWatermark("ts", "1 day")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                .cast("long")
+                .alias("total_scaled"),
+            )
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+                "total_scaled",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("session_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("session_dual_mem")
+            .where(F.col("user_id") >= 0)  # drop the flush sentinel's row
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(replay_root, ignore_errors=True)
+
+
+def _ann_ingest_oracle() -> str:
+    from odni_apache_beam_consumer_spark.plans.llm import (
+        _ANN_NBITS,
+        _ANN_PLANES,
+        _duck_probe_flip,
+        _duck_projection_bucket,
+    )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS dd
+  FROM embeddings
+),
+b AS (SELECT vec_id, vec, dd, {_duck_projection_bucket(_ANN_PLANES)} AS bucket FROM v),
+q AS (
+  SELECT vec_id AS query_id, vec AS qv, dd AS qdd, bucket
+  FROM b WHERE vec_id IN (7, 11, 13)
+),
+probes AS (
+  SELECT query_id, qv, qdd, {_duck_probe_flip(_ANN_NBITS)} AS bucket
+  FROM q, UNNEST(range(0, {_ANN_NBITS + 1})) AS pu(p)
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.qv, c.vec) / (sqrt(p.qdd) * sqrt(c.dd)), 6)
+           AS cosine
+  FROM probes p JOIN b c ON c.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@query("ann_stream_ingest_dual", oracle=_ann_ingest_oracle())
+def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN-index ingest, driven through a REAL readStream +
+    foreachBatch micro-batch pipeline with an exactly-once marker guard,
+    then probed — the search-service maintenance loop
+    (operators/similarity.py::append_to_ann_index) under streaming
+    semantics, hash-checked end to end.
+
+    The embeddings corpus is split into 4 parquet chunk files and
+    replayed one file per micro-batch; each batch is LSH-bucketed with
+    the STORED planes and appended into its bucket partitions.  Raw
+    ``mode=append`` is NOT idempotent, so the foreachBatch body guards
+    with a per-batch-id commit marker (the streaming/sinks.py protocol);
+    after the stream drains, batch 2 is re-delivered exactly as an
+    at-least-once restart would — the marker must no-op it, or its
+    vectors appear twice in the index and duplicate neighbor rows fail
+    the driver's hash.  Three fixed query vectors then probe the final
+    index reading ONLY their home + Hamming-1 bucket partitions
+    (partition pruning at file-listing level); the oracle recomputes the
+    same probe set and exact cosine top-5 from the raw table.
+
+    The 3 collected query vectors are a metadata-sized driver collect,
+    same documented class as sampling.py:137.
+
+    Scale shape: each ingest batch is one map-only bucket projection +
+    partitioned append touching only the buckets the batch lands in;
+    probe cost is O(probed bucket bytes), independent of both corpus and
+    ingest-history size."""
+    from odni_apache_beam_consumer_spark.operators import similarity as S
+    from odni_apache_beam_consumer_spark.plans.llm import _ANN_PLANES
+
+    planes = _ANN_PLANES
+    root = tempfile.mkdtemp(prefix="ann_ingest_dual_")
+    chunks_dir = os.path.join(root, "chunks")
+    index_dir = os.path.join(root, "index")
+    marker_dir = os.path.join(root, "markers")
+    os.makedirs(chunks_dir)
+    os.makedirs(marker_dir)
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        # 4 deterministic id-sliced chunk files, mtimes staggered so the
+        # file source replays them in order (same recipe as replay.py).
+        import time as _time
+
+        now = _time.time()
+        for i in range(4):
+            part = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == i)
+            tmp = os.path.join(root, f"__tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(chunks_dir, f"chunk_{i:05d}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        def ingest(batch: DataFrame, batch_id: int) -> None:
+            marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
+            if os.path.exists(marker):  # exactly-once: replay is a no-op
+                return
+            S.append_to_ann_index(batch, index_dir, planes)
+            with open(marker, "w") as f:
+                f.write("committed")
+
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(chunks_dir)
+        )
+        sq = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        sq.awaitTermination(300)
+        # At-least-once restart: re-deliver batch 2; the marker no-ops it.
+        ingest(emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 2), 2)
+
+        qvecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.where(F.col("vec_id").isin(7, 11, 13)).collect()
+        }
+        outs = [
+            S.query_ann_index(spark, index_dir, vec, planes, k=5).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "neighbor_id",
+                "cosine",
+            )
+            for qid, vec in sorted(qvecs.items())
+        ]
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

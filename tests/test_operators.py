@@ -137,6 +137,44 @@ def test_connected_components_transitivity(spark):
     assert m[10] == m[11] == 10
 
 
+def test_components_star_matches_propagation_on_chain(spark):
+    """Large-star/small-star contraction must agree with min-label
+    propagation, including on a LONG CHAIN — the diameter-heavy shape
+    star contraction exists for (here diameter 29 converges in O(log)
+    contraction rounds, well under the 20-iteration cap that would only
+    cover diameter <= 20 under one-hop propagation)."""
+    chain = [(i, i + 1) for i in range(1, 30)]
+    extra = [(100, 101), (101, 102), (200, 201)]
+    pairs = spark.createDataFrame(
+        chain + extra, "doc_a BIGINT, doc_b BIGINT"
+    )
+    star = {
+        r.doc_id: r.component
+        for r in D.connected_components_star(pairs, max_iterations=8).collect()
+    }
+    prop = {
+        r.doc_id: r.component
+        for r in D.connected_components(pairs, max_iterations=40).collect()
+    }
+    assert star == prop
+    assert all(star[i] == 1 for i in range(1, 31))
+    assert star[100] == star[101] == star[102] == 100
+    assert star[200] == star[201] == 200
+
+
+def test_components_star_self_loops_and_two_cliques(spark):
+    """Self-loops are dropped; overlapping cliques merge; every node of
+    the input appears exactly once with component = reachable minimum."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 9), (9, 3), (3, 7), (12, 9)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    rows = D.connected_components_star(pairs).collect()
+    m = {r.doc_id: r.component for r in rows}
+    assert len(rows) == len(m) == 4  # 5's self-loop contributes no node
+    assert m == {7: 3, 9: 3, 3: 3, 12: 3}
+
+
 def test_resolve_duplicates_canonical_and_singletons(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 7)], "doc_id BIGINT, text STRING"
