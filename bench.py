@@ -112,8 +112,20 @@ def main(argv: list[str]) -> int:
     # artifact (tests/test_artifacts.py gates it against the registry).
     if set(timings) == set(queries):
         try:
+            from odni_apache_beam_consumer_spark.plans.registry import (
+                registry_digest,
+            )
+
+            # The committed artifact (not the driver's stdout line) also
+            # stamps the registry digest so test_artifacts.py can fail
+            # loudly when a query/oracle changes without a bench rerun.
             with open(os.path.join(_REPO_DIR, "bench_out.json"), "w") as f:
-                json.dump(result, f, indent=2, sort_keys=True)
+                json.dump(
+                    dict(result, registry_digest=registry_digest()),
+                    f,
+                    indent=2,
+                    sort_keys=True,
+                )
         except OSError as exc:
             _log(f"could not write bench_out.json: {exc}")
     print(json.dumps(result), flush=True)

@@ -71,6 +71,22 @@ def query_digest(name: str) -> str:
     return hashlib.sha256((src + "\n##oracle##\n" + oracle).encode()).hexdigest()[:16]
 
 
+def registry_digest() -> str:
+    """One digest over the whole registry: sha256 of the sorted
+    (name, query_digest) pairs.  Committed artifacts (CORRECTNESS_local,
+    bench_out, PLANS.md) stamp this at generation time so
+    tests/test_artifacts.py fails LOUDLY when any query's plan or oracle
+    changes without regenerating them — name-set comparison alone let
+    round-5's artifacts go stale silently (round-5 verdict item 4)."""
+    import hashlib
+
+    all_queries()
+    acc = hashlib.sha256()
+    for name in sorted(QUERIES):
+        acc.update(f"{name}={query_digest(name)}\n".encode())
+    return acc.hexdigest()[:16]
+
+
 def _repo_root() -> str:
     import os
 

@@ -46,3 +46,46 @@ def test_hll_sketch_store_merge_consistency(spark, sf_dir):
         assert exact > 0
         err = abs(r["approx_customers"] - exact) / exact
         assert err <= 0.05, f"{seg}: sketch err {err:.3f}"
+
+
+def test_quantile_sketch_within_one_bin_of_exact(spark, sf_dir):
+    """The histogram-sketch quantile estimate (bin upper edge) must
+    bracket the exact percentile within one bin width (500) above it —
+    the sketch's whole error envelope — for every flag including the
+    merged __ALL__ row (which is derived from the stored sketches, so a
+    broken merge would drift it)."""
+    from pyspark.sql import functions as F
+
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    rows = {
+        r.flag: r
+        for r in all_queries()["quantile_sketch_merge"](spark, sf_dir).collect()
+    }
+    assert "__ALL__" in rows and len(rows) >= 4
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, r in rows.items():
+        scoped = (
+            li if flag == "__ALL__" else li.where(F.col("l_returnflag") == flag)
+        )
+        exact = scoped.agg(
+            F.percentile("l_extendedprice", 0.25).alias("q25"),
+            F.percentile("l_extendedprice", 0.50).alias("q50"),
+            F.percentile("l_extendedprice", 0.75).alias("q75"),
+            F.percentile("l_extendedprice", 0.90).alias("q90"),
+        ).collect()[0]
+        for col, ex in (
+            ("p25_upper", exact.q25),
+            ("p50_upper", exact.q50),
+            ("p75_upper", exact.q75),
+            ("p90_upper", exact.q90),
+        ):
+            upper = r[col]
+            assert ex <= upper <= ex + 500, (
+                f"{flag}.{col}: exact={ex} sketch_upper={upper}"
+            )
+        # n_rows on the merged row must equal the sum of the members —
+        # merge loses nothing.
+    assert rows["__ALL__"].n_rows == sum(
+        r.n_rows for f, r in rows.items() if f != "__ALL__"
+    )

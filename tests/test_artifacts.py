@@ -11,16 +11,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_correctness_local_covers_registry_with_zero_failures():
-    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+    from odni_apache_beam_consumer_spark.plans.registry import (
+        all_queries,
+        registry_digest,
+    )
 
     with open(os.path.join(REPO, "CORRECTNESS_local.json")) as f:
         data = json.load(f)
+    meta = data.pop("__meta__", {})
     registered = set(all_queries())
     assert set(data) == registered, (
         "CORRECTNESS_local.json out of sync with the registry — rerun "
         "tools/correctness_local.py; "
         f"missing={sorted(registered - set(data))} "
         f"stale={sorted(set(data) - registered)}"
+    )
+    # Content freshness, not just name coverage: any query/oracle change
+    # shifts the registry digest and demands a regenerated sweep
+    # (round-5's artifacts went stale silently under name-set gating).
+    assert meta.get("registry_digest") == registry_digest(), (
+        "CORRECTNESS_local.json was generated against a different registry "
+        "content digest — a query or oracle changed since; rerun "
+        "tools/correctness_local.py"
     )
     failures = {
         n: r["err"]
@@ -31,11 +43,18 @@ def test_correctness_local_covers_registry_with_zero_failures():
 
 
 def test_bench_out_covers_registry_with_no_errors():
-    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+    from odni_apache_beam_consumer_spark.plans.registry import (
+        all_queries,
+        registry_digest,
+    )
 
     with open(os.path.join(REPO, "bench_out.json")) as f:
         data = json.load(f)
     assert set(data["queries"]) == set(all_queries()), (
         "bench_out.json out of sync with the registry — rerun bench.py"
+    )
+    assert data.get("registry_digest") == registry_digest(), (
+        "bench_out.json was generated against a different registry content "
+        "digest — a query or oracle changed since; rerun bench.py"
     )
     assert all(v >= 0 for v in data["queries"].values()), "bench recorded failures"

@@ -73,14 +73,20 @@ def main() -> int:
         status = "ok" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"[{i + 1}/{len(queries)}] {name}: {status}", file=sys.stderr)
 
+    from odni_apache_beam_consumer_spark.plans.registry import registry_digest
+
+    # Stamp the registry digest so test_artifacts.py fails loudly when a
+    # query/oracle changes without regenerating this sweep.
+    out["__meta__"] = {"registry_digest": registry_digest()}
     path = os.path.join(REPO, "CORRECTNESS_local.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    n_full = sum(1 for r in out.values() if r["hash_match"])
-    n_rows_only = sum(1 for r in out.values() if r["err"] == "no_oracle")
-    n_fail = len(out) - n_full - n_rows_only
+    recs = {n: r for n, r in out.items() if n != "__meta__"}
+    n_full = sum(1 for r in recs.values() if r["hash_match"])
+    n_rows_only = sum(1 for r in recs.values() if r["err"] == "no_oracle")
+    n_fail = len(recs) - n_full - n_rows_only
     print(
-        f"wrote {path}: {len(out)} queries, {n_full} full hash-pass, "
+        f"wrote {path}: {len(recs)} queries, {n_full} full hash-pass, "
         f"{n_rows_only} rows-only, {n_fail} failures in {time.time() - t0:.1f}s",
         file=sys.stderr,
     )

@@ -68,6 +68,10 @@ SLOW_FAMILY = [
     "bloom_prefilter_dedup",
     "embedding_gram_matrix",
     "packing_efficiency_sweep",
+    # round-6 additions: the remaining iterative drivers (round-5 verdict
+    # item 6) and the new star-contraction components query
+    "kcore_peel",
+    "dedup_components_star",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
@@ -92,7 +96,13 @@ def synthesize(spark, dst: str, copies: int) -> None:
         F.sequence(F.lit(0).cast("long"), F.lit(copies - 1).cast("long"))
     ).alias("_copy")
 
-    li = load_table(spark, SRC, "lineitem").select("*", rep)
+    # Repartition the SOURCE before the explode: sf0.1 parquet has ~3
+    # row groups, so an explode in the scan stage fans out Nx on 3 cores
+    # (the round-3 hang).  Shuffling the small source first costs one
+    # tiny exchange and gives the fan-out — and the write — full
+    # parallelism with NO post-explode shuffle of the Nx rows.
+    n_out = 32 if copies <= 10 else 128
+    li = load_table(spark, SRC, "lineitem").repartition(n_out).select("*", rep)
     (
         li.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.col("_copy") * F.lit(ORDER_SHIFT)
@@ -101,12 +111,11 @@ def synthesize(spark, dst: str, copies: int) -> None:
             "l_partkey", F.col("l_partkey") + F.col("_copy") * F.lit(PART_SHIFT)
         )
         .drop("_copy")
-        .repartition(32 if copies <= 10 else 128)
         .write.mode("overwrite")
         .parquet(f"{dst}/lineitem.parquet")
     )
 
-    docs = load_table(spark, SRC, "documents").select("*", rep)
+    docs = load_table(spark, SRC, "documents").repartition(n_out).select("*", rep)
     (
         docs.withColumn("doc_id", F.col("doc_id") + F.col("_copy") * F.lit(DOC_SHIFT))
         .withColumn(
@@ -127,12 +136,15 @@ def synthesize(spark, dst: str, copies: int) -> None:
             ),
         )
         .drop("_copy")
-        .repartition(32 if copies <= 10 else 128)
         .write.mode("overwrite")
         .parquet(f"{dst}/documents.parquet")
     )
 
-    emb = load_table(spark, SRC, "embeddings").select("*", rep)
+    emb = (
+        load_table(spark, SRC, "embeddings")
+        .repartition(8 if copies <= 10 else 64)
+        .select("*", rep)
+    )
     (
         emb.withColumn("vec_id", F.col("vec_id") + F.col("_copy") * F.lit(VEC_SHIFT))
         .withColumn(
@@ -145,7 +157,6 @@ def synthesize(spark, dst: str, copies: int) -> None:
             ),
         )
         .drop("_copy")
-        .repartition(8 if copies <= 10 else 64)
         .write.mode("overwrite")
         .parquet(f"{dst}/embeddings.parquet")
     )
