@@ -430,6 +430,104 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_IDX_SPARK = (
+    "CAST(((instr('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr({m}, 2, 1)) - 1)) % 64 AS INT)"
+)
+_CMS_IDX_DUCK = (
+    "(((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr({m}, 2, 1)) - 1)) % 64)"
+)
+_CMS_M_SPARK = (
+    "md5(concat('cms', CAST(j AS STRING), ':', CAST(user_id AS STRING)))"
+)
+_CMS_M_DUCK = (
+    "md5(concat('cms', CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR)))"
+)
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT j, {_CMS_IDX_DUCK.format(m=_CMS_M_DUCK)} AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e, UNNEST(range(0, 3)) AS ju(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM e GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT t.user_id, t.exact_cnt, j,
+         {_CMS_IDX_DUCK.format(m=_CMS_M_DUCK)} AS idx
+  FROM top t, UNNEST(range(0, 3)) AS ju(j)
+)
+SELECT p.user_id, p.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON c.j = p.j AND c.idx = p.idx
+GROUP BY p.user_id, p.exact_cnt
+""",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a pure
+    DataFrame aggregate, audited against exact counts: d=3 md5-derived
+    hash rows x w=64 counters — 192 cells total — estimate a key's
+    frequency as the MIN over its d counters.  Deterministic (md5 index
+    arithmetic identical in both engines, same two-hex-digit idiom as
+    operators/sampling.py) and MERGEABLE: cells are plain sums, so
+    per-partition/per-day sketches union by adding counters — the
+    constant-memory frequency store for keys too numerous to count
+    exactly, sibling of the HLL distinct store above and the quantile
+    histogram sketch.
+
+    Output: the top-10 users by exact count with their CMS estimates and
+    the overestimate (CMS error is one-sided: estimate >= truth always,
+    asserted for EVERY key in tests/test_advanced.py; at ~2k users in 64
+    counters, collisions make the audit non-vacuous).
+
+    Scale shape: the sketch build is one hash aggregation over a 3x
+    map-side fan-out with partial aggregation collapsing to <=192 rows
+    per partition before the exchange; the probe side joins a 30-row
+    broadcast against the 192-cell sketch — at 100 TB only the build
+    pass touches rows, and the exact side of the audit would be sampled
+    or dropped (it exists here to witness the error bound)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    tripled = e.select(
+        "user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    )
+    cells = tripled.groupBy(
+        "j", F.expr(_CMS_IDX_SPARK.format(m=_CMS_M_SPARK)).alias("idx")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(10)
+    probes = top.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).withColumn("idx", F.expr(_CMS_IDX_SPARK.format(m=_CMS_M_SPARK)))
+    return (
+        F.broadcast(probes)
+        .join(cells, ["j", "idx"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(
+            F.min("cnt").cast("long").alias("cms_estimate"),
+            (F.min("cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ordered-set aggregates (arg_min/arg_max) — OHLC bars
 # ---------------------------------------------------------------------------

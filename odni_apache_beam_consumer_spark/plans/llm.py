@@ -1397,6 +1397,11 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(corpus, 3).persist(StorageLevel.MEMORY_AND_DISK)
     mh = D.minhash_signatures(sh, 12).persist(StorageLevel.MEMORY_AND_DISK)
     bands = D.lsh_band_signatures(mh, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager checkpoint the <=128 sampled pairs: they feed FOUR downstream
+    # consumers (signature join, shingle intersection, two size joins) —
+    # without materialization each consumer re-executes the whole
+    # candidate generation (band self-join + DISTINCT + TakeOrdered),
+    # which at 300x synthetic scale was most of a 76x wall-time factor.
     pairs = (
         D.lsh_candidate_pairs(bands)
         .withColumn(
@@ -1412,12 +1417,23 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pk")
         .limit(128)
         .drop("pk")
+        .localCheckpoint(eager=True)
+    )
+    # The audited doc set (<=256 ids): every exact-side computation below
+    # is pre-filtered to it by broadcast join, so no full-corpus
+    # aggregation remains anywhere in the audit.
+    audit_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
     ma = mh.select(F.col("doc_id").alias("doc_a"), F.col("minhashes").alias("mh_a"))
     mb = mh.select(F.col("doc_id").alias("doc_b"), F.col("minhashes").alias("mh_b"))
     est = (
-        pairs.join(ma, "doc_a")
+        F.broadcast(pairs)
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
         .select(
             "doc_a",
@@ -1430,9 +1446,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    audit_sh = sh.join(F.broadcast(audit_docs), "doc_id")
+    sizes = audit_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = audit_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = audit_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         F.broadcast(pairs)
         .join(sa, "doc_a")

@@ -89,3 +89,17 @@ def test_quantile_sketch_within_one_bin_of_exact(spark, sf_dir):
     assert rows["__ALL__"].n_rows == sum(
         r.n_rows for f, r in rows.items() if f != "__ALL__"
     )
+
+
+def test_countmin_never_underestimates_any_key(spark, sf_dir):
+    """CMS error is one-sided by construction (counters only ever add):
+    estimate >= exact for EVERY key, not just the audited top-10 — and
+    with ~2k users hashed into 64 counters the audit must be
+    non-vacuous (at least one actual collision overestimate at sf0.01;
+    at sf0.001 collisions may or may not occur, so only the bound is
+    asserted there)."""
+    rows = all_queries()["countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt, r
+        assert r.overestimate == r.cms_estimate - r.exact_cnt
