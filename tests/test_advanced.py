@@ -49,12 +49,17 @@ def test_hll_sketch_store_merge_consistency(spark, sf_dir):
 
 
 def test_quantile_sketch_within_one_bin_of_exact(spark, sf_dir):
-    """The histogram-sketch quantile estimate (bin upper edge) must
-    bracket the exact percentile within one bin width (500) above it —
-    the sketch's whole error envelope — for every flag including the
-    merged __ALL__ row (which is derived from the stored sketches, so a
-    broken merge would drift it)."""
-    from pyspark.sql import functions as F
+    """The histogram-sketch quantile (bin upper edge at the smallest bin
+    whose cumulative count reaches ceil(q*n)) must EXACTLY equal the bin
+    upper edge of the discrete order statistic x_{ceil(q*n)} — the two
+    definitions are provably identical, so this is an equality check, not
+    a tolerance band — for every flag including the merged __ALL__ row
+    (which is derived from the stored sketches, so a broken merge would
+    drift it).  NOTE: interpolating percentile() is deliberately NOT the
+    reference here: near a data gap the discrete rank statistic can sit
+    one bin above the interpolated value, which made a one-bin-width
+    tolerance vs percentile() flaky across scale factors."""
+    import math
 
     from odni_apache_beam_consumer_spark.catalog import load_table
 
@@ -63,26 +68,28 @@ def test_quantile_sketch_within_one_bin_of_exact(spark, sf_dir):
         for r in all_queries()["quantile_sketch_merge"](spark, sf_dir).collect()
     }
     assert "__ALL__" in rows and len(rows) >= 4
-    li = load_table(spark, sf_dir, "lineitem")
+    vals_by_flag = {
+        f: sorted(g["l_extendedprice"])
+        for f, g in load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+        .groupby("l_returnflag")
+    }
+    vals_by_flag["__ALL__"] = sorted(
+        v for vs in vals_by_flag.values() for v in vs
+    )
     for flag, r in rows.items():
-        scoped = (
-            li if flag == "__ALL__" else li.where(F.col("l_returnflag") == flag)
-        )
-        exact = scoped.agg(
-            F.percentile("l_extendedprice", 0.25).alias("q25"),
-            F.percentile("l_extendedprice", 0.50).alias("q50"),
-            F.percentile("l_extendedprice", 0.75).alias("q75"),
-            F.percentile("l_extendedprice", 0.90).alias("q90"),
-        ).collect()[0]
-        for col, ex in (
-            ("p25_upper", exact.q25),
-            ("p50_upper", exact.q50),
-            ("p75_upper", exact.q75),
-            ("p90_upper", exact.q90),
-        ):
-            upper = r[col]
-            assert ex <= upper <= ex + 500, (
-                f"{flag}.{col}: exact={ex} sketch_upper={upper}"
+        vals = vals_by_flag[flag]
+        n = len(vals)
+        assert r.n_rows == n
+        for pct, col in ((25, "p25_upper"), (50, "p50_upper"),
+                         (75, "p75_upper"), (90, "p90_upper")):
+            rank = -(-pct * n // 100)  # ceil(pct*n/100), pure-int
+            x = vals[rank - 1]
+            expect = (math.floor(x / 500) + 1) * 500
+            assert r[col] == expect, (
+                f"{flag}.{col}: rank-stat={x} expect_upper={expect} "
+                f"sketch_upper={r[col]}"
             )
         # n_rows on the merged row must equal the sum of the members —
         # merge loses nothing.
