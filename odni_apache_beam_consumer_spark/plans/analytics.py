@@ -1238,12 +1238,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the distinct (order, part) table is persisted and read three
     times (pair self-join, item supports, basket count); pair generation
-    is the same support-thresholded equi-join as copurchase_edges; item
-    supports are part-cardinality-sized so both lookups broadcast; the
-    basket total is a 1-row broadcast cross (whitelisted NLJ).  At 100 TB
-    the support threshold bounds pair cardinality and the self-join is
-    the only super-linear stage — per-basket size caps (a WHERE on basket
-    length) are the standard guard when baskets are power-law."""
+    is the same support-thresholded equi-join as copurchase_edges; the
+    basket total is a 1-row broadcast cross (whitelisted NLJ).  The item
+    support lookups are deliberately NOT force-broadcast: item
+    cardinality grows linearly with the corpus (6M rows at the 300×
+    scale cell), so a forced broadcast is a driver-OOM hazard — the
+    support-thresholded PAIR side is the one that stays small, and AQE
+    picks it as the broadcast side at runtime (same fix class as the
+    round-5 txtable merge).  At 100 TB the support threshold bounds pair
+    cardinality and the self-join is the only super-linear stage —
+    per-basket size caps (a WHERE on basket length) are the standard
+    guard when baskets are power-law."""
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1264,8 +1269,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     iu = item.select(F.col("l_partkey").alias("u"), F.col("sup").alias("sup_u"))
     iv = item.select(F.col("l_partkey").alias("v"), F.col("sup").alias("sup_v"))
     return (
-        pair.join(F.broadcast(iu), "u")
-        .join(F.broadcast(iv), "v")
+        pair.join(iu, "u")
+        .join(iv, "v")
         .crossJoin(F.broadcast(n))
         .select(
             "u",

@@ -200,6 +200,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm,
         ml,
         relational,
+        retrieval,
         storage_duals,
         streaming_duals,
         tpch,

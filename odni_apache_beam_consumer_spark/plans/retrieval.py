@@ -1,0 +1,444 @@
+"""Retrieval & tokenizer-induction queries: BM25 scoring, inverted-index
+(postings) construction, a BPE merge step, and recency-weighted
+engagement scoring.
+
+These are the IR-and-tokenizer workloads a training-data platform runs
+next to dedup/curation at 100 TB: score documents against probe queries
+(decontamination against eval sets is BM25-first in most pipelines),
+build the block-partitioned postings lists that back those lookups,
+derive tokenizer merges from corpus statistics, and rank users/documents
+by recency-weighted activity for sampling.  All four are pure JVM column
+expressions (higher-order array functions, window aggregates) — no
+Python UDFs — so they stay inside whole-stage codegen.
+
+Reference parity: the reference (/root/reference/main.py) has no
+data-plane transforms at all; these queries extend the north-star
+LLM-pipeline surface (BASELINE.json:6) alongside plans/llm.py and
+plans/curation.py.
+
+Hash-portability conventions (see plans/registry.py docstring): scores
+that sum floats per group are carried as FLOOR(x * 1e6) micro-units and
+integer-summed (order-independent, no -0.0); postings content is
+compared via md5 over the comma-joined delta gaps (arrays never cross
+the driver's pandas bridge); varint byte lengths use integer threshold
+compares, never log().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table, spread
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# BM25 hyperparameters (the Robertson/Sparck-Jones defaults).  Literal
+# doubles, identical on both engines.
+_K1 = 1.2
+_B = 0.75
+# Probe terms for the scoring query — common corpus words so every doc
+# scores (deterministic literals; a real decontamination run would join
+# against an eval-set term table instead).
+_PROBE_TERMS = ("spark", "table", "query")
+
+# Postings are block-partitioned: every (term, block) group holds at most
+# _BLOCK doc ids, so no collect_list is ever unbounded (a stop-word's
+# postings at 100 TB are billions of doc ids — the block split is the
+# same skip-block layout Lucene uses, and it keeps every aggregation
+# group O(_BLOCK)).
+_BLOCK = 128
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+dlen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dlen
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('{_PROBE_TERMS[0]}', '{_PROBE_TERMS[1]}', '{_PROBE_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(FLOOR(
+           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_K1} + 1.0))
+           / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl
+                              * s.n_docs / s.total_len))
+           * 1000000.0
+         ) AS BIGINT) AS term_score_micro
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN dlen l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT 50
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-50 documents for a fixed probe-term set
+    — the retrieval scorer behind eval-set decontamination and
+    retrieval-augmented curation (tf saturation + length normalization,
+    which plain tf-idf lacks).
+
+    Per-term scores are floored to integer micro-units BEFORE the per-doc
+    sum, so the aggregate is an order-independent integer SUM (the probe
+    terms can arrive in any partial-agg order); the float part is a fixed
+    tree of IEEE ops over integer inputs, identical on both engines.
+
+    Scale shape: doc lengths and term frequencies are two hash
+    aggregations over the token stream (map-side combined); the dlen
+    table is PERSISTED because both the per-doc score join and the 1-row
+    corpus-stats aggregate consume it — without the persist each reader
+    re-runs the full token-stream aggregation, doubling corpus passes
+    (caches live until the session's next clearCache; bench.py clears
+    between queries).  The df and corpus-stats tables are probe-sized /
+    1-row and broadcast; top-50 runs as TakeOrderedAndProject
+    (per-partition heaps, no global sort).  At 100 TB the probe-term IN
+    filter prunes the tf build to a sliver of the (doc, term) space
+    before anything shuffles."""
+    toks = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select("doc_id", F.explode("tk").alias("term"))
+    )
+    dlen = (
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_PROBE_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (
+                        1.0
+                        - _B
+                        + _B
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len")
+                    )
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("term_score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("term_score_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "postings_index_build",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+    FROM documents
+  )
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+),
+blocked AS (
+  SELECT t.term, t.doc_id, d.df,
+         CAST((ROW_NUMBER() OVER (PARTITION BY t.term ORDER BY t.doc_id)
+               - 1) // {_BLOCK} AS BIGINT) AS block_id
+  FROM toks t JOIN df d ON d.term = t.term
+  WHERE d.df >= 10
+),
+per_block AS (
+  SELECT term, block_id, df,
+         list(doc_id ORDER BY doc_id) AS p
+  FROM blocked GROUP BY term, block_id, df
+)
+SELECT term, block_id, df,
+       CAST(len(p) AS BIGINT) AS n_in_block,
+       p[1] AS first_doc,
+       p[len(p)] AS last_doc,
+       md5(COALESCE(array_to_string(
+         list_transform(generate_series(2, len(p)),
+                        i -> CAST(p[CAST(i AS INT)]
+                                  - p[CAST(i AS INT) - 1] AS VARCHAR)),
+         ','), '')) AS gaps_md5,
+       CAST(len(p) + COALESCE(list_sum(
+         list_transform(generate_series(2, len(p)), i ->
+           CASE WHEN p[CAST(i AS INT)] - p[CAST(i AS INT) - 1] >= 2097152
+                  THEN 3
+                WHEN p[CAST(i AS INT)] - p[CAST(i AS INT) - 1] >= 16384
+                  THEN 2
+                WHEN p[CAST(i AS INT)] - p[CAST(i AS INT) - 1] >= 128
+                  THEN 1
+                ELSE 0 END)), 0) AS BIGINT) AS varint_bytes
+FROM per_block
+""",
+)
+def postings_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: block-partitioned, delta-encoded
+    postings lists for every term with df >= 10 — the storage artifact
+    behind the BM25 query above (and the classic at-scale MapReduce
+    workload).  Each output row is one 128-doc postings block: bounds,
+    md5 over the comma-joined delta gaps (content check without shipping
+    arrays), and the varint-encoded byte size (1 byte per gap < 2^7,
+    2 < 2^14, 3 < 2^21, 4 beyond — integer threshold compares, no log).
+
+    Scale shape: ONE corpus scan.  The distinct (term, doc) table
+    shuffles once; df comes from an unordered COUNT window over the term
+    partition and block ids from a row_number window over the SAME
+    partitioning — both windows share one term-keyed exchange, so there
+    is no separate df aggregation and no join back (the naive
+    build-df-then-join plan costs a second corpus scan and a shuffle
+    join).  Every aggregation group is then <= 128 rows BY CONSTRUCTION
+    — a stop-word with a billion postings becomes ~8M independent blocks
+    instead of one unbounded collect_list (the same skip-block layout
+    Lucene uses)."""
+    toks = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select("doc_id", F.explode("tk").alias("term"))
+        .distinct()
+    )
+    w_term = Window.partitionBy("term")
+    w_ord = Window.partitionBy("term").orderBy("doc_id")
+    blocked = (
+        toks.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn(
+            "block_id",
+            ((F.row_number().over(w_ord) - 1) / _BLOCK).cast("long"),
+        )
+        .where(F.col("df") >= 10)
+    )
+    per_block = blocked.groupBy("term", "block_id", "df").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("p")
+    )
+    p = F.col("p")
+    # Gaps via zip_with over offset slices: slice() with length 0 yields
+    # an empty array, so 1-element blocks produce zero gaps — unlike
+    # Spark's sequence(2, 1), which counts DOWN ([2, 1]) and would index
+    # out of bounds (DuckDB's generate_series(2, 1) is empty).
+    gaps = F.expr(
+        "zip_with(slice(p, 2, size(p) - 1), slice(p, 1, size(p) - 1), "
+        "(a, b) -> a - b)"
+    )
+    return per_block.select(
+        "term",
+        "block_id",
+        "df",
+        F.size(p).cast("long").alias("n_in_block"),
+        F.element_at(p, 1).alias("first_doc"),
+        F.element_at(p, F.size(p)).alias("last_doc"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(gaps, lambda g: g.cast("string"))
+            )
+        ).alias("gaps_md5"),
+        (
+            F.size(p)
+            + F.coalesce(
+                F.aggregate(
+                    F.transform(
+                        gaps,
+                        lambda g: F.when(g >= 2097152, F.lit(3))
+                        .when(g >= 16384, F.lit(2))
+                        .when(g >= 128, F.lit(1))
+                        .otherwise(F.lit(0)),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("varint_bytes"),
+    )
+
+
+@query(
+    "bpe_merge_step",
+    oracle="""
+WITH words AS (
+  SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+  )
+  GROUP BY term
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2
+  GROUP BY 1
+),
+ranked AS (
+  SELECT pair, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rnk
+  FROM pairs
+)
+SELECT pair, pair_count, CAST(rnk AS BIGINT) AS rnk,
+       rnk = 1 AS selected
+FROM ranked WHERE rnk <= 20
+""",
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge step: the top-20 adjacent character
+    pairs by corpus-weighted frequency, with the argmax flagged as the
+    selected merge — the inner loop of tokenizer training (Sennrich et
+    al.'s BPE), run corpus-statistically.
+
+    Scale shape: THE key BPE-at-scale trick is that pair counting runs
+    over the word-frequency table (vocabulary-sized, ~100k rows no
+    matter the corpus), not the token stream — one corpus-wide hash agg
+    builds the vocab, then the pair fan-out is map-side over tiny data
+    and the pair agg output is alphabet^2-bounded.  The full tokenizer
+    loops this step, re-segmenting the VOCAB (never the corpus) after
+    each merge; top-20 runs as TakeOrderedAndProject."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+    w_rank = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        pairs.select(
+            "pair",
+            "pair_count",
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 20)
+        .withColumn("selected", F.col("rnk") == 1)
+    )
+
+
+@query(
+    "recency_weighted_engagement",
+    oracle="""
+WITH anchor AS (
+  SELECT MAX(DATE_TRUNC('day', ts)) AS a FROM events
+),
+weighted AS (
+  SELECT e.user_id,
+         CAST(FLOOR(e.value * 100) AS BIGINT)
+           * GREATEST(0, 30 - datediff('day', DATE_TRUNC('day', e.ts),
+                                       anchor.a)) AS w_centi
+  FROM events e CROSS JOIN anchor
+  WHERE e.user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_centi) AS BIGINT) AS score_centi
+FROM weighted
+GROUP BY user_id
+ORDER BY score_centi DESC, user_id
+LIMIT 100
+""",
+)
+def recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement scoring: top-100 users by
+    SUM(value * ramp(age)) where ramp is a 30-day linear decay anchored
+    at the corpus's max event date — the feature-store staple behind
+    "who is active lately" sampling and churn features.
+
+    The decay weight is INTEGER (GREATEST(0, 30 - age_days)) and the
+    value is floored to centi-units first, so the score aggregate is an
+    exact integer SUM — no float decay (an exponential 2^-age variant
+    needs either order-dependent float sums or overflow-prone integer
+    scaling; the linear ramp keeps the whole pipeline in BIGINT).  The
+    anchor is data-derived (MAX day), never wall-clock, so the query is
+    deterministic and replayable.
+
+    Scale shape: the anchor is a 1-row aggregate broadcast-crossed back
+    (whitelisted NLJ); weighting is map-side; ONE user-keyed hash agg
+    with map-side partials; top-100 is TakeOrderedAndProject.  At 100 TB
+    a date-partitioned events table prunes the scan to the 30-day ramp
+    window before any of this runs."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    anchor = e.agg(
+        F.max(F.date_trunc("day", "ts")).alias("a")
+    )
+    weighted = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            * F.greatest(
+                F.lit(0),
+                F.lit(30)
+                - F.datediff(F.col("a"), F.date_trunc("day", F.col("ts"))),
+            )
+        ).alias("w_centi"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_centi").cast("long").alias("score_centi"),
+        )
+        .orderBy(F.desc("score_centi"), F.asc("user_id"))
+        .limit(100)
+    )

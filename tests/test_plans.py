@@ -463,6 +463,8 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "basket_association_rules": "broadcast 1-row basket-count scalar",
         "daily_revenue_anomalies": "broadcast 1-row mean/stddev scalar",
         "ann_recall_audit": "exact-baseline half: broadcast query set x corpus",
+        "bm25_topk": "broadcast 1-row corpus-stats scalar (N, avg len)",
+        "recency_weighted_engagement": "broadcast 1-row max-date anchor",
     }
     offenders = {}
     for name, fn in all_queries().items():
