@@ -1,0 +1,498 @@
+"""Model- and ranking-evaluation queries: histogram AUC, calibration
+bins, reciprocal-rank fusion, NDCG@10, and leave-one-out target
+encoding.
+
+A training-data platform doesn't just build datasets — it EVALUATES the
+classifiers that gate them (the quality filter behind
+classifier_quality_filter needs an AUC and a calibration table before
+anyone trusts its threshold) and the rankers that retrieve them (BM25 /
+recency rankers get fused and judged with NDCG).  These five queries are
+that evaluation surface, each expressed as pure JVM column expressions.
+
+Reference parity: the reference (/root/reference/main.py) has no
+data-plane transforms; these extend the north-star LLM-pipeline surface
+(BASELINE.json:6) alongside plans/retrieval.py and plans/llm.py.
+
+Hash-portability conventions (see plans/registry.py docstring): every
+ratio is integer ppm via `a * 1000000 DIV b` (Spark) / `a * 1000000 //
+b` (DuckDB); scores are floored to milli/micro integer units BEFORE any
+aggregation so sums are order-independent; the only float op anywhere is
+log2 of a SMALL INTEGER (NDCG's position discount), floored to
+micro-units — a fixed IEEE expression tree with integer input, identical
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# RRF's rank-damping constant (Cormack et al.'s k=60) and the per-ranker
+# candidate depth.  Depth matters at scale: each ranker contributes a
+# TOP-_RRF_DEPTH list (TakeOrderedAndProject), so the fusion join is
+# O(depth), never O(corpus).
+_RRF_K = 60
+_RRF_DEPTH = 200
+
+
+def _scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, s_milli): binary label (label % 2) and the classifier score —
+    the embedding's first component floored to integer milli-units.
+
+    Milli (not micro) is deliberate: it QUANTIZES the score axis so the
+    AUC/calibration histogram has a bounded number of distinct bins
+    (~700 here, <= a few thousand for any [-few, few] score range) —
+    that bound is what makes the ordered prefix-sum stage below
+    corpus-size-independent."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.floor(
+            F.expr("cast(element_at(embedding, 1) as double)") * 1000.0
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+
+
+@query(
+    "classifier_auc_rank",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+           AS s_milli
+  FROM embeddings
+),
+hist AS (
+  SELECT s_milli,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY s_milli
+),
+pref AS (
+  SELECT n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (
+           ORDER BY s_milli
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS total_neg,
+         CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS num2
+  FROM pref
+)
+SELECT total_pos, total_neg, num2,
+       CAST(num2 * 1000000 // (2 * total_pos * total_neg) AS BIGINT)
+         AS auc_ppm
+FROM tot
+""",
+)
+def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of the embedding-score classifier against the
+    binary label, computed EXACTLY in integers: num2 counts every
+    (positive, negative) pair twice-if-concordant / once-if-tied
+    (`p_s * (2 * negs_below_s + negs_at_s)` summed over score bins), so
+    auc_ppm = num2 * 1e6 DIV (2 * P * N) with zero float arithmetic —
+    ties get the standard 1/2 credit and partial-agg order can't matter.
+
+    Scale shape: this is HISTOGRAM AUC — the corpus-sized work is one
+    hash aggregation onto the quantized score axis (map-side combined);
+    the ordered prefix sum then runs over the ~thousands of DISTINCT
+    score bins, not the rows, so the single-partition window is bounded
+    by the quantization (milli-units), not the corpus.  The naive
+    rank-based formulation sorts ALL rows globally; this never sorts
+    anything bigger than the histogram."""
+    hist = (
+        _scored_embeddings(spark, sf_dir)
+        .groupBy("s_milli")
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        )
+    )
+    w = (
+        Window.orderBy("s_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = hist.withColumn(
+        "neg_below",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long"),
+    )
+    return pref.agg(
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.sum("n_neg").cast("long").alias("total_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("num2"),
+    ).select(
+        "total_pos",
+        "total_neg",
+        "num2",
+        F.expr(
+            "CAST(num2 * 1000000 DIV (2 * total_pos * total_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+           AS s_milli
+  FROM embeddings
+),
+bounds AS (
+  SELECT MIN(s_milli) AS lo, MAX(s_milli) AS hi FROM scored
+),
+norm AS (
+  SELECT y,
+         CAST((s_milli - lo) * 1000000 // (hi - lo + 1) AS BIGINT) AS p_ppm
+  FROM scored CROSS JOIN bounds
+)
+SELECT CAST(p_ppm * 10 // 1000000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS avg_p_ppm
+FROM norm
+GROUP BY 1
+""",
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table for the same classifier: min-max
+    normalize the score to integer ppm, decile-bin it, and compare each
+    bin's predicted level (avg_p_ppm) against its empirical positive
+    rate (pos_rate_ppm) — the table a reliability diagram plots, and the
+    evidence behind choosing classifier_quality_filter's threshold.
+
+    Everything is integer: normalization is `(s - lo) * 1e6 DIV
+    (hi - lo + 1)` (the +1 keeps the max strictly under 1e6, so the
+    decile formula `p * 10 DIV 1e6` lands in 0..9 with no LEAST clamp),
+    and both per-bin rates are integer DIV ppm.
+
+    Scale shape: the bounds are a 1-row aggregate broadcast-crossed back
+    (whitelisted NLJ); binning is map-side arithmetic; ONE hash
+    aggregation onto <= 10 groups with map-side partials."""
+    scored = _scored_embeddings(spark, sf_dir)
+    bounds = scored.agg(
+        F.min("s_milli").alias("lo"), F.max("s_milli").alias("hi")
+    )
+    norm = scored.crossJoin(F.broadcast(bounds)).select(
+        "y",
+        F.expr(
+            "CAST((s_milli - lo) * 1000000 DIV (hi - lo + 1) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    return (
+        norm.groupBy(
+            F.expr("CAST(p_ppm * 10 DIV 1000000 AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr(
+                "CAST(sum(y) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.expr("CAST(sum(p_ppm) DIV count(*) AS BIGINT)").alias(
+                "avg_p_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "reciprocal_rank_fusion",
+    oracle=f"""
+WITH ra AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rnk_len
+  FROM documents
+  ORDER BY n_chars DESC, doc_id LIMIT {_RRF_DEPTH}
+),
+rb AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id)
+              AS BIGINT) AS rnk_md5
+  FROM documents
+  ORDER BY md5(text), doc_id LIMIT {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         COALESCE(ra.rnk_len, 0) AS rnk_len,
+         COALESCE(rb.rnk_md5, 0) AS rnk_md5,
+         CAST(CASE WHEN ra.rnk_len IS NULL THEN 0
+              ELSE 1000000000 // ({_RRF_K} + ra.rnk_len) END
+            + CASE WHEN rb.rnk_md5 IS NULL THEN 0
+              ELSE 1000000000 // ({_RRF_K} + rb.rnk_md5) END
+            AS BIGINT) AS rrf_nano
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rnk_len, rnk_md5, rrf_nano
+FROM fused
+ORDER BY rrf_nano DESC, doc_id
+LIMIT 50
+""",
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankers — the
+    standard way to merge heterogeneous rankings (BM25 + embedding +
+    recency) without score calibration, since RRF only consumes RANKS.
+    The two rankers here are deterministic stand-ins (length-desc and
+    md5-lexicographic); a production call fuses bm25_topk with an ANN
+    ranking the same way.
+
+    Per-ranker contributions are integer nano-units (1e9 DIV (k + rank))
+    so the fused score is an exact integer sum; absent docs contribute 0
+    and keep rank 0 as the "not retrieved by this ranker" sentinel.
+
+    Scale shape: each ranker is a corpus top-_RRF_DEPTH
+    (TakeOrderedAndProject per-partition heaps — the global sort never
+    happens); the FULL OUTER fusion join runs over <= 2 * depth rows,
+    broadcast-sized no matter the corpus; final top-50 is again a heap.
+    The row_number windows run AFTER the depth cut, over depth-bounded
+    single partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rnk_len"),
+        )
+    )
+    rb = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("h"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rnk_md5"),
+        )
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rnk_len", F.lit(0)).cast("long").alias("rnk_len"),
+        F.coalesce("rnk_md5", F.lit(0)).cast("long").alias("rnk_md5"),
+        (
+            F.when(
+                F.col("rnk_len").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.expr(f"1000000000 DIV ({_RRF_K} + rnk_len)")
+            )
+            + F.when(
+                F.col("rnk_md5").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.expr(f"1000000000 DIV ({_RRF_K} + rnk_md5)")
+            )
+        )
+        .cast("long")
+        .alias("rrf_nano"),
+    )
+    return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(50)
+
+
+@query(
+    "ndcg_at_10",
+    oracle="""
+WITH ranked AS (
+  SELECT lang,
+         CAST(doc_id % 4 AS BIGINT) AS rel,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS pos
+  FROM documents
+),
+gains AS (
+  SELECT lang, pos,
+         CAST(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+              ELSE 7 END AS BIGINT) AS gain,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                                     WHEN 2 THEN 3 ELSE 7 END DESC,
+                                     pos) AS ideal_pos
+  FROM ranked
+),
+dcg AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN pos <= 10 THEN
+           gain * CAST(FLOOR(1000000.0 / log2(pos + 1)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_micro,
+         CAST(SUM(CASE WHEN ideal_pos <= 10 THEN
+           gain * CAST(FLOOR(1000000.0 / log2(ideal_pos + 1)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS idcg_micro
+  FROM gains GROUP BY lang
+)
+SELECT lang, dcg_micro, idcg_micro,
+       CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM dcg
+""",
+)
+def ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per language for the length-desc ranker against graded
+    relevance labels (doc_id % 4 as the deterministic stand-in for an
+    editorial 0-3 grade; gains are the standard 2^rel - 1).  One such
+    row per query group is how ranker A/B tests are scored.
+
+    The position discount 1/log2(pos+1) is the ONLY float op: log2 of a
+    small integer is a single IEEE double op with identical input on
+    both engines, floored to integer micro-units per position, so every
+    aggregate is an integer SUM and the final NDCG is integer-DIV ppm.
+    IDCG re-ranks the SAME graded list by gain (ties broken by observed
+    position — any tie-break gives the same IDCG since only gain enters
+    the sum).
+
+    Scale shape: both row_number windows partition by the query group
+    (lang), so ranking parallelizes across query groups — no global
+    sort; the DCG aggregation is <= 10 surviving rows per group each
+    side, map-side combined.  At 100 TB with millions of query groups
+    this is embarrassingly parallel."""
+    gain = (
+        F.when(F.col("rel") == 0, 0)
+        .when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .otherwise(7)
+        .cast("long")
+    )
+    ranked = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            (F.col("doc_id") % 4).cast("long").alias("rel"),
+            "n_chars",
+            "doc_id",
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+        .withColumn("gain", gain)
+        .withColumn(
+            "ideal_pos",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("gain"), F.asc("pos")
+                )
+            ),
+        )
+    )
+    disc = lambda col: (  # noqa: E731 — FLOOR(1e6 / log2(pos+1)) micro-discount
+        F.floor(F.lit(1000000.0) / F.log2(F.col(col) + 1)).cast("long")
+    )
+    dcg = ranked.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("pos") <= 10, F.col("gain") * disc("pos")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(
+                F.col("ideal_pos") <= 10, F.col("gain") * disc("ideal_pos")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+    )
+    return dcg.select(
+        "lang",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)").alias(
+            "ndcg_ppm"
+        ),
+    )
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v_centi
+  FROM events
+),
+stats AS (
+  SELECT event_type, v_centi,
+         CAST(SUM(v_centi) OVER (PARTITION BY event_type) AS BIGINT)
+           AS sum_centi,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM base
+),
+loo AS (
+  SELECT event_type, n,
+         CAST((sum_centi - v_centi) * 10000 // (n - 1) AS BIGINT)
+           AS loo_micro
+  FROM stats WHERE n >= 2
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(loo_micro) AS BIGINT) AS loo_min_micro,
+       CAST(MAX(loo_micro) AS BIGINT) AS loo_max_micro,
+       CAST(SUM(loo_micro) // MAX(n) AS BIGINT) AS loo_avg_micro
+FROM loo
+GROUP BY event_type
+""",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against the event
+    value — the feature-engineering staple that replaces a categorical
+    with the mean target of its OTHER members (LOO kills the
+    self-leakage that plain mean encoding has).  Output is the per-type
+    audit: member count and the min/max/avg of the per-row encodings in
+    integer micro-units.
+
+    Each row's encoding is `(sum - self) * 10000 DIV (n - 1)` over
+    centi-unit targets — exact integer arithmetic, no float means; the
+    n >= 2 guard drops categories where LOO is undefined.
+
+    Scale shape: ONE exchange — the unordered sum/count windows and the
+    final groupBy share the event_type hash partitioning, so Spark
+    reuses the same shuffle for both (the naive
+    groupBy-then-join-back costs a second shuffle plus a join).  Window
+    frames are whole-partition (no ordering), so they evaluate as a
+    single pass per group."""
+    w = Window.partitionBy("event_type")
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_centi"),
+    )
+    loo = (
+        base.withColumn("sum_centi", F.sum("v_centi").over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "n",
+            F.expr(
+                "CAST((sum_centi - v_centi) * 10000 DIV (n - 1) AS BIGINT)"
+            ).alias("loo_micro"),
+        )
+    )
+    return loo.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min("loo_micro").cast("long").alias("loo_min_micro"),
+        F.max("loo_micro").cast("long").alias("loo_max_micro"),
+        F.expr("CAST(sum(loo_micro) DIV max(n) AS BIGINT)").alias(
+            "loo_avg_micro"
+        ),
+    )

@@ -196,6 +196,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         analytics,
         curation,
+        evaluation,
         governance,
         llm,
         ml,

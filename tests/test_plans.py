@@ -465,6 +465,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "ann_recall_audit": "exact-baseline half: broadcast query set x corpus",
         "bm25_topk": "broadcast 1-row corpus-stats scalar (N, avg len)",
         "recency_weighted_engagement": "broadcast 1-row max-date anchor",
+        "calibration_bins": "broadcast 1-row score min/max bounds",
     }
     offenders = {}
     for name, fn in all_queries().items():
