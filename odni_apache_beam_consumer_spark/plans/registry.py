@@ -199,6 +199,7 @@ def all_queries() -> dict[str, QueryFn]:
         evaluation,
         governance,
         llm,
+        maintenance,
         ml,
         relational,
         retrieval,

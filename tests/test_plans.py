@@ -466,6 +466,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "bm25_topk": "broadcast 1-row corpus-stats scalar (N, avg len)",
         "recency_weighted_engagement": "broadcast 1-row max-date anchor",
         "calibration_bins": "broadcast 1-row score min/max bounds",
+        "zorder_clustering_audit": "broadcast 1-row key-bounds scalar",
     }
     offenders = {}
     for name, fn in all_queries().items():
