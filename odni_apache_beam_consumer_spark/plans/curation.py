@@ -672,3 +672,98 @@ def bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == 1)
     out = B.bloom_anti_join(incoming, corpus, "text")
     return out.select("doc_id", "lang", F.md5("text").alias("text_md5"))
+
+
+@query(
+    "substring_span_dedup",
+    oracle="""
+WITH spans AS (
+  SELECT doc_id, span_md5
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_filter(generate_series(1, len(text) - 63),
+                         i -> substr(md5(substr(text, CAST(i AS INT), 4)),
+                                     1, 1) = '0'),
+             i -> md5(substr(text, CAST(i AS INT), 64))) AS hs
+    FROM documents
+    WHERE len(text) >= 64
+  ), UNNEST(hs) AS u(span_md5)
+),
+dup AS (
+  SELECT span_md5,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MIN(doc_id) AS min_doc,
+         MAX(doc_id) AS max_doc
+  FROM spans
+  GROUP BY span_md5
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT span_md5, n_docs, n_occurrences, min_doc, max_doc
+FROM dup
+ORDER BY n_docs DESC, n_occurrences DESC, span_md5
+LIMIT 100
+""",
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication scan (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" workload, via
+    content-defined anchoring): hash the 64-char span at every ANCHOR
+    position — positions whose local 4-gram md5 starts with '0', an
+    expected 1-in-16 of positions — and report the top-100 spans that
+    recur across >= 2 documents: boilerplate headers, license blocks,
+    and templated passages that document-level dedup never sees because
+    the SURROUNDING text differs.  A removal pass would cut or
+    down-weight exactly these spans; doc-level near-dedup
+    (dedup_minhash et al.) is blind to them.
+
+    Content-defined (not fixed-stride) anchoring is the load-bearing
+    choice: a fixed stride only collides when two copies of a duplicate
+    start at offsets congruent mod the stride — an arbitrary 17-char
+    prefix shift hides every window.  Anchor positions are determined
+    by the TEXT ITSELF (the CDC / winnowing trick), so inside any
+    shared region the anchors fall at identical content-relative
+    offsets in every copy, and a duplicated region of length L is
+    detected with probability 1 - (15/16)^(L-63) (>= 98% at L ~ 128,
+    ~1 at paragraph scale) at ANY alignment — the same guarantee class
+    as suffix-array dedup, without the suffix array.
+
+    Scale shape: anchoring + hashing run INSIDE one higher-order-
+    function projection (filter -> transform over the position
+    sequence), so the only exploded stream is the ~len/16 16-byte span
+    hashes — raw text never leaves its scan task and never shuffles;
+    ONE hash aggregation on span_md5 with map-side combine; the
+    HAVING >= 2 filter drops the unique-span long tail before the
+    top-100 heap (TakeOrderedAndProject).  No pairwise comparison ever
+    materializes — duplication is read off group cardinalities, the
+    same group-then-filter shape as dedup_exact."""
+    spans = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 64)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  filter(sequence(1, length(text) - 63),"
+                    "         i -> substring(md5(substring(text, i, 4)),"
+                    "                        1, 1) = '0'),"
+                    "  i -> md5(substring(text, i, 64)))"
+                )
+            ).alias("span_md5"),
+        )
+    )
+    dup = (
+        spans.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return dup.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_md5")
+    ).limit(100)

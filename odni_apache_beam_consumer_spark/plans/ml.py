@@ -620,3 +620,81 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both rounds: degree count, peel < 3, induced-subgraph degree
     recount, peel again."""
     return kcore(copurchase_edges(spark, sf_dir), k=3, n_rounds=2)
+
+
+@query(
+    "link_prediction_common_neighbors",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+centers AS (
+  SELECT sym.u AS w, sym.v FROM sym JOIN deg ON deg.u = sym.u
+  WHERE deg.d <= 64
+),
+wedges AS (
+  SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM centers s1 JOIN centers s2 ON s1.w = s2.w
+  WHERE s1.v < s2.v
+  GROUP BY 1, 2
+)
+SELECT w.a, w.b, w.common_neighbors
+FROM wedges w
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.a AND e0.v = w.b)
+ORDER BY w.common_neighbors DESC, w.a, w.b
+LIMIT 50
+""",
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: the
+    top-50 NON-adjacent part pairs ranked by shared neighbors — the
+    classic "you may also like" / missing-edge scorer (Liben-Nowell &
+    Kleinberg), and the recommendation dual of triangle_count (a
+    predicted link is a wedge that never closed).
+
+    Scale shape: wedge enumeration joins the symmetric adjacency with
+    itself on the CENTER vertex, so cost is sum(deg(w)^2) — the same
+    blow-up triangle counting has, bounded here the way the dedup
+    family bounds hot buckets: centers with degree > 64 are dropped
+    (a hub that co-occurs with everything predicts nothing — its
+    wedges are pure noise, exactly the df-cap argument from
+    dedup_ngram_jaccard).  The raw edge list is persisted (the
+    symmetrize union + degree count + existing-edge anti join all read
+    it); candidate pairs come ONLY from wedges — no all-pairs stage
+    exists; the anti join removes already-connected pairs on the
+    (a, b) key; top-50 is TakeOrderedAndProject.  Caches live until
+    the session's next clearCache (bench.py clears between queries)."""
+    e0 = copurchase_edges(spark, sf_dir).persist()
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    centers = (
+        sym.join(deg.where(F.col("d") <= 64), "u")
+        .select(F.col("u").alias("w"), "v")
+    )
+    s1 = centers.select("w", F.col("v").alias("a"))
+    s2 = centers.select("w", F.col("v").alias("b"))
+    wedges = (
+        s1.join(s2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    open_pairs = wedges.join(
+        e0.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return open_pairs.orderBy(
+        F.desc("common_neighbors"), F.asc("a"), F.asc("b")
+    ).limit(50)

@@ -1,0 +1,124 @@
+"""Targeted tests for substring_span_dedup (plans/curation.py) and
+link_prediction_common_neighbors (plans/ml.py): ground-truth
+re-derivations the DuckDB oracles can't express (they'd just repeat the
+same SQL).  Value correctness vs the oracle is covered by
+test_queries_oracle.py."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+
+def _python_spans(text: str):
+    """Reference implementation of the content-defined anchor rule:
+    a position anchors iff md5 of its 4-gram starts with '0'."""
+    import hashlib
+
+    for i in range(0, max(len(text) - 63, 0)):
+        if hashlib.md5(text[i : i + 4].encode()).hexdigest()[0] == "0":
+            yield hashlib.md5(text[i : i + 64].encode()).hexdigest()
+
+
+def test_span_dedup_hits_are_real_shared_substrings(spark, sf_dir):
+    """Every reported span hash must correspond to an actual 64-char
+    anchor-aligned substring occurring in >= n_docs distinct documents —
+    re-derived in plain Python from the raw text, no SQL."""
+    rows = all_queries()["substring_span_dedup"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus is known to contain duplicated spans"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    span_docs: dict[str, set] = defaultdict(set)
+    span_occ: dict[str, int] = defaultdict(int)
+    for d in docs:
+        for h in _python_spans(d.text):
+            span_docs[h].add(d.doc_id)
+            span_occ[h] += 1
+    for r in rows:
+        assert len(span_docs[r.span_md5]) == r.n_docs >= 2
+        assert span_occ[r.span_md5] == r.n_occurrences
+        assert r.min_doc == min(span_docs[r.span_md5])
+        assert r.max_doc == max(span_docs[r.span_md5])
+
+
+def test_span_dedup_finds_planted_misaligned_duplicate(spark, tmp_path):
+    """The content-defined-anchor guarantee a fixed stride cannot give:
+    a duplicated region is detected at ANY alignment, because anchor
+    positions travel with the content.  Planted at deliberately hostile
+    offsets (0 and 17 — maximally misaligned mod any power-of-two
+    stride); the test first proves the shared text itself contains an
+    interior anchor, so detection is deterministic, not probabilistic."""
+    shared = "x" + "the quick brown fox jumps over the lazy dog again and again " * 3
+    assert len(shared) >= 95
+    # the anchor rule must fire somewhere inside the shared region's
+    # first len-63 positions — guaranteed for this fixed string, checked
+    # here so the planted case can never silently become vacuous
+    assert any(True for _ in _python_spans(shared))
+    rows = [
+        (1, shared + " tail-one unique suffix padding material"),
+        (2, "q" * 17 + shared + " other trailing content entirely"),
+        (3, "totally unrelated filler " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    got = all_queries()["substring_span_dedup"](spark, str(tmp_path)).collect()
+    assert any(r.n_docs == 2 and {r.min_doc, r.max_doc} == {1, 2} for r in got)
+
+
+def test_link_prediction_matches_brute_force(spark, sf_dir):
+    """Re-derive the full common-neighbors ranking in plain Python from
+    the collected edge list (support>=2 graph is a few thousand edges at
+    test scale): predicted pairs must be non-adjacent, counts exact, and
+    the returned top-50 must equal the brute-force top-50 under the same
+    (count DESC, a, b) order."""
+    from odni_apache_beam_consumer_spark.plans.ml import copurchase_edges
+
+    edges = {(r.u, r.v) for r in copurchase_edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts: dict[tuple, int] = defaultdict(int)
+    for w, nbrs in adj.items():
+        if len(nbrs) > 64:
+            continue
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                counts[(a, b)] += 1
+    open_pairs = [
+        (a, b, c) for (a, b), c in counts.items() if (a, b) not in edges
+    ]
+    expect = sorted(open_pairs, key=lambda t: (-t[2], t[0], t[1]))[:50]
+    got = [
+        (r.a, r.b, r.common_neighbors)
+        for r in all_queries()["link_prediction_common_neighbors"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == expect
+    for a, b, c in got:
+        assert (a, b) not in edges and c >= 1
+
+
+def test_link_prediction_no_cartesian_and_caps_hubs(spark, sf_dir):
+    """Plan gate: candidates must come from the wedge equi-join — no
+    CartesianProduct / NLJ anywhere; and the degree cap must appear as a
+    filter BEFORE the self-join (the sum(deg^2) bound)."""
+    df = all_queries()["link_prediction_common_neighbors"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "64" in plan  # the degree-cap literal survives into the plan
