@@ -471,3 +471,96 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_stream_join_dual",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id AS c_event_id, user_id AS c_user_id, ts AS c_ts,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS c_value_scaled
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+)
+SELECT p.p_event_id, c.c_event_id, p.p_user_id, c.c_value_scaled
+FROM p JOIN c
+  ON c.c_user_id = p.p_user_id
+ AND c.c_ts > p.p_ts
+ AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (purchases matched with same-user
+    clicks within the following hour — streaming/windows.py::
+    stream_stream_join) driven through a REAL micro-batch replay and
+    hash-checked against the batch interval-join oracle.  Both sides
+    read the SAME 6-chunk time-ordered replay, filtered to their event
+    type per micro-batch, so matches routinely span chunks — a pair
+    whose purchase arrives in batch 2 and click in batch 5 only appears
+    if the join state actually held the purchase across triggers; any
+    premature state eviction, duplicate emission, or lost buffered row
+    fails the driver's hash.
+
+    The inner join needs no flush sentinel (matches emit as soon as both
+    rows have arrived; the sentinel rows exist in the replay but carry
+    event_type '__flush__', so both filters drop them), and the time-
+    range condition is what BOUNDS the state store: each side retains
+    only rows within watermark + horizon, the property that makes
+    stream-stream joins viable at all at 100 TB/day ingest.
+
+    Scale shape: per micro-batch, both sides shuffle on user_id into
+    keyed state; the range predicate keeps state O(horizon x rate) per
+    key, not O(stream); output is append-mode with no aggregation, so
+    no watermark-delayed emission applies to matched pairs.  The state
+    partition count is sized DOWN to 8 for the replay (saved/restored
+    around the run): a stream-stream join instantiates one state store
+    per shuffle partition per side per micro-batch, and 32 partitions
+    of near-empty state cost more in store open/commit overhead than
+    the join itself at replay volume — the same number a production
+    deployment tunes to its key cardinality (state partitioning is
+    fixed at first checkpoint, so it is a deploy-time decision there)."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_join,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="ssjoin_dual_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        chunks = R.write_replay_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=6,
+            flush_sentinel=True,
+        )
+        stream = R.read_stream(spark, chunks).where(
+            F.col("user_id").isNotNull()
+        )
+        purchases = stream.where(F.col("event_type") == "purchase")
+        clicks = stream.where(F.col("event_type") == "click")
+        joined = stream_stream_join(purchases, clicks, horizon="1 hour")
+        out = joined.select(
+            "p_event_id",
+            "c_event_id",
+            "p_user_id",
+            F.floor(F.col("c_value") * 10000)
+            .cast("long")
+            .alias("c_value_scaled"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssjoin_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table("ssjoin_dual_mem").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_root, ignore_errors=True)
