@@ -72,6 +72,10 @@ SLOW_FAMILY = [
     # item 6) and the new star-contraction components query
     "kcore_peel",
     "dedup_components_star",
+    # round-6 session additions: wedge-join link prediction (sum(deg^2)
+    # risk family) and the content-defined span scan (fan-out family)
+    "link_prediction_common_neighbors",
+    "substring_span_dedup",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
