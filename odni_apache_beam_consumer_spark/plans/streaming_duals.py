@@ -564,3 +564,112 @@ def stream_stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(replay_root, ignore_errors=True)
+
+
+@query(
+    "stream_stream_outer_join_dual",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id AS c_event_id, user_id AS c_user_id, ts AS c_ts,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS c_value_scaled
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+)
+SELECT p.p_event_id, p.p_user_id, c.c_event_id, c.c_value_scaled
+FROM p LEFT JOIN c
+  ON c.c_user_id = p.p_user_id
+ AND c.c_ts > p.p_ts
+ AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_outer_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream LEFT OUTER interval join driven through a REAL
+    micro-batch replay and hash-checked against the batch left join —
+    the hardest streaming-join contract to get right, because the
+    NULL rows are a *watermark proof*: an unmatched purchase may only
+    emit once the event-time watermark shows no qualifying click can
+    still arrive, and it must emit EXACTLY once.  The replay's
+    far-future flush sentinel is what pushes the watermark past the
+    final horizon so the last unmatched purchases drain (without it
+    they'd sit in state forever — the documented availableNow gotcha);
+    the no-data final micro-batch then performs the eviction pass.
+    Every failure mode is hash-visible: a premature null emission
+    duplicates a purchase (null row + later match), a lost one drops a
+    row, and both shift the driver's value hash.
+
+    At test volume most purchases go unmatched (~29 matches against
+    ~2k purchases at sf0.01), so the null-emission path — not the
+    match path — carries the bulk of the output; the inner-join dual
+    (stream_stream_join_dual) covers the match path symmetrically.
+
+    Scale shape: identical to the inner dual (keyed state on user_id,
+    range-condition-bounded retention) plus the left side's
+    held-until-watermark buffer, which is what bounds memory: state is
+    O(rate x (horizon + delay)) per key, never O(stream).  State
+    partitions right-sized to 4 (saved/restored) — the outer join runs
+    TWO stateful operators' store lifecycles per partition per batch,
+    so idle-store overhead bites twice as hard as the inner dual's."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="ssouter_dual_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        chunks = R.write_replay_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=4,
+            flush_sentinel=True,
+            n_sentinels=2,  # outer-join eviction needs a batch AFTER the
+            # watermark advance (see write_replay_chunks)
+        )
+        stream = R.read_stream(spark, chunks).where(
+            F.col("user_id").isNotNull()
+        )
+        # The flush sentinels must PASS THROUGH both event-type filters:
+        # each side's watermark node sits downstream of its filter, so a
+        # filtered-out sentinel would never advance the watermark and the
+        # final delay-window's unmatched purchases would stay held in
+        # state forever (the exact bug this dual exists to witness).
+        # Sentinel output rows are dropped AFTER the sink by event_id < 0,
+        # the same end-filter discipline as session_window_stream_dual.
+        purchases = stream.where(
+            F.col("event_type").isin("purchase", "__flush__")
+        )
+        clicks = stream.where(
+            F.col("event_type").isin("click", "__flush__")
+        )
+        joined = stream_stream_left_outer_join(
+            purchases, clicks, horizon="1 hour"
+        )
+        out = joined.select(
+            "p_event_id",
+            "p_user_id",
+            "c_event_id",
+            F.floor(F.col("c_value") * 10000)
+            .cast("long")
+            .alias("c_value_scaled"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssouter_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("ssouter_dual_mem")
+            .where(F.col("p_event_id") >= 0)  # drop sentinel null-rows
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_root, ignore_errors=True)

@@ -32,6 +32,7 @@ def write_replay_chunks(
     out_dir: str,
     n_chunks: int = 8,
     flush_sentinel: bool = False,
+    n_sentinels: int = 1,
 ) -> str:
     """Write events as n_chunks EVENT-TIME-ordered parquet files under
     out_dir.
@@ -72,29 +73,43 @@ def write_replay_chunks(
         # Watermarked append-mode queries only emit a window once the
         # watermark passes its end — after the last real batch, the final
         # watermark-delay's worth of windows would stay in state forever.
-        # A single far-future sentinel event in its own final chunk pushes
-        # the watermark past every real window so the drained stream
-        # equals the batch result.  Sentinel rows (event_id < 0) are
-        # filtered out by the equivalence tests.
-        i = len(parts)
-        sent = spark.createDataFrame(
-            [(-1, None, -1, "__flush__", 0.0, "{}")], EVENTS_SCHEMA
-        ).select(
-            F.col("event_id"),
-            F.expr(
-                f"timestamp'2100-01-01 00:00:00'"
-            ).alias("ts"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-        )
-        dst = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp_dir, part), dst)
-        os.utime(dst, (now + i, now + i))
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        # A far-future sentinel event in its own final chunk pushes the
+        # watermark past every real window so the drained stream equals
+        # the batch result.  Sentinel rows (event_id < 0) are filtered
+        # out by the equivalence tests.
+        #
+        # n_sentinels=2 writes a SECOND, even-later sentinel chunk for
+        # operators whose state eviction consumes the watermark computed
+        # at the END of the PREVIOUS batch (stream-stream OUTER joins):
+        # sentinel 1's batch advances the watermark but cannot itself
+        # flush the held rows, and availableNow terminates without a
+        # no-data micro-batch — sentinel 2 provides the one extra DATA
+        # batch that runs the eviction pass.  Aggregation operators
+        # don't need it (one sentinel drains them, as the session and
+        # tumbling duals prove).
+        for k in range(n_sentinels):
+            i = len(parts) + k
+            sent = spark.createDataFrame(
+                [(-(k + 1), None, -1, "__flush__", 0.0, "{}")],
+                EVENTS_SCHEMA,
+            ).select(
+                F.col("event_id"),
+                F.expr(
+                    f"timestamp'2100-01-0{k + 1} 00:00:00'"
+                ).alias("ts"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+            dst = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+            part = [
+                f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+            ][0]
+            shutil.move(os.path.join(tmp_dir, part), dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 
