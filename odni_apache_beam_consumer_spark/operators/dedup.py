@@ -34,7 +34,7 @@ Design notes
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import spread
@@ -616,3 +616,97 @@ def cross_corpus_lsh_pairs(
     a = bands_a.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bands_b.select(F.col(id_col).alias("id_b"), "band", "sig")
     return a.join(b, ["band", "sig"]).select("id_a", "id_b").distinct()
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    shingle_words: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING (the
+    SSJoin/All-Pairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
+    et al. WWW'07): provably LOSSLESS candidate pruning, in contrast to
+    ngram_jaccard_pairs' max_doc_freq cap, which drops hot shingles from
+    candidate generation and can lose a pair whose every shared shingle
+    is hot.
+
+    The lemma: order every document's shingle set by one GLOBAL total
+    order (ascending document frequency, ties by shingle text — rarest
+    first), and keep only each doc's first p = n - ceil(t*n) + 1
+    shingles.  If J(a,b) >= t then |a∩b| >= t*|a∪b| >= ceil(t*max(n_a,
+    n_b)), and two sets whose overlap is that large MUST share an
+    element inside both length-(n - overlap + 1) prefixes; since
+    p_a >= n_a - ceil(t*n_a) + 1 >= n_a - |a∩b| + 1, joining prefixes
+    yields a candidate superset — nothing true is pruned, which the
+    driver's hash check proves end-to-end (this function's output must
+    EQUAL the unpruned brute-force oracle).
+
+    Scale shape: the prefix join's cost concentrates on the RAREST
+    shingles by construction (a shingle in m prefixes contributes m^2
+    candidate wedges, and frequent shingles fall outside every prefix
+    for t >= 0.5 unless a doc is mostly boilerplate), inverting the
+    inverted-index join's worst case.  The shingle table is persisted —
+    four consumers (df ranks, prefix build, both verify sides); verify
+    joins touch only candidate pairs.  ``cache_registry``: see
+    minhash_lsh_pairs.
+    """
+    sh = shingle_table(df, shingle_words, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(
+            F.col("_rk")
+            <= F.col("nsh")
+            - F.ceil(F.lit(threshold) * F.col("nsh")).cast("long")
+            + 1
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("_b"), "shingle"), "shingle")
+        .where(F.col("_a") < F.col("_b"))
+        .select("_a", "_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "_a")
+        .join(sh_b, ["_b", "shingle"])
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("_a"), F.col("nsh").alias("_na"))
+    sz_b = sizes.select(F.col(id_col).alias("_b"), F.col("nsh").alias("_nb"))
+    t_ppm = int(threshold * 1_000_000)
+    return (
+        inter.join(sz_a, "_a")
+        .join(sz_b, "_b")
+        .withColumn(
+            "n_union", (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+        )
+        .where(
+            F.col("n_shared") * 1_000_000 >= F.lit(t_ppm) * F.col("n_union")
+        )
+        .select(
+            F.col("_a").alias("doc_a"),
+            F.col("_b").alias("doc_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.expr(
+                "CAST(n_shared * 1000000 DIV n_union AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

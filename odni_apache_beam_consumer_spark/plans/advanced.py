@@ -743,3 +743,130 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("tot"), 2).alias("total_weight"),
         )
     )
+
+
+# Independent hash seed for the join-cardinality sketch (prefix 'jce'
+# vs the frequency sketch's 'cms'), same two-hex-digit md5 idiom.
+_JCE_IDX_SPARK = (
+    "CAST(((instr('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr({m}, 2, 1)) - 1)) % 64 AS INT)"
+)
+_JCE_IDX_DUCK = (
+    "(((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr({m}, 2, 1)) - 1)) % 64)"
+)
+_JCE_M_SPARK = (
+    "md5(concat('jce', CAST(j AS STRING), ':', CAST(user_id AS STRING)))"
+)
+_JCE_M_DUCK = (
+    "md5(concat('jce', CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR)))"
+)
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+b AS (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+exact AS (
+  SELECT CAST(SUM(ca.n * cb.n) AS BIGINT) AS exact_pairs
+  FROM (SELECT user_id, COUNT(*) AS n FROM a GROUP BY user_id) ca
+  JOIN (SELECT user_id, COUNT(*) AS n FROM b GROUP BY user_id) cb
+    USING (user_id)
+),
+cells_a AS (
+  SELECT j, {_JCE_IDX_DUCK.format(m=_JCE_M_DUCK)} AS idx,
+         CAST(COUNT(*) AS BIGINT) AS ca
+  FROM a, UNNEST(range(0, 3)) AS ju(j) GROUP BY 1, 2
+),
+cells_b AS (
+  SELECT j, {_JCE_IDX_DUCK.format(m=_JCE_M_DUCK)} AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cb
+  FROM b, UNNEST(range(0, 3)) AS ju(j) GROUP BY 1, 2
+),
+per_row AS (
+  SELECT a.j, CAST(SUM(a.ca * b.cb) AS BIGINT) AS dot
+  FROM cells_a a JOIN cells_b b ON a.j = b.j AND a.idx = b.idx
+  GROUP BY a.j
+)
+SELECT exact.exact_pairs,
+       CAST(MIN(per_row.dot) AS BIGINT) AS cms_estimate,
+       CAST((MIN(per_row.dot) - exact.exact_pairs) * 1000000
+            // exact.exact_pairs AS BIGINT) AS overestimate_ppm
+FROM per_row CROSS JOIN exact
+GROUP BY exact.exact_pairs
+""",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation via Count-Min inner product
+    (Cormode & Muthukrishnan's AMS-style dot-product estimator): the
+    size of views JOIN purchases ON user_id is SUM_u a(u)*b(u) — the
+    quantity an optimizer (or a capacity planner deciding whether a join
+    is even runnable) needs BEFORE shuffling anything.  Each side builds
+    a 3x64 count sketch in one scan; the estimate is the MIN over rows
+    of the per-row sketch dot product, one-sided (>= truth) because
+    collisions only add mass.  Audited against the exact product-sum,
+    with the overestimate in ppm.
+
+    Mergeable like every sketch in this family (cells are sums), so
+    per-partition or per-day sketches union by adding counters — at
+    100 TB both sketches fall out of metadata-collection scans and the
+    planner never touches the fact tables.
+
+    Scale shape: two hash aggregations that collapse to <= 192 cells
+    map-side; the sketch join is 192x192-bounded; the exact audit side
+    (two key-grained aggs + an equi-join) exists to witness the error
+    and would be sampled or dropped in production."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    a = e.where(F.col("event_type") == "view").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+
+    def cells(side: DataFrame, out: str) -> DataFrame:
+        tripled = side.select(
+            "user_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        return (
+            tripled.select(
+                "j", F.expr(_JCE_IDX_SPARK.format(m=_JCE_M_SPARK)).alias("idx")
+            )
+            .groupBy("j", "idx")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    per_row = (
+        cells(a, "ca")
+        .join(cells(b, "cb"), ["j", "idx"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    exact = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            b.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_pairs"))
+    )
+    return (
+        per_row.crossJoin(F.broadcast(exact))
+        .groupBy("exact_pairs")
+        .agg(F.min("dot").cast("long").alias("cms_estimate"))
+        .select(
+            "exact_pairs",
+            "cms_estimate",
+            F.expr(
+                "CAST((cms_estimate - exact_pairs) * 1000000 "
+                "DIV exact_pairs AS BIGINT)"
+            ).alias("overestimate_ppm"),
+        )
+    )

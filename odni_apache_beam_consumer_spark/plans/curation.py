@@ -767,3 +767,62 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_md5")
     ).limit(100)
+
+
+@query(
+    "jaccard_prefix_filter_join",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+  WHERE len(tk) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(sa.nsh + sb.nsh - n_shared AS BIGINT) AS n_union,
+       CAST(n_shared * 1000000 // (sa.nsh + sb.nsh - n_shared) AS BIGINT)
+         AS jaccard_ppm
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared * 1000000 >= 500000 * (sa.nsh + sb.nsh - n_shared)
+""",
+)
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard >= 0.5 self-join via PREFIX FILTERING — the
+    provably-lossless similarity-join pruning (SSJoin / All-Pairs /
+    PPJoin family), as the counterpart to dedup_jaccard_capped's df-cap:
+    the cap is a heuristic that can silently drop a pair whose every
+    shared shingle is boilerplate-hot; prefix filtering prunes by each
+    document's RAREST shingles under a global frequency order and the
+    lemma guarantees no qualifying pair is lost.
+
+    The oracle is deliberately the UNPRUNED brute force (group all
+    shared-shingle pairs, filter by exact Jaccard — the same form as
+    dedup_ngram_jaccard's oracle): the driver's hash equality is
+    therefore a machine-checked proof of losslessness on real data, not
+    just the lemma on paper.
+
+    Scale shape: see operators/dedup.py::jaccard_prefix_filter_pairs —
+    candidate cost concentrates on rare shingles by construction
+    (frequent shingles fall outside every prefix), the persisted shingle
+    table feeds rank/prefix/verify stages once, and verification touches
+    only surviving candidates."""
+    from odni_apache_beam_consumer_spark.plans.llm import dedup_corpus
+
+    return D.jaccard_prefix_filter_pairs(
+        dedup_corpus(spark, sf_dir), shingle_words=5, threshold=0.5
+    )

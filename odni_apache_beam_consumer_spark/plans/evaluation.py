@@ -496,3 +496,114 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loo_avg_micro"
         ),
     )
+
+
+# Fold assignment: two md5 hex digits -> 0..255, mod 5 — the same
+# deterministic-bucket idiom as operators/sampling.py's kfold.
+_FOLD_SPARK = (
+    "CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(vec_id AS STRING)), 2, 1)) - 1)) % 5 AS BIGINT)"
+)
+_FOLD_DUCK = (
+    "(((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)) % 5)"
+)
+
+
+@query(
+    "auc_by_fold",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST({_FOLD_DUCK} AS BIGINT) AS fold,
+         CAST(label % 2 AS BIGINT) AS y,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+           AS s_milli
+  FROM embeddings
+),
+hist AS (
+  SELECT fold, s_milli,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY fold, s_milli
+),
+pref AS (
+  SELECT fold, n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (
+           PARTITION BY fold ORDER BY s_milli
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM hist
+),
+tot AS (
+  SELECT fold,
+         CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS total_neg,
+         CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS num2
+  FROM pref GROUP BY fold
+)
+SELECT fold, total_pos, total_neg,
+       CAST(num2 * 1000000 // (2 * total_pos * total_neg) AS BIGINT)
+         AS auc_ppm
+FROM tot
+WHERE total_pos > 0 AND total_neg > 0
+""",
+)
+def auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold AUC for cross-validated evaluation — the same exact
+    integer histogram-AUC as classifier_auc_rank, GROUPED by a
+    deterministic md5-bucket fold assignment (the kfold_assignment
+    convention).  The per-fold spread is what a model gate reads to
+    distinguish a robust classifier from a lucky split.
+
+    This query exists to witness the histogram formulation's key
+    structural property: the prefix-sum window PARTITIONS BY FOLD, so
+    cross-validated evaluation parallelizes across folds with no global
+    sort anywhere — k folds cost the same wall-clock as one.  Folds
+    that lack both classes are excluded (AUC undefined).
+
+    Scale shape: one hash aggregation onto (fold, score-bin) — map-side
+    combined, bounded by k x bins; the ordered window runs per fold over
+    bin counts only; the final rollup is k rows."""
+    scored = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_FOLD_SPARK).alias("fold"),
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.floor(
+            F.expr("cast(element_at(embedding, 1) as double)") * 1000.0
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    hist = scored.groupBy("fold", "s_milli").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("s_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = hist.withColumn(
+        "neg_below",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        pref.groupBy("fold")
+        .agg(
+            F.sum("n_pos").cast("long").alias("total_pos"),
+            F.sum("n_neg").cast("long").alias("total_neg"),
+            F.sum(
+                F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+            )
+            .cast("long")
+            .alias("num2"),
+        )
+        .where((F.col("total_pos") > 0) & (F.col("total_neg") > 0))
+        .select(
+            "fold",
+            "total_pos",
+            "total_neg",
+            F.expr(
+                "CAST(num2 * 1000000 DIV (2 * total_pos * total_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
