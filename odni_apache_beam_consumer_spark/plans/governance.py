@@ -350,3 +350,46 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS priority,
+         CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year,
+         o_orderstatus
+  FROM orders
+)
+SELECT priority, order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT o_orderstatus) >= 2 AS l_diverse
+FROM g
+GROUP BY priority, order_year
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the companion to
+    k_anonymity_audit: k-anonymity bounds how FEW people share a
+    quasi-identifier group, but a group whose sensitive attribute is
+    CONSTANT still leaks it for everyone in the group (the homogeneity
+    attack).  Per (order priority, order year) QI group, count distinct
+    order statuses and flag groups below l = 2 — the release gate runs
+    BOTH audits before publishing.
+
+    Scale shape: ONE hash aggregation with a distinct-count (two-phase:
+    partial distinct sets per partition, exact merge on the QI key);
+    output is QI-cardinality-sized.  At 100 TB the distinct count would
+    swap to approx_count_distinct for the monitoring dashboard, with
+    this exact form reserved for the release gate itself."""
+    g = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy").cast("long").alias("order_year"),
+        "o_orderstatus",
+    )
+    return g.groupBy("priority", "order_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("long").alias("l_distinct"),
+        (F.countDistinct("o_orderstatus") >= 2).alias("l_diverse"),
+    )

@@ -156,3 +156,79 @@ def partitioned_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "table_retention_audit",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+         AS total_scaled,
+       CAST(2 AS BIGINT) AS n_versions_kept,
+       CAST(3 AS BIGINT) AS n_versions_expired
+FROM events
+GROUP BY event_type
+""",
+)
+def table_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-retention GC, driver-checked: build the events table as 5
+    commits (create + 4 quarter appends), expire all but the last 2
+    versions (txtable.py::expire_versions — the Iceberg
+    expire-snapshots / Delta log-retention analog), then read back the
+    final content.  The query itself asserts the retention contract
+    mid-flight: exactly 3 versions expire, time travel to an expired
+    version RAISES, the retained ones still serve, and the expired
+    snapshot directories are physically gone (vacuum'd).  The driver's
+    hash check then pins the part retention must never touch: the
+    LATEST version's content, byte-for-byte equal to the one-shot
+    oracle over all five batches.
+
+    Scale shape: expire is an O(versions) metadata pass plus directory
+    removals — it never reads data; the readout is one snapshot scan.
+    The literal kept/expired counts ride along as columns so a silent
+    extra or missing expiry also fails the hash."""
+    import os
+
+    from odni_apache_beam_consumer_spark.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = tempfile.mkdtemp(prefix="retention_dual_")
+    try:
+        t = TransactionalTable(spark, store)
+        t.create(e.where(F.pmod("event_id", F.lit(5)) == 0))
+        for i in range(1, 5):
+            t.append(e.where(F.pmod("event_id", F.lit(5)) == i))
+        before = t.versions()
+        assert len(before) == 5, before
+        expired = t.expire_versions(keep_last=2)
+        assert expired == before[:3], (expired, before)
+        assert t.versions() == before[3:], t.versions()
+        # expired versions must refuse time travel; retained must serve
+        for v in expired:
+            try:
+                t.read(version=v)
+                raise AssertionError(f"expired version {v} still readable")
+            except FileNotFoundError:
+                pass
+        t.read(version=before[3])
+        # the expired snapshots are physically gone
+        dirs = [d for d in os.listdir(store) if d.startswith("snapshot_v")]
+        assert len(dirs) == 2, dirs
+        out = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                .cast("long")
+                .alias("total_scaled"),
+            )
+            .withColumn("n_versions_kept", F.lit(2).cast("long"))
+            .withColumn("n_versions_expired", F.lit(3).cast("long"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -908,3 +908,89 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xx_centi"),
     )
+
+
+# Target corpus shares for the rebalance plan, in ppm (literal policy —
+# a real run reads these from a config table and broadcasts it).
+_MIX_TARGET_PPM = {"en": 400_000, "de": 150_000, "es": 150_000, "fr": 150_000, "zh": 150_000}
+
+
+@query(
+    "mixture_rebalance_plan",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+tgt AS (
+  SELECT * FROM (VALUES
+    ('en', CAST({_MIX_TARGET_PPM["en"]} AS BIGINT)),
+    ('de', CAST({_MIX_TARGET_PPM["de"]} AS BIGINT)),
+    ('es', CAST({_MIX_TARGET_PPM["es"]} AS BIGINT)),
+    ('fr', CAST({_MIX_TARGET_PPM["fr"]} AS BIGINT)),
+    ('zh', CAST({_MIX_TARGET_PPM["zh"]} AS BIGINT))
+  ) AS t(lang, target_ppm)
+)
+SELECT c.lang, c.n_docs, t.target_ppm,
+       CAST(c.n_docs * 1000000 // tot.n_total AS BIGINT) AS current_ppm,
+       CAST(LEAST(CAST(1000000 AS BIGINT),
+                  t.target_ppm * tot.n_total // c.n_docs) AS BIGINT)
+         AS accept_rate_ppm,
+       CAST(c.n_docs * LEAST(CAST(1000000 AS BIGINT),
+                             t.target_ppm * tot.n_total // c.n_docs)
+            // 1000000 AS BIGINT) AS expected_kept
+FROM counts c JOIN tgt t ON t.lang = c.lang CROSS JOIN tot
+""",
+)
+def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalance PLANNING: given target per-language corpus
+    shares (a literal policy table), compute each language's current
+    share, the per-language acceptance rate that moves the mix toward
+    target, and the expected post-sampling count — the dry-run a data
+    team reviews before domain_mixture_sample executes the cut.
+    Down-sample-only semantics (rates clamp at 1e6 ppm): an
+    under-represented language keeps everything; nothing is upsampled.
+
+    All-integer plan: shares and rates are ppm via integer DIV, so the
+    plan is bit-identical on both engines and across partitionings —
+    the property that lets the EXECUTED sample (md5-bucket acceptance
+    at exactly accept_rate_ppm) be audited against this plan later.
+
+    Scale shape: one language-keyed count agg (map-side combined), a
+    1-row total broadcast-crossed back, and a 5-row literal policy
+    join — the plan never touches document payloads (column pruning to
+    `lang` only)."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in sorted(_MIX_TARGET_PPM.items())],
+        ["lang", "target_ppm"],
+    ).select("lang", F.col("target_ppm").cast("long"))
+    rate = F.expr(
+        "CAST(LEAST(CAST(1000000 AS BIGINT), "
+        "target_ppm * n_total DIV n_docs) AS BIGINT)"
+    )
+    return (
+        counts.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "target_ppm",
+            F.expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").alias(
+                "current_ppm"
+            ),
+            rate.alias("accept_rate_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(n_docs * accept_rate_ppm DIV 1000000 AS BIGINT)"
+            ).alias("expected_kept"),
+        )
+    )

@@ -304,6 +304,33 @@ class TransactionalTable:
             base.where(~F.coalesce(condition, F.lit(False))), "delete", op_id, v
         )
 
+    def expire_versions(self, keep_last: int) -> list[int]:
+        """Version-retention GC — the Iceberg expire-snapshots / Delta
+        log-retention analog: drop the commit metas of all but the last
+        ``keep_last`` versions, then vacuum their now-unreferenced
+        snapshot directories.  Time travel to an expired version raises
+        (its meta is gone, so ``read(version=...)`` refuses), while the
+        retained tail — including the latest — is untouched.  Returns the
+        expired version numbers.
+
+        Ordering is the safety argument: metas are removed OLDEST FIRST
+        and the latest version is never eligible, so a crash mid-expire
+        leaves a table whose retained suffix is still contiguous and
+        whose pointer (a healable hint over max surviving meta) is still
+        valid.  Like vacuum, must not run concurrently with an in-flight
+        writer."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last] if len(vs) > keep_last else []
+        for v in expired:
+            try:
+                os.remove(self._commit_meta(v))
+            except OSError:
+                pass
+        self.vacuum()
+        return expired
+
     def vacuum(self) -> list[str]:
         """Remove data directories no commit meta references — the debris
         of crashed or conflict-losing writers.  Safe with concurrent

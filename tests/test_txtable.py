@@ -253,3 +253,49 @@ def test_concurrent_writers_one_winner_per_version(spark, tmp_path):
     # replaying any op after the fact is a clean no-op
     assert t0.append(_df(spark, [(999, "dup")]), op_id="op-0-0") is None
     assert t0.read().count() == total + 1
+
+
+def test_expire_versions_retention_contract(spark, table):
+    """expire_versions drops the oldest metas + snapshots, keeps the
+    tail readable, refuses expired time travel, and is idempotent."""
+    table.append(_df(spark, [(4, "d")]))
+    table.append(_df(spark, [(5, "e")]))
+    table.merge(_df(spark, [(1, "A!")]), keys=["id"])
+    assert table.versions() == [0, 1, 2, 3]
+    expired = table.expire_versions(keep_last=2)
+    assert expired == [0, 1]
+    assert table.versions() == [2, 3]
+    # latest content untouched
+    now = {r.id: r.val for r in table.read().collect()}
+    assert now == {1: "A!", 2: "b", 3: "c", 4: "d", 5: "e"}
+    # retained older version still serves; expired ones refuse
+    assert table.read(version=2).count() == 5
+    for v in (0, 1):
+        with pytest.raises(FileNotFoundError):
+            table.read(version=v)
+    # snapshots physically gone (vacuum ran); dirs are uniquely named
+    # (snapshot_v{n}_{hex}), so count them rather than match names
+    snaps = [d for d in os.listdir(table.path) if d.startswith("snapshot_v")]
+    assert len(snaps) == 2, snaps
+    # idempotent: nothing further to expire at the same retention
+    assert table.expire_versions(keep_last=2) == []
+
+
+def test_expire_versions_keeps_everything_when_under_retention(spark, table):
+    table.append(_df(spark, [(4, "d")]))
+    assert table.expire_versions(keep_last=5) == []
+    assert table.versions() == [0, 1]
+    with pytest.raises(ValueError):
+        table.expire_versions(keep_last=0)
+
+
+def test_expire_then_append_continues_version_numbering(spark, table):
+    """Retention must not reset the version counter: new commits continue
+    past the expired prefix, and the log stays monotonically readable."""
+    table.append(_df(spark, [(4, "d")]))
+    table.append(_df(spark, [(5, "e")]))
+    table.expire_versions(keep_last=1)
+    assert table.versions() == [2]
+    table.append(_df(spark, [(6, "f")]))
+    assert table.versions() == [2, 3]
+    assert table.read().count() == 6
