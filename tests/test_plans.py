@@ -467,6 +467,8 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "recency_weighted_engagement": "broadcast 1-row max-date anchor",
         "calibration_bins": "broadcast 1-row score min/max bounds",
         "zorder_clustering_audit": "broadcast 1-row key-bounds scalar",
+        "join_cardinality_estimate": "broadcast 1-row exact-audit scalar x 3-row sketch dots",
+        "mixture_rebalance_plan": "broadcast 1-row corpus-total scalar x 5-row policy",
     }
     offenders = {}
     for name, fn in all_queries().items():

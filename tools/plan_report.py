@@ -57,6 +57,15 @@ HEADLINE = [
     ("minhash_jaccard_estimate", "TakeOrderedAndProject bounds the audited pair set to <=128 at any corpus size"),
     ("quantile_sketch_merge", "windows run over the ~210-bin sketch, never rows; map-side partial sketch build"),
     ("dedup_components_star", "per-round hash min-agg + re-keyed edge projection; no join wider than the edge list"),
+    # round-6 session additions
+    ("classifier_auc_rank", "histogram AUC: corpus work is ONE hash agg onto score bins; window runs over bins only"),
+    ("reciprocal_rank_fusion", "both ranker legs TakeOrderedAndProject; fusion join depth-bounded"),
+    ("target_encoding_loo", "whole-partition windows + final agg share ONE event_type exchange"),
+    ("small_file_compaction_plan", "metadata-sized file listing; placement window partitioned BY table partition"),
+    ("zorder_clustering_audit", "integer bit-interleave map-side; rank-free file assignment; 16-group agg"),
+    ("substring_span_dedup", "content-defined anchors inside one higher-order projection; text never shuffles"),
+    ("link_prediction_common_neighbors", "degree-capped wedge equi-join; candidates only from wedges; anti-join vs edges"),
+    ("jaccard_prefix_filter_join", "prefix join concentrates on RARE shingles; verify touches only candidates"),
 ]
 
 
