@@ -201,6 +201,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm,
         maintenance,
         ml,
+        physical,
         relational,
         retrieval,
         storage_duals,
