@@ -1657,3 +1657,83 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_bp"),
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS rev_centi
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(rev_centi) // COUNT(*) AS BIGINT) AS mean_centi FROM daily
+),
+c AS (
+  SELECT day, rev_centi,
+         CAST(SUM(rev_centi - m.mean_centi)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cusum_centi
+  FROM daily CROSS JOIN m
+),
+mx AS (SELECT MAX(ABS(cusum_centi)) AS peak FROM c)
+SELECT c.day, c.rev_centi, c.cusum_centi,
+       ABS(c.cusum_centi) = mx.peak AS is_changepoint
+FROM c CROSS JOIN mx
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily purchase-revenue
+    series: the running sum of deviations from the series mean peaks at
+    the most likely level-shift day (Page's test statistic) — the
+    monitoring primitive behind "did the metric regime change, and
+    when", complementing daily_revenue_anomalies' pointwise z-scores
+    with a LEVEL-shift detector.
+
+    Exact integers throughout: revenue in centi-units, the mean via
+    integer DIV (the constant offset that floor-rounding introduces is
+    identical on both engines and cancels nothing the argmax cares
+    about), the CUSUM as an integer prefix sum.
+
+    Scale shape: the corpus-sized work is the day-grained pre-agg (one
+    map-side-combined exchange); the ordered window then runs over the
+    DAY SERIES — calendar-bounded (3650 rows per decade), never
+    row-bounded — so the single-partition prefix sum is scale-safe by
+    the same argument as the AUC histogram.  The mean and the peak are
+    1-row broadcast crosses (whitelisted NLJ)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_centi")
+        )
+    )
+    m = daily.agg(
+        F.expr("CAST(sum(rev_centi) DIV count(*) AS BIGINT)").alias(
+            "mean_centi"
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cusum_centi",
+        F.sum(F.col("rev_centi") - F.col("mean_centi")).over(w).cast("long"),
+    )
+    mx = c.agg(F.max(F.abs("cusum_centi")).alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            "rev_centi",
+            "cusum_centi",
+            (F.abs("cusum_centi") == F.col("peak")).alias("is_changepoint"),
+        )
+    )

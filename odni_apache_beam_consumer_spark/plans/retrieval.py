@@ -442,3 +442,89 @@ def recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_centi"), F.asc("user_id"))
         .limit(100)
     )
+
+
+@query(
+    "zipf_fit_audit",
+    oracle="""
+WITH vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
+  GROUP BY term ORDER BY cnt DESC, term LIMIT 100
+),
+pts AS (
+  SELECT CAST(FLOOR(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, term))
+                    * 1000) AS BIGINT) AS x_milli,
+         CAST(FLOOR(ln(cnt) * 1000) AS BIGINT) AS y_milli
+  FROM vocab
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_milli) AS BIGINT) AS sx,
+         CAST(SUM(y_milli) AS BIGINT) AS sy,
+         CAST(SUM(x_milli * y_milli) AS BIGINT) AS sxy,
+         CAST(SUM(x_milli * x_milli) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+         AS zipf_slope_ppm
+FROM s
+""",
+)
+def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 vocabulary: the
+    least-squares slope of log(count) against log(rank), in integer ppm
+    — natural text sits near -1e6 (Zipf's law); OCR junk, template
+    spam, or truncated corpora bend the slope, making this a one-number
+    corpus-health gate next to token_entropy and repetition_filter.
+
+    Integer discipline under a float law: ln(rank) and ln(count) are
+    single IEEE ops on INTEGER inputs (identical on both engines),
+    floored to milli-units, so every regression moment (sx, sy, sxy,
+    sxx) is an exact integer sum — order-independent, overflow-safe
+    (milli-log values are <= ~15,000, their products <= 2.25e8, and the
+    cross-moment products stay under 2^63 by ~6 orders) — and the
+    closed-form slope is one integer DIV.
+
+    Scale shape: the vocab build is the standard explode + hash agg
+    with map-side combine; top-100 is TakeOrderedAndProject; the
+    regression runs over exactly 100 rows.  At 100 TB only the vocab
+    agg touches the corpus."""
+    vocab = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(100)
+    )
+    pts = vocab.select(
+        F.floor(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+                .cast("double")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("x_milli"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000)
+        .cast("long")
+        .alias("y_milli"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_milli").cast("long").alias("sx"),
+        F.sum("y_milli").cast("long").alias("sy"),
+        F.sum(F.col("x_milli") * F.col("y_milli")).cast("long").alias("sxy"),
+        F.sum(F.col("x_milli") * F.col("x_milli")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx) "
+            "AS BIGINT)"
+        ).alias("zipf_slope_ppm"),
+    )

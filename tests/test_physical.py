@@ -80,3 +80,37 @@ def test_benford_audit_sums_and_reference(spark, sf_dir):
         )
         assert r.deviation_ppm == r.share_ppm - r.benford_ppm
     assert abs(sum(r.benford_ppm for r in rows) - 10**6) <= 9
+
+
+def test_cusum_peak_matches_brute_force(spark, sf_dir):
+    """Re-derive the CUSUM series in plain Python from the collected
+    daily revenue: prefix sums must match exactly, the flagged day must
+    carry the max |cusum|, and the last prefix sum must equal
+    n * (mean remainder) drift (sum of deviations from the FLOORED
+    mean = total - n * floor(total / n), i.e. the division remainder)."""
+    rows = sorted(
+        all_queries()["cusum_changepoint"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    total = sum(r.rev_centi for r in rows)
+    mean = total // len(rows)
+    run, peak = 0, 0
+    for r in rows:
+        run += r.rev_centi - mean
+        assert r.cusum_centi == run, r.day
+        peak = max(peak, abs(run))
+    assert run == total - len(rows) * mean
+    flagged = [r for r in rows if r.is_changepoint]
+    assert flagged and all(abs(r.cusum_centi) == peak for r in flagged)
+
+
+def test_zipf_slope_flags_the_template_corpus(spark, sf_dir):
+    """The audit working as designed on THIS corpus: the synthetic
+    documents draw from a ~31-word template vocabulary, so the fit must
+    come back far FLATTER than natural text's -1e6 ppm — negative
+    (counts still fall with rank) but shallow.  A natural corpus would
+    land near -1e6; asserting the shallow band here pins that the
+    audit actually separates template spam from prose."""
+    row = all_queries()["zipf_fit_audit"](spark, sf_dir).collect()[0]
+    assert 10 <= row.n <= 100
+    assert -600_000 <= row.zipf_slope_ppm < 0, row.zipf_slope_ppm

@@ -470,6 +470,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "join_cardinality_estimate": "broadcast 1-row exact-audit scalar x 3-row sketch dots",
         "mixture_rebalance_plan": "broadcast 1-row corpus-total scalar x 5-row policy",
         "benford_digit_audit": "broadcast 1-row total scalar x digit stream",
+        "cusum_changepoint": "broadcast 1-row mean + 1-row peak over the day series",
     }
     offenders = {}
     for name, fn in all_queries().items():
