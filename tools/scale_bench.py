@@ -76,6 +76,9 @@ SLOW_FAMILY = [
     # risk family) and the content-defined span scan (fan-out family)
     "link_prediction_common_neighbors",
     "substring_span_dedup",
+    # prefix-filter similarity join: candidate cost is sum over prefix
+    # shingles of (docs-per-prefix-shingle)^2 — the quadratic-risk shape
+    "jaccard_prefix_filter_join",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
