@@ -150,14 +150,7 @@ def test_manifest_covers_all_witnessed_names():
     with open(os.path.join(REPO, "WITNESS_MANIFEST.json")) as f:
         manifest = json.load(f)
     missing = (raw_passing & set(QUERIES)) - set(manifest)
-    # The four round-5-modified queries are deliberately stale until the
-    # driver re-witnesses them (round-5 verdict item 5).
-    allowed_stale = {
-        "dedup_method_comparison",
-        "similar_docs_topk",
-        "partitioned_gdpr_delete",
-        "transactional_table_ops",
-    }
-    assert missing <= allowed_stale, (
+    assert not missing, (
         f"witnessed names missing a manifest digest: {sorted(missing)}"
+        " — run tools/witness_manifest.py"
     )
