@@ -658,6 +658,13 @@ def jaccard_prefix_filter_pairs(
     )
     if cache_registry is not None:
         cache_registry.append(sh)
+    # All threshold arithmetic is INTEGER (parts-per-million): a float
+    # F.ceil(t * nsh) can round the product up for thresholds that are
+    # not dyadic (0.8 * 5 == 4.0000000000000002, ceil -> 5), shortening
+    # the prefix below the lossless bound and silently dropping
+    # qualifying pairs.  ceil(t*n) == (n*t_ppm + 999_999) div 1e6 is
+    # exact for every t expressible in ppm.
+    t_ppm = round(threshold * 1_000_000)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
@@ -668,7 +675,9 @@ def jaccard_prefix_filter_pairs(
         .where(
             F.col("_rk")
             <= F.col("nsh")
-            - F.ceil(F.lit(threshold) * F.col("nsh")).cast("long")
+            - F.expr(
+                f"(nsh * {t_ppm}L + 999999L) DIV 1000000L"
+            )
             + 1
         )
         .select(F.col(id_col), "shingle")
@@ -713,7 +722,6 @@ def jaccard_prefix_filter_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("_a"), F.col("nsh").alias("_na"))
     sz_b = sizes.select(F.col(id_col).alias("_b"), F.col("nsh").alias("_nb"))
-    t_ppm = int(threshold * 1_000_000)
     return (
         inter.join(sz_a, "_a")
         .join(sz_b, "_b")

@@ -15,6 +15,7 @@ identical IEEE log10 over small-integer input.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -86,7 +87,12 @@ def _bucketed_join_lazy(spark: SparkSession, sf_dir: str):
         prev_ordering = spark.conf.get(_ordering_key)
     except Exception:
         prev_ordering = None
-    tl, to = "bkt_lineitem_tmp", "bkt_orders_tmp"
+    # Per-call unique table names: a fixed name pair + DROP IF EXISTS
+    # would let two concurrent runs sharing a metastore drop each
+    # other's tables mid-query.  The warehouse tempdir's basename is
+    # already unique per call.
+    tok = os.path.basename(wh).replace("bucketed_wh_", "")
+    tl, to = f"bkt_lineitem_{tok}", f"bkt_orders_{tok}"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # Off by default since Spark 3.0 (a bucket split across files isn't
     # globally sorted, so reporting sortBy order would be wrong there).

@@ -95,7 +95,10 @@ def write_replay_chunks(
             ).select(
                 F.col("event_id"),
                 F.expr(
-                    f"timestamp'2100-01-0{k + 1} 00:00:00'"
+                    # Arithmetic, not a formatted literal: an f-string like
+                    # '2100-01-0{k+1}' breaks at k >= 9 ('2100-01-010').
+                    "timestamp'2100-01-01 00:00:00' "
+                    f"+ make_interval(0, 0, 0, {k})"
                 ).alias("ts"),
                 F.col("user_id"),
                 F.col("event_type"),

@@ -76,6 +76,68 @@ def test_prefix_filter_join_equals_unpruned_inverted_index(spark, sf_dir):
     assert pf == {(a, b, j) for a, b, j in full}
 
 
+def test_prefix_filter_lossless_at_nondyadic_thresholds(spark, sf_dir):
+    """Losslessness must hold for thresholds that are NOT exactly
+    representable in binary (0.7, 0.8): float ceil(t*n) can round UP
+    (0.8*5 -> 4.0000000000000002 -> ceil 5), shortening the prefix below
+    the lossless bound.  The fix computes the bound in integer ppm; this
+    pins it against the unpruned brute force for both thresholds."""
+    from odni_apache_beam_consumer_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        shingle_table,
+    )
+    from odni_apache_beam_consumer_spark.plans.llm import dedup_corpus
+
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = shingle_table(corpus, 5).persist()
+    try:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+        for t in (0.7, 0.8):
+            t_ppm = round(t * 1_000_000)
+            brute = {
+                (r.a, r.b)
+                for r in (
+                    sh.select(F.col("doc_id").alias("a"), "shingle")
+                    .join(
+                        sh.select(F.col("doc_id").alias("b"), "shingle"),
+                        "shingle",
+                    )
+                    .where(F.col("a") < F.col("b"))
+                    .groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                    .join(
+                        sizes.select(
+                            F.col("doc_id").alias("a"),
+                            F.col("nsh").alias("na"),
+                        ),
+                        "a",
+                    )
+                    .join(
+                        sizes.select(
+                            F.col("doc_id").alias("b"),
+                            F.col("nsh").alias("nb"),
+                        ),
+                        "b",
+                    )
+                    .where(
+                        F.col("n_shared") * 1_000_000
+                        >= F.lit(t_ppm)
+                        * (F.col("na") + F.col("nb") - F.col("n_shared"))
+                    )
+                    .collect()
+                )
+            }
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in jaccard_prefix_filter_pairs(
+                    corpus, threshold=t
+                ).collect()
+            }
+            assert got == brute, (t, len(got), len(brute))
+    finally:
+        sh.unpersist()
+
+
 def test_prefix_filter_prunes_candidates(spark, sf_dir):
     """The filter must actually PRUNE: the candidate count (prefix-join
     pairs) must be far below the unfiltered shared-shingle pair count,

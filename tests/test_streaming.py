@@ -169,6 +169,27 @@ def test_funnel_attribution_stream_equivalence(spark, sf_dir, replay_dir):
     assert any(c is None for *_, c, v in want_rows)
 
 
+def test_replay_many_sentinels_valid_and_increasing(spark, sf_dir, tmp_path):
+    """n_sentinels >= 10 must yield VALID, strictly-increasing sentinel
+    timestamps — the old f-string literal produced '2100-01-010' at
+    k=9 and failed at analysis time (built arithmetically now)."""
+    out = str(tmp_path / "chunks")
+    R.write_replay_chunks(
+        spark, sf_dir, out, n_chunks=2, flush_sentinel=True, n_sentinels=12
+    )
+    sent = (
+        spark.read.schema(R.EVENTS_SCHEMA)
+        .parquet(out)
+        .where(F.col("event_id") < 0)
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(sent) == 12
+    stamps = [r.ts for r in sent]
+    assert all(a < b for a, b in zip(stamps, stamps[1:]))
+    assert all(s.year == 2100 for s in stamps)
+
+
 def test_late_data_dropped(spark, tmp_path):
     """Watermark drop semantics: a chunk of old events arriving AFTER the
     watermark has advanced past them is provably excluded.
