@@ -1,0 +1,291 @@
+"""Wire-format decode queries: fixed-layout binary structs, Confluent
+wire framing, and Debezium CDC envelopes.
+
+The reference's whole genre is "opaque bytes arrive from Kafka"
+(/root/reference/main.py:85-108 emits raw key/value bytes and prints
+them); these queries cross the bytes->relational bridge three ways a
+real consumer meets in the wild — a fixed-layout binary struct (the
+hand-rolled serializer case), a Confluent-framed payload (magic byte +
+schema id + body), and a Debezium change-data envelope — all decoded
+with PURE JVM SQL expressions (binary substring / hex / conv /
+from_json), no UDF anywhere.  Schema-registry codecs (Avro/Protobuf)
+are the jar-gated builders in sources/kafka.py; the fixed-layout path
+here is the driver-checkable stand-in that exercises the same
+byte-slicing discipline end to end.
+
+Hash-portability: every oracle recomputes the DECODED result from the
+raw columns — so the round trip (encode -> bytes -> decode) must be
+LOSSLESS for the hash to match; any byte-offset, endianness, or
+truncation bug shifts every decoded value and fails the driver check.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+
+@query(
+    "binary_struct_decode",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def binary_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-layout binary payload decode, entirely in JVM SQL: events
+    rows are serialized into a hand-rolled wire format — three 8-byte
+    big-endian integers (event_id, user_id, value in cents) followed by
+    a variable UTF-8 tail (event_type) — then decoded back by binary
+    ``substring`` slicing + ``conv(hex(...), 16, 10)`` integer parsing,
+    and aggregated FROM THE DECODED COLUMNS ONLY.  The oracle computes
+    the same aggregate from the raw table, so the driver's hash check
+    proves the encode->decode round trip lossless byte for byte (any
+    offset/endianness/width bug shifts every group).
+
+    This is the no-jar fallback for the schema-registry decoders
+    (sources/kafka.py decode_avro_value / decode_protobuf_value): the
+    byte-slicing pattern is identical to what a fixed-schema Avro or
+    Protobuf body needs, and it runs as pure Catalyst expressions —
+    whole-stage-codegen'd, no Python in the loop.
+
+    Scale shape: encode and decode are both map-side expression chains
+    (zero shuffles); the only exchange is the final small hash agg on
+    event_type.  On a real Kafka read the decode happens per micro-batch
+    on the consumer's partition parallelism."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    wire = e.select(
+        F.concat(
+            F.unhex(F.lpad(F.hex(F.col("event_id")), 16, "0")),
+            F.unhex(F.lpad(F.hex(F.col("user_id")), 16, "0")),
+            F.unhex(
+                F.lpad(F.hex(F.floor(F.col("value") * 100).cast("long")), 16, "0")
+            ),
+            F.col("event_type").cast("binary"),
+        ).alias("value")
+    )
+    decoded = wire.select(
+        F.expr("CAST(conv(hex(substring(value, 1, 8)), 16, 10) AS BIGINT)").alias(
+            "event_id"
+        ),
+        F.expr("CAST(conv(hex(substring(value, 9, 8)), 16, 10) AS BIGINT)").alias(
+            "user_id"
+        ),
+        F.expr(
+            "CAST(conv(hex(substring(value, 17, 8)), 16, 10) AS BIGINT)"
+        ).alias("cents"),
+        F.expr(
+            "CAST(substring(value, 25, length(value) - 24) AS STRING)"
+        ).alias("event_type"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "confluent_frame_decode",
+    oracle="""
+SELECT CAST(42 + event_id % 3 AS BIGINT) AS schema_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def confluent_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format framing: each payload is built as
+    ``0x00 | 4-byte BE schema id | JSON body`` — the exact layout every
+    schema-registry producer emits — then
+    :func:`sources.kafka.strip_confluent_header` splits the frame with
+    binary slicing and the body parses with ``from_json``.  Aggregating
+    by the RECOVERED schema id and a decoded body field proves both
+    halves of the split land on the right byte boundaries (an off-by-one
+    swallows the magic byte into the id or the id's last byte into the
+    JSON, and either fails the hash).
+
+    Scale shape: map-side expression work end to end plus one small hash
+    agg; schema-id recovery is exactly how a consumer demultiplexes a
+    multi-schema topic before routing to per-schema decoders."""
+    from odni_apache_beam_consumer_spark.sources.kafka import (
+        strip_confluent_header,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    framed = e.select(
+        F.concat(
+            F.unhex(F.lit("00")),
+            F.unhex(
+                F.lpad(F.hex((F.lit(42) + F.col("event_id") % 3)), 8, "0")
+            ),
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "event_type",
+                    F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                )
+            ).cast("binary"),
+        ).alias("value")
+    )
+    body = strip_confluent_header(framed).select(
+        F.col("schema_id").cast("long").alias("schema_id"),
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id BIGINT, event_type STRING, cents BIGINT",
+        ).alias("v"),
+    )
+    return body.groupBy("schema_id", F.col("v.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v.cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "cdc_debezium_apply",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END
+         AS price_cents,
+       CAST(1000 + o_orderkey * 10
+            + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END AS BIGINT)
+         AS ts_ms
+FROM orders
+WHERE o_orderkey % 7 <> 0
+""",
+)
+def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope CDC end to end: a change stream of
+    ``{op, ts_ms, before, after}`` JSON envelopes (creates for every
+    order, updates for keys %10==0, deletes for keys %7==0, three
+    malformed envelopes) is serialized to Kafka-shaped binary values,
+    parsed back with streaming/cdc.parse_debezium, and applied through
+    lww_upsert_merger as three micro-batches — then batches are
+    RE-DELIVERED under FRESH batch ids out of order (the update batch
+    again after the delete batch, then the create batch), exactly the
+    at-least-once + partition-reorder failure a real Kafka consumer
+    faces.  Last-writer-wins by change timestamp with persisted
+    tombstones makes every replay a semantic no-op: a resurrected
+    deleted row, a double-applied update, a lost delete, or a
+    quarantine leak each shifts the final state and fails the driver's
+    hash (the oracle is the from-first-principles final table).
+
+    Scale shape: envelope parse is map-side from_json; each apply is one
+    keyed window over |snapshot| + |delta| — the MERGE INTO shape on a
+    real table format; re-deliveries cost one no-op merge each.  State
+    is the table itself, not operator memory, so the horizon is
+    unbounded (the CDC contract) without any watermark."""
+    from odni_apache_beam_consumer_spark.streaming import cdc as C
+
+    payload_schema = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        (F.lit(1000) + F.col("o_orderkey") * 10).alias("base_ts"),
+    )
+    null_img = f"CAST(NULL AS STRUCT<{payload_schema}>)"
+    img = F.struct("o_orderkey", "o_orderstatus", "price_cents")
+    creates = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.col("base_ts").alias("ts_ms"),
+                F.expr(null_img).alias("before"),
+                img.alias("after"),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    # Three malformed envelopes ride along with the creates: trailing
+    # garbage JSON, an unknown op, and a delete missing its before image
+    # — parse_debezium must quarantine all three (_corrupt), not drop or
+    # apply them.
+    bad = spark.createDataFrame(
+        [
+            ("{not json at all",),
+            ('{"op":"x","ts_ms":1,"after":{"o_orderkey":1}}',),
+            ('{"op":"d","ts_ms":2}',),
+        ],
+        "v STRING",
+    ).select(F.col("v").cast("binary").alias("value"))
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("u").alias("op"),
+                    (F.col("base_ts") + 5).alias("ts_ms"),
+                    F.expr(null_img).alias("before"),
+                    F.struct(
+                        "o_orderkey",
+                        F.lit("U").alias("o_orderstatus"),
+                        (F.col("price_cents") + 100000).alias("price_cents"),
+                    ).alias("after"),
+                )
+            )
+            .cast("binary")
+            .alias("value")
+        )
+    )
+    deletes = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("d").alias("op"),
+                    (F.col("base_ts") + 7).alias("ts_ms"),
+                    img.alias("before"),
+                    F.expr(null_img).alias("after"),
+                )
+            )
+            .cast("binary")
+            .alias("value")
+        )
+    )
+    store = tempfile.mkdtemp(prefix="cdc_dual_")
+    try:
+        merger = C.lww_upsert_merger(store, ["o_orderkey"])
+        batches = [
+            C.parse_debezium(b, payload_schema)
+            for b in (creates.unionByName(bad), updates, deletes)
+        ]
+        merger(batches[0], 0)
+        merger(batches[1], 1)
+        merger(batches[2], 2)
+        # At-least-once re-delivery under FRESH batch ids, out of order:
+        # the producer re-sent old changes after newer ones landed.  LWW
+        # by ts_ms (with tombstones outranking at their ts) must no-op
+        # both — marker-based idempotence alone could not, since the ids
+        # are new.
+        merger(batches[1], 3)
+        merger(batches[0], 4)
+        out = C.read_current(spark, store)
+        return out.select(
+            "o_orderkey", "o_orderstatus", "price_cents", "ts_ms"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+

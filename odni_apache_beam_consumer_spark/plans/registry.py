@@ -196,6 +196,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         analytics,
         curation,
+        decode,
         evaluation,
         governance,
         llm,

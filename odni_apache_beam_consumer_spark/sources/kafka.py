@@ -152,6 +152,103 @@ def decode_json_value(df: DataFrame, schema: str) -> DataFrame:
     ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
 
 
+def decode_avro_value(
+    df: DataFrame, avro_schema_json: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """value:binary -> Avro-decoded struct columns via Spark's native
+    ``from_avro`` (Confluent-less, schema-by-value — for registry-framed
+    payloads strip the 5-byte wire header first with
+    ``strip_confluent_header``).
+
+    Import/jar-gated like the boto3 Secrets provider (secrets.py:19-27):
+    the ``spark-avro`` artifact is not bundled with pyspark, so absent
+    the jar this raises a RuntimeError naming the exact ``--packages``
+    coordinate instead of an opaque ClassNotFoundException mid-query.
+    Real Kafka estates overwhelmingly carry Avro/Protobuf, not JSON —
+    the reference stops at opaque bytes (main.py:85-108); this is the
+    decode bridge its consumers would need."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover - pyspark always ships it
+        raise RuntimeError(
+            "pyspark.sql.avro is unavailable in this build"
+        ) from e
+    try:
+        parsed = F.col("value")
+        decoded = from_avro(parsed, avro_schema_json, options or {})
+        out = df.select(
+            F.col("key").cast("string").alias("key"),
+            decoded.alias("v"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+        ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
+        out.schema  # force analysis so a missing jar surfaces HERE
+        return out
+    except Exception as e:
+        raise RuntimeError(
+            "from_avro requires the spark-avro jar; launch with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from e
+
+
+def decode_protobuf_value(
+    df: DataFrame,
+    message_name: str,
+    desc_file_path: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """value:binary -> Protobuf-decoded struct columns via Spark's
+    native ``from_protobuf`` (descriptor-file form).  Jar-gated exactly
+    like :func:`decode_avro_value`: the ``spark-protobuf`` artifact is
+    not bundled, so the failure names the fix."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "pyspark.sql.protobuf is unavailable in this build"
+        ) from e
+    try:
+        decoded = from_protobuf(
+            F.col("value"), message_name, desc_file_path, options or {}
+        )
+        out = df.select(
+            F.col("key").cast("string").alias("key"),
+            decoded.alias("v"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+        ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
+        out.schema
+        return out
+    except RuntimeError:
+        raise
+    except Exception as e:
+        raise RuntimeError(
+            "from_protobuf requires the spark-protobuf jar; launch with "
+            "--packages org.apache.spark:spark-protobuf_2.13:<spark-version>"
+        ) from e
+
+
+def strip_confluent_header(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Drop the Confluent wire-format prefix (1 magic byte + 4-byte
+    big-endian schema id) from a binary payload column, surfacing the
+    schema id as its own column.  Pure binary slicing — JVM-side
+    substring on bytes, no UDF — so it composes with either decoder
+    above or with fixed-layout SQL decode (plans/decode.py)."""
+    return df.withColumn(
+        "schema_id",
+        F.expr(
+            f"CAST(conv(hex(substring({value_col}, 2, 4)), 16, 10) AS INT)"
+        ),
+    ).withColumn(
+        value_col,
+        F.expr(f"substring({value_col}, 6, length({value_col}) - 5)"),
+    )
+
+
 def write_stream(
     df: DataFrame,
     bootstrap_servers: str,

@@ -1,0 +1,141 @@
+"""Debezium-envelope CDC: parse + last-writer-wins apply.
+
+Change data reaches Kafka overwhelmingly as Debezium-shaped JSON
+envelopes ``{op, ts_ms, before, after}`` (op in c/u/r/d); the
+reference's consumer genre (opaque Kafka bytes -> print,
+/root/reference/main.py:85-109) is exactly where such envelopes arrive.
+This module supplies the two halves its consumers would need:
+
+* :func:`parse_debezium` — envelope JSON -> one normalized change row
+  per event (op, ts_ms, payload columns), taking ``after`` for
+  creates/updates/snapshot-reads and ``before`` for deletes (a delete's
+  ``after`` is null by contract — the key must come from ``before``).
+* :func:`lww_upsert_merger` — a foreachBatch callable maintaining the
+  CURRENT TABLE STATE under at-least-once delivery: last-writer-wins by
+  (ts_ms, op rank) per key, deletes persisted as TOMBSTONES so a
+  re-delivered older create cannot resurrect a deleted row.  Because
+  conflict resolution is by change timestamp (not arrival order),
+  re-delivering ANY prefix of the stream in ANY order converges to the
+  same state — idempotence falls out of the merge semantics rather than
+  a commit marker, which is what makes CDC apply safe under replays,
+  out-of-order topic partitions, and crash-restarts alike.  The
+  snapshot/pointer commit protocol is shared with
+  streaming/materialized.py (pointer flip = commit).
+
+Scale shape: each batch merge is one keyed window over
+|snapshot| + |delta| rows — at 100 TB the snapshot is a key-partitioned
+table and this merge is an incremental MERGE INTO keyed on the primary
+key with a ts guard; semantics identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.streaming.materialized import (
+    latest_version,
+    read_view,
+)
+
+_POINTER = "_LATEST"
+
+
+def debezium_schema(payload_schema: str) -> str:
+    """Spark DDL schema for a Debezium JSON envelope whose row payload
+    has the given DDL schema (used for both ``before`` and ``after``)."""
+    return (
+        "op STRING, ts_ms BIGINT, "
+        f"before STRUCT<{payload_schema}>, after STRUCT<{payload_schema}>"
+    )
+
+
+def parse_debezium(
+    df: DataFrame, payload_schema: str, value_col: str = "value"
+) -> DataFrame:
+    """Envelope JSON (binary or string column) -> normalized change rows.
+
+    Output: ``op``, ``ts_ms``, ``is_delete``, plus every payload column —
+    from ``after`` for op in (c, u, r), from ``before`` for op = 'd'.
+    Malformed envelopes (unparseable JSON, unknown op, missing image)
+    are routed to ``_corrupt = true`` rather than dropped, the same
+    quarantine discipline as the JSON/CSV file sources."""
+    env = df.select(
+        F.from_json(
+            F.col(value_col).cast("string"), debezium_schema(payload_schema)
+        ).alias("e")
+    )
+    image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
+        F.col("e.after")
+    )
+    return env.select(
+        F.col("e.op").alias("op"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        (F.col("e.op") == "d").alias("is_delete"),
+        (
+            F.col("e.op").isNull()
+            | ~F.col("e.op").isin("c", "u", "r", "d")
+            | image.isNull()
+        ).alias("_corrupt"),
+        image.alias("row"),
+    ).select("op", "ts_ms", "is_delete", "_corrupt", "row.*")
+
+
+def lww_upsert_merger(
+    store: str, key_cols: list[str], ts_col: str = "ts_ms"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callable applying normalized change rows (the
+    :func:`parse_debezium` output shape, ``_corrupt`` rows already
+    quarantined) to a keyed snapshot with last-writer-wins semantics.
+
+    Per key the winning row is the one with the greatest
+    (ts_col, is_delete) — a delete at the same timestamp outranks the
+    paired image row, and tombstones are KEPT in the snapshot so any
+    older re-delivered change loses the window.  ``read_current`` strips
+    tombstones.  The pointer-flip commit protocol matches
+    streaming/materialized.algebraic_merger; on top of it, LWW makes
+    even a lost marker + re-merge CONVERGENT rather than corrupting."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(store, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return
+        committed = latest_version(store)
+        if committed is not None and committed >= batch_id:
+            with open(marker, "w"):
+                pass
+            return
+        spark = batch.sparkSession
+        delta = batch.where(~F.col("_corrupt")).drop("_corrupt", "op")
+        prev = read_view(spark, store)
+        both = delta if prev is None else prev.unionByName(delta)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(ts_col), F.desc("is_delete")
+        )
+        merged = (
+            both.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out_path = os.path.join(store, f"snapshot_{batch_id}")
+        merged.write.mode("overwrite").parquet(out_path)
+        tmp = os.path.join(store, f"._latest_{batch_id}")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(store, _POINTER))
+        with open(marker, "w"):
+            pass
+
+    return fn
+
+
+def read_current(spark, store: str) -> DataFrame | None:
+    """Current table state: the latest snapshot minus tombstones."""
+    snap = read_view(spark, store)
+    if snap is None:
+        return None
+    return snap.where(~F.col("is_delete")).drop("is_delete")

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from odni_apache_beam_consumer_spark.sources import kafka as K
 from odni_apache_beam_consumer_spark.sources.secrets import (
     kafka_options_from_secret,
@@ -86,3 +88,49 @@ def test_read_builders_construct_without_broker(spark):
     batch_opts = dict(opts)
     batch_opts.pop("maxOffsetsPerTrigger")
     assert "maxOffsetsPerTrigger" not in batch_opts
+
+
+def _kafka_shaped(spark, payloads: list[bytes]):
+    rows = [(b"k", v, "t", 0, i, None) for i, v in enumerate(payloads)]
+    return spark.createDataFrame(
+        rows,
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset BIGINT, timestamp TIMESTAMP",
+    )
+
+
+def test_decode_avro_value_jar_gated(spark):
+    """Without the spark-avro jar the decoder must fail at BUILD time
+    with the --packages coordinate, not a ClassNotFound mid-query."""
+    df = _kafka_shaped(spark, [b"\x00"])
+    schema = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    try:
+        out = K.decode_avro_value(df, schema)
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    else:  # jar present (not in this sandbox, but the builder must work)
+        assert "a" in out.columns
+
+
+def test_decode_protobuf_value_jar_gated(spark):
+    df = _kafka_shaped(spark, [b"\x00"])
+    try:
+        out = K.decode_protobuf_value(df, "M", "/nonexistent.desc")
+    except RuntimeError as e:
+        assert "spark-protobuf" in str(e)
+    else:
+        assert out is not None
+
+
+def test_strip_confluent_header_slices_exact_bytes(spark):
+    """magic byte 0x00 + BE schema id + body: the split must recover the
+    id and the untouched body for ids spanning multiple bytes."""
+    frames = [
+        bytes([0]) + (42).to_bytes(4, "big") + b'{"x":1}',
+        bytes([0]) + (65536).to_bytes(4, "big") + b"payload-bytes",
+    ]
+    out = K.strip_confluent_header(_kafka_shaped(spark, frames)).select(
+        "schema_id", F.col("value").cast("string").alias("body")
+    )
+    got = {(r.schema_id, r.body) for r in out.collect()}
+    assert got == {(42, '{"x":1}'), (65536, "payload-bytes")}
