@@ -528,3 +528,195 @@ def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("zipf_slope_ppm"),
     )
+
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Unrolled SQL replay of n_rounds full BPE merges (select argmax
+    pair -> greedy re-segment the vocab -> repeat), the kcore_peel
+    fixed-round-oracle pattern.  Greedy left-to-right occurrence merging
+    is exact: overlapping matches only arise for runs of one repeated
+    symbol, where greedy keeps every other match — expressed as islands
+    of consecutive match positions keeping even offsets."""
+    ctes = [
+        """words AS (
+  SELECT w, freq FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    )
+    GROUP BY term
+  ) WHERE len(w) >= 2
+),
+s0 AS (
+  SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+  FROM words, UNNEST(generate_series(1, len(w))) AS g(i)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT w, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{p}
+),
+top{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+cand{r} AS (
+  SELECT p.w, p.pos,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+  FROM p{r} p, top{r} t
+  WHERE p.sym = t.a AND p.nxt = t.b
+),
+valid{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+           ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
+             AS off
+    FROM cand{r}
+  ) WHERE off % 2 = 0
+),
+s{r} AS (
+  SELECT p.w, p.freq,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
+         CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym
+  FROM p{r} p
+  CROSS JOIN top{r} t
+  LEFT JOIN valid{r} v ON v.w = p.w AND v.pos = p.pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM valid{r} v2 WHERE v2.w = p.w AND v2.pos = p.pos - 1
+  )
+),
+m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, t.a || t.b AS merged,
+         t.cnt AS pair_count,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS vocab_symbols
+  FROM top{r} t
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query("bpe_train", oracle=_bpe_train_oracle(_BPE_ROUNDS))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, {n} merge rounds (Sennrich et al.):
+    each round counts adjacent symbol pairs corpus-weighted over the
+    VOCAB segmentation, selects the argmax pair (ties by pair text), and
+    greedily re-segments every vocab word before the next round —
+    completing the loop that bpe_merge_step exposes as a single step,
+    under the same fixed-round oracle discipline as kcore_peel.  Output:
+    per round, the merged symbol, its corpus-weighted count, and the
+    vocab segmentation size after the merge.
+
+    Greedy left-to-right occurrence merging is exact, not approximated:
+    two candidate matches only overlap when the pair is a repeated
+    symbol (a==b), i.e. inside runs of one symbol — there greedy keeps
+    every other match, expressed as islands of consecutive candidate
+    positions filtered to even offsets (window functions on both
+    engines; no per-row Python, no sequential scan).
+
+    Scale shape: THE BPE-at-scale property — every round runs over the
+    vocabulary segmentation (~|vocab| x avg word length rows, corpus-
+    size-independent after the one corpus-wide word count), so 10 or
+    10,000 merges never rescan the corpus.  Per round: one pair hash
+    agg, a 1-row argmax broadcast-crossed back (whitelisted NLJ), two
+    window passes keyed by word, and an eager localCheckpoint to cut
+    lineage (the pagerank/kcore idiom).  Candidate islands need no
+    shuffle beyond the word keying already in place."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    return bpe_train_rounds(words, _BPE_ROUNDS)
+
+
+def bpe_train_rounds(words: DataFrame, n_rounds: int) -> DataFrame:
+    """The BPE training loop over a (w, freq) vocabulary table — exposed
+    separately so tests can drive adversarial vocabularies (repeated-
+    symbol runs, overlapping candidates) through the exact production
+    path.  See bpe_train for semantics and scale shape."""
+    w_pos = Window.partitionBy("w").orderBy("pos")
+    s = (
+        words.select(
+            "w",
+            "freq",
+            F.posexplode(F.split("w", "")).alias("pos0", "sym"),
+        )
+        .select("w", "freq", (F.col("pos0") + 1).cast("long").alias("pos"), "sym")
+        .localCheckpoint(eager=True)
+    )
+    metrics = []
+    for r in range(1, n_rounds + 1):
+        p = s.withColumn("nxt", F.lead("sym").over(w_pos))
+        top = (
+            p.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        paug = p.crossJoin(F.broadcast(top))
+        cand = (
+            paug.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")))
+            .select("w", "pos")
+            .withColumn("rn", F.row_number().over(w_pos))
+            .withColumn("island", F.col("pos") - F.col("rn"))
+        )
+        valid = (
+            cand.withColumn(
+                "off",
+                F.row_number().over(
+                    Window.partitionBy("w", "island").orderBy("pos")
+                )
+                - 1,
+            )
+            .where(F.col("off") % 2 == 0)
+            .select("w", "pos")
+        )
+        consumed = valid.select("w", (F.col("pos") + 1).alias("pos"))
+        s = (
+            paug.join(consumed, ["w", "pos"], "left_anti")
+            .join(valid.withColumn("_st", F.lit(1)), ["w", "pos"], "left")
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("_st").isNotNull(), F.concat("a", "b")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(w_pos).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        metrics.append(
+            top.crossJoin(
+                F.broadcast(
+                    s.agg(F.count(F.lit(1)).cast("long").alias("vocab_symbols"))
+                )
+            ).select(
+                F.lit(r).cast("long").alias("round"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+                "vocab_symbols",
+            )
+        )
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionByName(m)
+    return out

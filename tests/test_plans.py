@@ -471,6 +471,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "mixture_rebalance_plan": "broadcast 1-row corpus-total scalar x 5-row policy",
         "benford_digit_audit": "broadcast 1-row total scalar x digit stream",
         "cusum_changepoint": "broadcast 1-row mean + 1-row peak over the day series",
+        "bpe_train": "broadcast 1-row argmax pair + 1-row vocab count per round",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -99,3 +99,61 @@ def test_recency_score_bounded_by_full_weight_mass(spark, sf_dir):
     }
     for uid, r in rows.items():
         assert 0 <= r.score_centi <= 30 * mass[uid], uid
+
+
+def _bpe_greedy_reference(words: dict[str, int], n_rounds: int):
+    """Plain-Python Sennrich reference: argmax pair (count desc, pair
+    asc), greedy left-to-right fold merge, n rounds."""
+    segs = {w: list(w) for w in words}
+    out = []
+    for r in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in segs.items():
+            acc: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    acc.append(a + b)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            segs[w] = acc
+        out.append((r, a + b, cnt, sum(len(v) for v in segs.values())))
+    return out
+
+
+def test_bpe_train_rounds_greedy_overlap_semantics(spark):
+    """Adversarial vocab: repeated-symbol runs (aaaa, aaaaa) and
+    alternating patterns where candidate matches overlap — the island
+    even-offset filter must reproduce exact greedy left-to-right
+    merging, round after round, including merges of already-merged
+    symbols."""
+    from odni_apache_beam_consumer_spark.plans.retrieval import (
+        bpe_train_rounds,
+    )
+
+    vocab = {
+        "aaaa": 50,
+        "aaaaa": 40,
+        "ababab": 30,
+        "aabaa": 20,
+        "banana": 10,
+        "bb": 5,
+    }
+    words = spark.createDataFrame(
+        list(vocab.items()), "w STRING, freq BIGINT"
+    )
+    got = [
+        (r.round, r.merged, r.pair_count, r.vocab_symbols)
+        for r in bpe_train_rounds(words, 5)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == _bpe_greedy_reference(vocab, 5)
