@@ -492,3 +492,174 @@ def append_to_ann_index(
         "bucket", F.concat(F.lit("b"), projection_bucket("cv", planes))
     )
     c.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def pq_subspace_planes(
+    n_sub: int = 8,
+    bits_per_sub: int = 4,
+    sub_dim: int = 8,
+    seed: int = 77,
+    ndigits: int = 6,
+) -> list[list[list[float]]]:
+    """Stored-literal sign-pattern codebook planes for product
+    quantization: per subspace, ``bits_per_sub`` Gaussian hyperplanes in
+    the subspace's ``sub_dim`` dimensions.  A vector's PQ code in
+    subspace m is the sign pattern of its sub-vector against these
+    planes (2^bits codes per subspace); the codebook CENTROID for a code
+    is the mean of the sub-vectors landing on it — a deterministic,
+    training-free vector quantizer (sign-pattern VQ) whose cells adapt
+    to the data through the centroids while staying replayable in SQL
+    (k-means codebooks would need an unrolled-Lloyd oracle per
+    subspace).  Same stored-decimal-literal discipline as
+    random_hyperplanes."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [
+            [round(float(x), ndigits) for x in rng.randn(sub_dim)]
+            for _ in range(bits_per_sub)
+        ]
+        for _ in range(n_sub)
+    ]
+
+
+def pq_code_col(
+    vec_col_name: str, planes_sub: list[list[float]], start: int
+) -> Column:
+    """PQ code of one subspace: sign pattern of slice(vec, start,
+    sub_dim) against the subspace's stored planes (1-based start)."""
+    sub_dim = len(planes_sub[0])
+    sub = f"slice({vec_col_name}, {start}, {sub_dim})"
+    parts = [
+        f"IF({plane_dot_expr(sub, p)} >= CAST(0.0 AS DOUBLE), '1', '0')"
+        for p in planes_sub
+    ]
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def pq_adc_topk(
+    q_df: DataFrame,
+    corpus: DataFrame,
+    planes_by_sub: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 50,
+    scale: int = 10000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation and
+    exact re-ranking (ADC+R, Jégou et al. TPAMI'11): corpus vectors are
+    compressed to M subspace sign-pattern codes (M x 4 bits = 8 bytes
+    per vector vs 256 raw — the memory lever that lets billion-vector
+    indexes fit in RAM), queries stay full-precision, each candidate's
+    coarse score is a sum of M table lookups, and only the top
+    ``rerank`` ADC candidates per query are re-scored with exact cosine
+    against their raw vectors.
+
+    The ADC stage is EXACT INTEGER: vectors are L2-normalized then
+    fixed-pointed (``FLOOR(x / sqrt(dd) * scale)``; normalization makes
+    inner product track cosine, without which large-norm vectors
+    dominate the ranking), centroids are integer means (SUM DIV COUNT),
+    and ADC scores are integer dots — bit-identical across engines, so
+    the driver hash-checks the codebook + LUT + candidate selection,
+    not just the re-ranked tail.  Codes are computed on the RAW vector
+    (sign patterns are scale-invariant).
+
+    Scale shape: code assignment and fixed-pointing are map-side; the
+    codebook is one hash agg into at most M x 2^bits x dim cells (a few
+    thousand rows, amortized over every query); the per-query lookup
+    table is |queries| x M x 2^bits rows and BROADCAST; the ADC scan
+    touches only the code table (M small ints per vector, never the
+    raw vectors) — that read-volume reduction IS the PQ speedup — and
+    the exact re-rank reads raw vectors for just ``rerank`` candidates
+    per query.  Composing with the IVF coarse quantizer (ivf_topk)
+    gates the code scan to probed cells = IVFADC."""
+    m_count = len(planes_by_sub)
+    sub_dim = len(planes_by_sub[0][0])
+    emb = with_self_dot(with_vec(corpus))
+    codes = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        pq_code_col("vec", planes_by_sub[m], m * sub_dim + 1).alias(
+                            "code"
+                        ),
+                    )
+                    for m in range(m_count)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", "mc.m", "mc.code")
+    norm_ints = (
+        f"transform(vec, x -> CAST(FLOOR(x / sqrt(dd) * {scale}) AS BIGINT))"
+    )
+
+    def _elems(df: DataFrame, id_out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("vec_id").alias(id_out),
+                F.posexplode(F.expr(norm_ints)).alias("d0", "xs"),
+            )
+            .select(
+                id_out,
+                (F.col("d0") + 1).cast("int").alias("d"),
+                F.expr(f"CAST(d0 DIV {sub_dim} AS INT)").alias("m"),
+                "xs",
+            )
+        )
+
+    elems = _elems(emb, "vec_id")
+    cent = (
+        elems.join(codes, ["vec_id", "m"])
+        .groupBy("m", "code", "d")
+        .agg(F.expr("CAST(SUM(xs) DIV COUNT(*) AS BIGINT)").alias("c"))
+    )
+    qemb = with_self_dot(with_vec(q_df))
+    lut = (
+        _elems(qemb, "query_id")
+        .withColumnRenamed("xs", "qs")
+        .join(cent, ["m", "d"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.col("qs") * F.col("c")).cast("long").alias("partial"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").cast("long").alias("adc_score"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qv = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("dd").alias("qdd"),
+    )
+    rescored = (
+        cand.join(emb.select("vec_id", "vec", "dd"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(dot("qv", "vec"), F.col("qdd"), F.col("dd")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
