@@ -270,24 +270,63 @@ def order_lines_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("approx_distinct_users")  # no oracle: HLL± estimates are engine-specific
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user sketch per event type, alongside the
-    exact count for error inspection.  At 100 TB the sketch is the point:
-    constant memory per group, map-side partially aggregated, mergeable
-    across partitions — exact COUNT(DISTINCT) needs a full shuffle of every
-    distinct value.  No oracle entry: HLL estimates are engine-specific by
-    construction; tests/test_operators.py bounds the error vs exact at
-    ≤5% (rsd=0.02).
-    """
+    """HyperLogLog++ distinct-user sketch per event type, audited
+    in-query against the exact count.  At 100 TB the sketch is the
+    point: constant memory per group, map-side partially aggregated,
+    mergeable across partitions — exact COUNT(DISTINCT) needs a full
+    shuffle of every distinct value.
+
+    The raw HLL estimate is engine-specific by construction, so it
+    cannot be hash-compared; what CAN be is the sketch's CONTRACT —
+    ``within_5pct`` checks the estimate against the exact count inside
+    the query, and the oracle pins it to literal TRUE (the 2.5x-rsd
+    envelope at rsd=0.02).  A drifting estimator flips the flag and
+    fails the driver's hash; tests/test_advanced.py additionally
+    measures the actual error."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+                <= F.col("exact_users") * 5
+            ).alias("within_5pct"),
+        )
     )
 
 
-@query("hll_sketch_store")  # no oracle: DataSketches HLL binaries are engine-specific
+@query(
+    "hll_sketch_store",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_5pct
+FROM customer
+GROUP BY c_mktsegment
+UNION ALL
+SELECT '__ALL__' AS c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_5pct
+FROM customer
+""",
+)
 def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketch store (Apache DataSketches HLL,
     Spark 3.5+ built-ins): build one serialized sketch per market
@@ -296,18 +335,22 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist per-partition sketch binaries (bytes, constant size), and
     any later rollup unions sketches instead of rescanning raw data.
 
-    Output: per-segment estimate + the merged all-segment estimate
-    (re-aggregated FROM the sketches, not from rows) + exact counts for
-    error inspection.  Rows-only check: sketch estimates are
-    engine-specific; tests/test_operators.py bounds the error."""
+    Output: per-segment + merged __ALL__ rows, each carrying the exact
+    count and ``within_5pct`` — the estimate (derived FROM the stored
+    sketches; for __ALL__, from the sketch UNION, not from rows) checked
+    against exact inside the query.  Sketch binaries and estimates are
+    engine-specific, so the CONTRACT is what the driver hashes: the
+    oracle pins every flag to literal TRUE — a broken sketch merge or a
+    drifting estimator flips the __ALL__ row and fails the hash.
+    tests/test_advanced.py measures the actual error."""
     c = load_table(spark, sf_dir, "customer")
     per_seg = c.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
-        F.count_distinct("c_custkey").alias("exact_customers"),
+        F.count_distinct("c_custkey").cast("long").alias("exact_customers"),
     )
     merged = per_seg.agg(
         F.hll_union_agg("sk").alias("sk"),
-        F.sum("exact_customers").alias("exact_customers"),
+        F.sum("exact_customers").cast("long").alias("exact_customers"),
     ).select(
         F.lit("__ALL__").alias("c_mktsegment"),
         F.hll_sketch_estimate("sk").alias("approx_customers"),
@@ -320,6 +363,14 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_customers",
         )
         .unionByName(merged)
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers")) * 100
+                <= F.col("exact_customers") * 5
+            ).alias("within_5pct"),
+        )
     )
 
 

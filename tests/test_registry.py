@@ -70,9 +70,10 @@ def test_every_query_has_oracle_or_documented_exemption():
     from odni_apache_beam_consumer_spark.plans.registry import all_oracles, all_queries
 
     no_oracle = set(all_queries()) - set(all_oracles())
-    assert no_oracle == {"approx_distinct_users", "hll_sketch_store"}, (
+    assert no_oracle == set(), (
         f"unexpected rows-only queries: {sorted(no_oracle)} — add a DuckDB "
-        "oracle or extend this documented exemption list"
+        "oracle (even sketch queries oracle their CONTRACT, see "
+        "approx_distinct_users) or extend this documented exemption list"
     )
 
 
