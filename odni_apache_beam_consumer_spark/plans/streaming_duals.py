@@ -261,7 +261,7 @@ def session_window_stream_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys change as events arrive) driven through a REAL Structured
     Streaming micro-batch replay, then hash-checked against a batch SQL
     sessionization oracle.  The other streaming-window queries are
-    batch duals; this one runs readStream end-to-end: 6 time-ordered
+    batch duals; this one runs readStream end-to-end: 4 time-ordered
     parquet chunks + a far-future flush sentinel replay the events table
     one file per micro-batch through withWatermark + session_window in
     APPEND mode, so the emitted rows are exactly the sessions the
@@ -278,16 +278,21 @@ def session_window_stream_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: streaming session aggregation shuffles each micro-batch
     by user_id into the state store and merges adjacent sessions there —
     state is bounded by the watermark horizon; the sentinel flush is how
-    a bounded drain would close out a real backfill."""
+    a bounded drain would close out a real backfill.  State partitions
+    right-sized to 8 for replay volume (saved/restored — the same
+    deploy-time sizing note as stream_stream_join_dual: 32 near-empty
+    stores per batch cost more in open/commit than the aggregation)."""
     from odni_apache_beam_consumer_spark.sources import replay as R
 
     replay_root = tempfile.mkdtemp(prefix="session_dual_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         chunks = R.write_replay_chunks(
             spark,
             sf_dir,
             os.path.join(replay_root, "chunks"),
-            n_chunks=6,
+            n_chunks=4,
             flush_sentinel=True,
         )
         agg = (
@@ -328,6 +333,7 @@ def session_window_stream_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(replay_root, ignore_errors=True)
 
 
@@ -380,11 +386,11 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, hash-checked end to end.
 
     The embeddings corpus is split into 4 parquet chunk files and
-    replayed one file per micro-batch; each batch is LSH-bucketed with
+    replayed two files per micro-batch; each batch is LSH-bucketed with
     the STORED planes and appended into its bucket partitions.  Raw
     ``mode=append`` is NOT idempotent, so the foreachBatch body guards
     with a per-batch-id commit marker (the streaming/sinks.py protocol);
-    after the stream drains, batch 2 is re-delivered exactly as an
+    after the stream drains, batch 1 is re-delivered exactly as an
     at-least-once restart would — the marker must no-op it, or its
     vectors appear twice in the index and duplicate neighbor rows fail
     the driver's hash.  Three fixed query vectors then probe the final
@@ -413,22 +419,28 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        # 4 deterministic id-sliced chunk files, mtimes staggered so the
-        # file source replays them in order (same recipe as replay.py).
+        # 4 deterministic id-sliced chunk files written in ONE partitioned
+        # job (4 separate coalesce(1) jobs were pure launch overhead),
+        # mtimes staggered so the file source replays them in order (same
+        # recipe as replay.py).
         import time as _time
 
         now = _time.time()
+        tmp = os.path.join(root, "__tmp")
+        (
+            emb.withColumn("c", F.pmod(F.col("vec_id"), F.lit(4)).cast("int"))
+            .repartition(4, "c")
+            .write.mode("overwrite")
+            .partitionBy("c")
+            .parquet(tmp)
+        )
         for i in range(4):
-            part = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == i)
-            tmp = os.path.join(root, f"__tmp_{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
+            kdir = os.path.join(tmp, f"c={i}")
+            src = next(f for f in os.listdir(kdir) if f.endswith(".parquet"))
             dst = os.path.join(chunks_dir, f"chunk_{i:05d}.parquet")
-            shutil.move(os.path.join(tmp, src), dst)
+            shutil.move(os.path.join(kdir, src), dst)
             os.utime(dst, (now + i, now + i))
-            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
         def ingest(batch: DataFrame, batch_id: int) -> None:
             marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
@@ -438,9 +450,13 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(marker, "w") as f:
                 f.write("committed")
 
+        # 2 files per trigger: the commit protocol is per-BATCH, so two
+        # micro-batches exercise it as fully as four at half the
+        # fixed per-trigger cost (state-free foreachBatch — no
+        # watermark/sentinel concerns apply here).
         stream = (
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(chunks_dir)
         )
         sq = (
@@ -450,8 +466,9 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         sq.awaitTermination(300)
-        # At-least-once restart: re-deliver batch 2; the marker no-ops it.
-        ingest(emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 2), 2)
+        # At-least-once restart: re-deliver batch 1 (chunks 2+3); the
+        # marker must no-op it or those vectors index twice.
+        ingest(emb.where(F.pmod(F.col("vec_id"), F.lit(4)).isin(2, 3)), 1)
 
         qvecs = {
             r.vec_id: list(r.embedding)
@@ -497,9 +514,9 @@ def stream_stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks within the following hour — streaming/windows.py::
     stream_stream_join) driven through a REAL micro-batch replay and
     hash-checked against the batch interval-join oracle.  Both sides
-    read the SAME 6-chunk time-ordered replay, filtered to their event
+    read the SAME 4-chunk time-ordered replay, filtered to their event
     type per micro-batch, so matches routinely span chunks — a pair
-    whose purchase arrives in batch 2 and click in batch 5 only appears
+    whose purchase arrives in batch 1 and click in batch 3 only appears
     if the join state actually held the purchase across triggers; any
     premature state eviction, duplicate emission, or lost buffered row
     fails the driver's hash.
@@ -535,7 +552,7 @@ def stream_stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             os.path.join(replay_root, "chunks"),
-            n_chunks=6,
+            n_chunks=4,
             flush_sentinel=True,
         )
         stream = R.read_stream(spark, chunks).where(
@@ -625,7 +642,7 @@ def stream_stream_outer_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame
             spark,
             sf_dir,
             os.path.join(replay_root, "chunks"),
-            n_chunks=4,
+            n_chunks=3,
             flush_sentinel=True,
             n_sentinels=2,  # outer-join eviction needs a batch AFTER the
             # watermark advance (see write_replay_chunks)

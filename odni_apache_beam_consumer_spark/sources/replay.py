@@ -87,32 +87,35 @@ def write_replay_chunks(
         # batch that runs the eviction pass.  Aggregation operators
         # don't need it (one sentinel drains them, as the session and
         # tumbling duals prove).
+        # All sentinels in ONE write job (partitioned by sentinel index,
+        # one row per partition file) — per-sentinel coalesce(1) jobs
+        # were pure job-launch overhead on the bench.
+        sent = spark.createDataFrame(
+            [(k, -(k + 1), -1, "__flush__", 0.0, "{}") for k in range(n_sentinels)],
+            "k INT, event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).select(
+            "k",
+            F.col("event_id"),
+            F.expr(
+                # Arithmetic, not a formatted literal: an f-string like
+                # '2100-01-0{k+1}' breaks at k >= 9 ('2100-01-010').
+                "timestamp'2100-01-01 00:00:00' + make_interval(0, 0, 0, k)"
+            ).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+        sent.write.mode("overwrite").partitionBy("k").parquet(tmp_dir)
         for k in range(n_sentinels):
             i = len(parts) + k
-            sent = spark.createDataFrame(
-                [(-(k + 1), None, -1, "__flush__", 0.0, "{}")],
-                EVENTS_SCHEMA,
-            ).select(
-                F.col("event_id"),
-                F.expr(
-                    # Arithmetic, not a formatted literal: an f-string like
-                    # '2100-01-0{k+1}' breaks at k >= 9 ('2100-01-010').
-                    "timestamp'2100-01-01 00:00:00' "
-                    f"+ make_interval(0, 0, 0, {k})"
-                ).alias("ts"),
-                F.col("user_id"),
-                F.col("event_type"),
-                F.col("value"),
-                F.col("props"),
-            )
+            kdir = os.path.join(tmp_dir, f"k={k}")
+            part = [f for f in os.listdir(kdir) if f.endswith(".parquet")][0]
             dst = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
-            sent.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-            part = [
-                f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
-            ][0]
-            shutil.move(os.path.join(tmp_dir, part), dst)
+            shutil.move(os.path.join(kdir, part), dst)
             os.utime(dst, (now + i, now + i))
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 
