@@ -1737,3 +1737,62 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs("cusum_centi") == F.col("peak")).alias("is_changepoint"),
         )
     )
+
+
+@query(
+    "skyline_pareto_front",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+),
+m AS (
+  SELECT *,
+         MAX(p_size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best_cheaper,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS best_same
+  FROM p
+)
+SELECT p_partkey, price_cents, p_size
+FROM m
+WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+  AND best_same = p_size
+""",
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over parts: every part not DOMINATED —
+    no other part is both cheaper-or-equal and larger-or-equal with one
+    strict — the multi-objective shortlist query (Borzsony et al.
+    ICDE'01) behind "cheapest viable X at every capability level".
+
+    The naive formulation is a quadratic NOT EXISTS self-join; for two
+    criteria it collapses to ONE window pass: sort by price, keep a row
+    iff no strictly-cheaper row reached its size (running RANGE-frame
+    max) and no same-price row beats its size (unordered same-price
+    max).  Exact integer cents, so the frame boundary is well-defined
+    on both engines.
+
+    Scale shape: a single range-partitioned sort (the skyline is also
+    DISTRIBUTIVE — local skyline per partition then skyline of the
+    union — which is the d>2 fallback; for d=2 the sort formulation is
+    already one exchange).  Output is skyline-sized, typically tiny."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    w_cheaper = (
+        W.orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("price_cents")
+    m = p.withColumn("best_cheaper", F.max("p_size").over(w_cheaper)).withColumn(
+        "best_same", F.max("p_size").over(w_same)
+    )
+    return m.where(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("best_same") == F.col("p_size"))
+    ).select("p_partkey", "price_cents", "p_size")

@@ -607,3 +607,98 @@ def auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_ppm"),
         )
     )
+
+
+@query(
+    "cohens_kappa_agreement",
+    oracle="""
+WITH rated AS (
+  SELECT CASE WHEN n_chars < 220 THEN 0
+              WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,
+         CASE WHEN len(string_split(trim(text), ' ')) < 40 THEN 0
+              WHEN len(string_split(trim(text), ' ')) < 70 THEN 1
+              ELSE 2 END AS rb
+  FROM documents
+),
+conf AS (
+  SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS cnt FROM rated GROUP BY ra, rb
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM conf),
+tr AS (SELECT CAST(SUM(cnt) AS BIGINT) AS trace FROM conf WHERE ra = rb),
+marg AS (
+  SELECT r.k, r.row_cnt, c.col_cnt FROM
+    (SELECT ra AS k, CAST(SUM(cnt) AS BIGINT) AS row_cnt FROM conf GROUP BY ra) r
+    JOIN
+    (SELECT rb AS k, CAST(SUM(cnt) AS BIGINT) AS col_cnt FROM conf GROUP BY rb) c
+    ON c.k = r.k
+),
+pe AS (SELECT CAST(SUM(row_cnt * col_cnt) AS BIGINT) AS pe_num FROM marg)
+SELECT tot.n,
+       CAST(tr.trace * 1000000 // tot.n AS BIGINT) AS po_ppm,
+       CAST(pe.pe_num * 1000000 // (tot.n * tot.n) AS BIGINT) AS pe_ppm,
+       CAST((tr.trace * tot.n - pe.pe_num) * 1000000
+            // (tot.n * tot.n - pe.pe_num) AS BIGINT) AS kappa_ppm
+FROM tot, tr, pe
+""",
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent raters — the
+    chance-corrected inter-annotator agreement measure every labeling /
+    LLM-judge pipeline reports before trusting its labels.  The two
+    raters here are deterministic length heuristics over different
+    signals (character count vs whitespace token count, each binned to
+    3 ordinal grades), so agreement is high but not perfect — a
+    realistic kappa.
+
+    All arithmetic is exact integer ppm from confusion-matrix counts:
+    po = trace/n, pe = sum_i(row_i * col_i)/n^2, and kappa =
+    (po-pe)/(1-pe) computed as (trace*n - pe_num) * 1e6 DIV
+    (n^2 - pe_num) — one integer DIV, no float means anywhere.
+
+    Scale shape: rating is map-side; the confusion matrix is ONE hash
+    agg into k^2 (= 9) cells; marginals, trace, and kappa all derive
+    from those 9 rows — the corpus is touched exactly once regardless
+    of size.  Marginal joins are broadcast (9x3-row tables)."""
+    rated = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") < 220, 0)
+        .when(F.col("n_chars") < 380, 1)
+        .otherwise(2)
+        .alias("ra"),
+        F.when(F.size(F.split(F.trim("text"), " ")) < 40, 0)
+        .when(F.size(F.split(F.trim("text"), " ")) < 70, 1)
+        .otherwise(2)
+        .alias("rb"),
+    )
+    conf = rated.groupBy("ra", "rb").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rows = conf.groupBy(F.col("ra").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("row_cnt")
+    )
+    cols = conf.groupBy(F.col("rb").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("col_cnt")
+    )
+    pe = (
+        rows.join(F.broadcast(cols), "k")
+        .agg(F.sum(F.col("row_cnt") * F.col("col_cnt")).cast("long").alias("pe_num"))
+    )
+    totals = conf.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("trace"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            F.expr("CAST(trace * 1000000 DIV n AS BIGINT)").alias("po_ppm"),
+            F.expr("CAST(pe_num * 1000000 DIV (n * n) AS BIGINT)").alias(
+                "pe_ppm"
+            ),
+            F.expr(
+                "CAST((trace * n - pe_num) * 1000000 "
+                "DIV (n * n - pe_num) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )

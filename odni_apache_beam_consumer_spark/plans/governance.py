@@ -393,3 +393,96 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").cast("long").alias("l_distinct"),
         (F.countDistinct("o_orderstatus") >= 2).alias("l_diverse"),
     )
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR((c_acctbal + 1000.0) / 2000.0) AS BIGINT) AS sbucket
+  FROM customer
+),
+gdist AS (
+  SELECT sbucket, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM c GROUP BY sbucket
+),
+gtot AS (SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_all FROM gdist),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, sbucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+gsz AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS n_grp
+  FROM grp GROUP BY 1, 2
+),
+grid AS (
+  SELECT gsz.c_nationkey, gsz.c_mktsegment, gsz.n_grp,
+         gdist.sbucket, gdist.g_cnt, gtot.n_all,
+         COALESCE(grp.cnt, 0) AS cnt
+  FROM gsz CROSS JOIN gdist CROSS JOIN gtot
+  LEFT JOIN grp ON grp.c_nationkey = gsz.c_nationkey
+              AND grp.c_mktsegment = gsz.c_mktsegment
+              AND grp.sbucket = gdist.sbucket
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(MAX(n_grp) AS BIGINT) AS group_size,
+       CAST(SUM(ABS(cnt * 1000000 // n_grp - g_cnt * 1000000 // n_all)) // 2
+            AS BIGINT) AS t_ppm,
+       CAST(SUM(ABS(cnt * 1000000 // n_grp - g_cnt * 1000000 // n_all)) // 2
+            > 200000 AS BOOLEAN) AS breach
+FROM grid
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. ICDE'07), completing the
+    k-anonymity / l-diversity release-gate triad: for every
+    quasi-identifier group, the variational distance between its
+    sensitive-attribute distribution (account-balance bucket) and the
+    GLOBAL distribution, flagged when above t = 0.2.  l-diversity can
+    pass while a group's distribution still leaks (skewness attack) —
+    t-closeness is the gate that catches it.
+
+    Distance is exact integer ppm: per-bucket shares via integer DIV on
+    both the group and global side, summed |difference| halved.  The
+    bucket grid is completed with zero-count cells (a MISSING bucket in
+    a group is the leak signal, |0 - p_global|), via a broadcast cross
+    of the per-group sizes against the ~6-bucket global table.
+
+    Scale shape: two hash aggs over the table (group x bucket, and
+    global bucket) + a broadcast grid join sized |QI groups| x |buckets|
+    — never row-scale; the same single-scan audit cost as
+    k_anonymity_audit."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor((F.col("c_acctbal") + 1000.0) / 2000.0)
+        .cast("long")
+        .alias("sbucket"),
+    )
+    glob = c.groupBy("sbucket").agg(F.count(F.lit(1)).cast("long").alias("g_cnt"))
+    gtot = glob.agg(F.sum("g_cnt").cast("long").alias("n_all"))
+    grp = c.groupBy("c_nationkey", "c_mktsegment", "sbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gsz = grp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("long").alias("n_grp")
+    )
+    grid = (
+        gsz.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .join(grp, ["c_nationkey", "c_mktsegment", "sbucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    diff = F.expr(
+        "ABS(cnt * 1000000 DIV n_grp - g_cnt * 1000000 DIV n_all)"
+    )
+    return (
+        grid.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("n_grp").cast("long").alias("group_size"),
+            (F.sum(diff) / 2).cast("long").alias("t_ppm"),
+        )
+        .withColumn("breach", F.col("t_ppm") > 200000)
+    )

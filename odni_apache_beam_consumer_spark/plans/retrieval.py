@@ -720,3 +720,111 @@ def bpe_train_rounds(words: DataFrame, n_rounds: int) -> DataFrame:
     for m in metrics[1:]:
         out = out.unionByName(m)
     return out
+
+
+_MU = 2000  # Dirichlet prior mass (Zhai & Lafferty's recommended range)
+
+
+@query(
+    "dirichlet_lm_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+dlen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS clen FROM dlen),
+ctf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf
+  FROM toks
+  WHERE term IN ('{_PROBE_TERMS[0]}', '{_PROBE_TERMS[1]}', '{_PROBE_TERMS[2]}')
+  GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('{_PROBE_TERMS[0]}', '{_PROBE_TERMS[1]}', '{_PROBE_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT d.doc_id,
+         CASE WHEN t.tf IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CAST(FLOOR(LN((COALESCE(t.tf, 0) * s.clen + {_MU}.0 * c.ctf)
+                       / ((d.dl + {_MU}.0) * s.clen)) * 1000000.0)
+              AS BIGINT) AS term_micro
+  FROM dlen d
+  CROSS JOIN ctf c
+  CROSS JOIN stats s
+  LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+)
+SELECT doc_id,
+       CAST(SUM(hit) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(term_micro) AS BIGINT) AS lm_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY lm_micro DESC, doc_id
+LIMIT 50
+""",
+)
+def dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01, mu=2000) — the probabilistic counterpart to
+    bm25_topk: score(q,d) = sum over query terms of
+    ln((tf + mu*P(t|C)) / (dl + mu)).  Unlike BM25, EVERY document
+    scores on EVERY query term (the collection-model prior covers
+    absent terms), so smoothing quality — not term overlap — drives the
+    ranking; the two scorers disagreeing on a document is the classic
+    relevance-tuning signal.
+
+    Per-term scores are floored to integer micro-units before the
+    per-doc sum (order-independent integer aggregate); the float part
+    is one fixed tree of IEEE ops over integer inputs — the exact
+    discipline bm25_topk proved driver-green.
+
+    Scale shape: same two token-stream hash aggs as BM25 (dlen
+    persisted — consumed by the grid and the 1-row corpus stat);
+    the doc x query-term grid is a broadcast nested-loop of the
+    PROBE-SIZED ctf table against dlen — |D| x |q| rows, the inherent
+    LM-scoring cost — with tf LEFT-joined in; top-50 is
+    TakeOrderedAndProject."""
+    toks = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select("doc_id", F.explode("tk").alias("term"))
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl")).persist()
+    stats = dlen.agg(F.sum("dl").cast("long").alias("clen"))
+    probe = toks.where(F.col("term").isin(*_PROBE_TERMS))
+    ctf = probe.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    tf = probe.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = (
+        dlen.crossJoin(F.broadcast(ctf))
+        .crossJoin(F.broadcast(stats))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) * F.col("clen")
+                     + float(_MU) * F.col("ctf"))
+                    / ((F.col("dl") + float(_MU)) * F.col("clen"))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_terms_hit"),
+            F.sum("term_micro").cast("long").alias("lm_micro"),
+        )
+        .orderBy(F.desc("lm_micro"), F.asc("doc_id"))
+        .limit(50)
+    )
