@@ -86,3 +86,58 @@ def test_lww_marker_replay_is_noop(spark):
         assert [(r.k, r.v) for r in cur] == [(5, "x")]
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_cdc_readstream_end_to_end(spark, tmp_path):
+    """Debezium envelopes through a REAL readStream file replay +
+    foreachBatch lww_upsert_merger: the full Kafka-shaped CDC path with
+    streaming machinery in the loop (the driver query batch-replays the
+    same merger; this covers the stream plumbing).  Chunk 1 updates and
+    deletes keys created in chunk 0, so state must carry across
+    micro-batches; the final table equals the from-first-principles
+    result."""
+    import json
+    import os
+    import time
+
+    chunks_dir = tmp_path / "chunks"
+    chunks_dir.mkdir()
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    envs0 = [
+        {"op": "c", "ts_ms": 10 + k, "after": {"k": k, "v": f"v{k}"}}
+        for k in range(6)
+    ]
+    envs1 = [
+        {"op": "u", "ts_ms": 100, "after": {"k": 2, "v": "v2b"}},
+        {"op": "d", "ts_ms": 101, "before": {"k": 4, "v": "v4"}},
+    ]
+    now = time.time()
+    for i, envs in enumerate([envs0, envs1]):
+        df = spark.createDataFrame(
+            [(json.dumps(e),) for e in envs], "value STRING"
+        ).select(F.col("value").cast("binary").alias("value"))
+        tmp = str(tmp_path / f"__tmp_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = str(chunks_dir / f"chunk_{i:05d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    merger = C.lww_upsert_merger(store, ["k"])
+
+    def apply_batch(batch, batch_id):
+        merger(C.parse_debezium(batch, SCHEMA), batch_id)
+
+    q = (
+        spark.readStream.schema("value BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chunks_dir))
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.k, r.v) for r in C.read_current(spark, store).collect()}
+    assert got == {(0, "v0"), (1, "v1"), (2, "v2b"), (3, "v3"), (5, "v5")}
