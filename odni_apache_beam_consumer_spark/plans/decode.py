@@ -266,7 +266,13 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store = tempfile.mkdtemp(prefix="cdc_dual_")
+    # 5 snapshot merges over a ~|orders|-row store: right-size the merge
+    # shuffle like the streaming duals do (32 near-empty partitions per
+    # window+write cycle cost more than the merge itself at this scale;
+    # a production deployment sizes this to its key cardinality).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         merger = C.lww_upsert_merger(store, ["o_orderkey"])
         batches = [
             C.parse_debezium(b, payload_schema)
@@ -287,5 +293,6 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "price_cents", "ts_ms"
         ).localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(store, ignore_errors=True)
 
