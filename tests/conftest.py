@@ -12,6 +12,50 @@ if REPO_DIR not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _autoheal_witness_manifest() -> None:
+    """Refresh WITNESS_MANIFEST.json when a newer CORRECTNESS_r*.json exists.
+
+    The driver writes CORRECTNESS_rN.json AFTER the end-of-round snapshot
+    commit, so at the next round's start the manifest is always one round
+    stale. Auto-refresh is safe ONLY while HEAD is still exactly the source
+    the driver executed: package tree clean AND no package commit newer
+    than the newest CORRECTNESS file. Otherwise refreshing would stamp an
+    unwitnessed edit with a witness digest (laundering), so we skip and
+    let test_manifest_covers_all_witnessed_names surface the gap.
+    """
+    import glob
+    import subprocess
+
+    manifest = os.path.join(REPO_DIR, "WITNESS_MANIFEST.json")
+    rounds = glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))
+    if not rounds:
+        return
+    newest = max(os.path.getmtime(p) for p in rounds)
+    if os.path.exists(manifest) and os.path.getmtime(manifest) >= newest:
+        return
+    pkg = ["odni_apache_beam_consumer_spark", "__spark_entry__.py"]
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *pkg],
+            capture_output=True, text=True, cwd=REPO_DIR, timeout=30,
+        ).stdout.strip()
+        head_ct = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", *pkg],
+            capture_output=True, text=True, cwd=REPO_DIR, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        return
+    if dirty or (head_ct and int(head_ct) > newest):
+        return
+    subprocess.run(
+        [sys.executable, os.path.join(REPO_DIR, "tools", "witness_manifest.py")],
+        cwd=REPO_DIR, check=False, timeout=300,
+    )
+
+
+_autoheal_witness_manifest()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from odni_apache_beam_consumer_spark.session import get_spark
