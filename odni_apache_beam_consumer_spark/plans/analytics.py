@@ -1775,24 +1775,39 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     max).  Exact integer cents, so the frame boundary is well-defined
     on both engines.
 
-    Scale shape: a single range-partitioned sort (the skyline is also
-    DISTRIBUTIVE — local skyline per partition then skyline of the
-    union — which is the d>2 fallback; for d=2 the sort formulation is
-    already one exchange).  Output is skyline-sized, typically tiny."""
+    Scale shape: the skyline is DISTRIBUTIVE — a row dominated within
+    any subset is dominated globally — so stage 1 runs the window pass
+    WITHIN 64 hash buckets (partitioned window, parallel, prunes to the
+    per-bucket Pareto fronts), and stage 2 reruns the same pass
+    unpartitioned over the union of local fronts, which is
+    skyline-bounded (~64 x O(log n) expected rows), never the full
+    table.  An unpartitioned window over the raw scan would funnel
+    every row through ONE task at 100x; here the single-task window
+    only ever sees local-front survivors."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("p_size"),
     )
-    w_cheaper = (
-        W.orderBy("price_cents")
-        .rangeBetween(W.unboundedPreceding, -1)
+
+    def _front(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        w_cheaper = (
+            W.partitionBy(*bucket_cols)
+            .orderBy("price_cents")
+            .rangeBetween(W.unboundedPreceding, -1)
+            if bucket_cols
+            else W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_same = W.partitionBy(*bucket_cols, "price_cents")
+        m = df.withColumn("best_cheaper", F.max("p_size").over(w_cheaper)).withColumn(
+            "best_same", F.max("p_size").over(w_same)
+        )
+        return m.where(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+            & (F.col("best_same") == F.col("p_size"))
+        ).select("p_partkey", "price_cents", "p_size")
+
+    local = _front(
+        p.withColumn("bucket", F.pmod(F.hash("p_partkey"), F.lit(64))), "bucket"
     )
-    w_same = W.partitionBy("price_cents")
-    m = p.withColumn("best_cheaper", F.max("p_size").over(w_cheaper)).withColumn(
-        "best_same", F.max("p_size").over(w_same)
-    )
-    return m.where(
-        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
-        & (F.col("best_same") == F.col("p_size"))
-    ).select("p_partkey", "price_cents", "p_size")
+    return _front(local)

@@ -614,6 +614,18 @@ def test_method_comparison_and_similar_docs_release_their_caches(
     assert n_persisted() <= base + 2, n_persisted()
 
 
+def test_skyline_local_front_before_global_window(spark, sf_dir):
+    """Distributive skyline: the windows over the full `part` scan must be
+    bucket-partitioned (parallel local Pareto fronts); the unpartitioned
+    stage-2 window may only consume local-front survivors, so the
+    SinglePartition exchange must appear AFTER the bucketed pass — never
+    directly over the scan (the round-7 verdict's single-task-sort killer)."""
+    plan = formatted_plan(spark, "skyline_pareto_front", sf_dir)
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "SinglePartition" in plan, plan
+    assert plan.index("hashpartitioning(bucket") < plan.index("SinglePartition"), plan
+
+
 def test_packing_sweep_single_window_pass_with_expand(spark, sf_dir):
     """All budgets are measured from ONE prefix-sum window pass: the
     multi-COUNT(DISTINCT) plans as a single Expand over the shared
