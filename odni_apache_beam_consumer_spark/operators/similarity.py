@@ -663,3 +663,162 @@ def pq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivfpq_adc_topk(
+    q_df: DataFrame,
+    corpus: DataFrame,
+    planes_by_sub: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 50,
+    nprobe: int = 6,
+    dim: int = 64,
+    scale: int = 10000,
+) -> DataFrame:
+    """IVFADC (Jégou et al. TPAMI'11 §V): the IVF coarse quantizer gates
+    WHICH code rows the PQ-ADC stage scans — each corpus vector lives in
+    exactly one centroid cell, each query probes its ``nprobe`` best
+    cells, and the integer ADC scan + exact re-rank run only over the
+    probed cells' codes instead of the whole code table.  This is the
+    composition promised in pq_adc_topk's docstring: IVF bounds the
+    candidate row count (sum of probed cell sizes), PQ bounds the bytes
+    per candidate (M small ints), so probe cost is independent of corpus
+    size on BOTH axes.
+
+    Same exact-integer ADC discipline as pq_adc_topk (fixed-point
+    normalized vectors, SUM DIV COUNT centroids, integer LUT dots) and
+    same broadcast coarse quantizer as ivf_topk, so the driver
+    hash-checks cell assignment + codebook + LUT + candidate gating end
+    to end.
+
+    Scale shape: centroids broadcast (one row per cell); cell assignment
+    and code assignment are map-side; the candidate list is an equi-join
+    of the cell-keyed code table with the broadcast (query, probed-cell)
+    pairs — at 100 TB the code table would be written partitioned by
+    cell so the probed-cell join prunes partitions, the ivf_topk note
+    applied to codes instead of raw vectors."""
+    m_count = len(planes_by_sub)
+    sub_dim = len(planes_by_sub[0][0])
+    emb = with_self_dot(with_vec(corpus))
+
+    # --- IVF coarse quantizer: one cell per corpus vector, nprobe per query
+    cents = label_centroids(corpus, dim)
+    cents = with_self_dot(cents, "cvec", "cdd2").select(
+        F.col("label").alias("cell"), "cvec", "cdd2"
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    cell_of = (
+        emb.select("vec_id", "vec", "dd")
+        .join(F.broadcast(cents))
+        .withColumn(
+            "ccos", F.round(cosine(dot("vec", "cvec"), F.col("dd"), F.col("cdd2")), 6)
+        )
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "cell")
+    )
+    qemb = with_self_dot(with_vec(q_df))
+    w_probe = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), "cell")
+    q_probes = (
+        qemb.select(F.col("vec_id").alias("query_id"), "vec", "dd")
+        .join(F.broadcast(cents))
+        .withColumn(
+            "qcos", F.round(cosine(dot("vec", "cvec"), F.col("dd"), F.col("cdd2")), 6)
+        )
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    # --- PQ code table + integer codebook + per-query LUT (pq_adc_topk)
+    codes = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        pq_code_col("vec", planes_by_sub[m], m * sub_dim + 1).alias(
+                            "code"
+                        ),
+                    )
+                    for m in range(m_count)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", "mc.m", "mc.code")
+    norm_ints = f"transform(vec, x -> CAST(FLOOR(x / sqrt(dd) * {scale}) AS BIGINT))"
+
+    def _elems(df: DataFrame, id_out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("vec_id").alias(id_out),
+                F.posexplode(F.expr(norm_ints)).alias("d0", "xs"),
+            )
+            .select(
+                id_out,
+                (F.col("d0") + 1).cast("int").alias("d"),
+                F.expr(f"CAST(d0 DIV {sub_dim} AS INT)").alias("m"),
+                "xs",
+            )
+        )
+
+    cent = (
+        _elems(emb, "vec_id")
+        .join(codes, ["vec_id", "m"])
+        .groupBy("m", "code", "d")
+        .agg(F.expr("CAST(SUM(xs) DIV COUNT(*) AS BIGINT)").alias("c"))
+    )
+    lut = (
+        _elems(qemb, "query_id")
+        .withColumnRenamed("xs", "qs")
+        .join(cent, ["m", "d"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.col("qs") * F.col("c")).cast("long").alias("partial"))
+    )
+
+    # --- the IVFADC step: gate the ADC scan to probed cells
+    cand_ids = (
+        cell_of.join(F.broadcast(q_probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand_ids.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").cast("long").alias("adc_score"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qv = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("dd").alias("qdd"),
+    )
+    rescored = (
+        cand.join(emb.select("vec_id", "vec", "dd"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(dot("qv", "vec"), F.col("qdd"), F.col("dd")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

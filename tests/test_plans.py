@@ -451,6 +451,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
     nlj_whitelist = {
         "cosine_topk": "exact baseline: broadcast query set x corpus scan",
         "ann_ivf_topk": "broadcast centroid (quantizer) table x corpus",
+        "ann_ivfpq_topk": "broadcast centroid (quantizer) table x corpus + queries",
         "kmeans_one_step": "broadcast k-row centroid table x corpus",
         "q11_important_stock": "broadcast 1-row threshold scalar",
         "q22_dormant_customers": "broadcast 1-row avg-balance scalar",
