@@ -193,9 +193,11 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: envelope parse is map-side from_json; each apply is one
     keyed window over |snapshot| + |delta| — the MERGE INTO shape on a
-    real table format; re-deliveries cost one no-op merge each.  State
-    is the table itself, not operator memory, so the horizon is
-    unbounded (the CDC contract) without any watermark."""
+    real table format; re-deliveries take the merger's replay fast path
+    (one keyed winner-check join, NO snapshot rewrite — the join IS the
+    LWW comparison, so the no-op is detected, not assumed).  State is
+    the table itself, not operator memory, so the horizon is unbounded
+    (the CDC contract) without any watermark."""
     from odni_apache_beam_consumer_spark.streaming import cdc as C
 
     payload_schema = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
@@ -296,3 +298,103 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(store, ignore_errors=True)
 
+
+@query(
+    "cdc_schema_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END
+         AS price_cents,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority ELSE NULL END
+         AS priority,
+       CAST(1000 + o_orderkey * 10
+            + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END AS BIGINT)
+         AS ts_ms
+FROM orders
+""",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC payload-schema evolution mid-stream — the most common real
+    Debezium event after row changes: the source table gains a nullable
+    column, so later envelopes carry a WIDER payload.  Batch 0 creates
+    every order under the v1 schema (no ``priority``); batch 1 updates
+    keys %10==0 under the v2 schema (adds ``priority``); then BOTH are
+    re-delivered under fresh batch ids in reverse order — the v1 batch
+    must merge cleanly into the already-widened snapshot (missing
+    column = NULL, resolved by name, not position) and no-op, and the
+    v2 replay must no-op too.  Final state: v1-only rows read NULL for
+    the new column, updated rows carry it — a dropped or misaligned
+    column (positional union, lost NULL fill, replay resurrecting the
+    narrow schema) shifts the hash.
+
+    Scale shape: same as cdc_debezium_apply — map-side envelope parse,
+    one keyed merge per schema epoch, replay fast-path joins for the
+    re-deliveries; schema widening costs nothing at merge time because
+    the union is by name with NULL fill (on a real table format this is
+    MERGE INTO after ALTER TABLE ADD COLUMN)."""
+    from odni_apache_beam_consumer_spark.streaming import cdc as C
+
+    v1 = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
+    v2 = v1 + ", priority STRING"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        (F.lit(1000) + F.col("o_orderkey") * 10).alias("base_ts"),
+    )
+    creates_v1 = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.col("base_ts").alias("ts_ms"),
+                F.expr(f"CAST(NULL AS STRUCT<{v1}>)").alias("before"),
+                F.struct("o_orderkey", "o_orderstatus", "price_cents").alias(
+                    "after"
+                ),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    updates_v2 = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("u").alias("op"),
+                    (F.col("base_ts") + 5).alias("ts_ms"),
+                    F.expr(f"CAST(NULL AS STRUCT<{v2}>)").alias("before"),
+                    F.struct(
+                        "o_orderkey",
+                        F.lit("U").alias("o_orderstatus"),
+                        (F.col("price_cents") + 100000).alias("price_cents"),
+                        F.col("o_orderpriority").alias("priority"),
+                    ).alias("after"),
+                )
+            )
+            .cast("binary")
+            .alias("value")
+        )
+    )
+    store = tempfile.mkdtemp(prefix="cdc_evo_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        merger = C.lww_upsert_merger(store, ["o_orderkey"])
+        b_v1 = C.parse_debezium(creates_v1, v1)
+        b_v2 = C.parse_debezium(updates_v2, v2)
+        merger(b_v1, 0)
+        merger(b_v2, 1)  # widens the snapshot mid-stream
+        merger(b_v1, 2)  # old-schema replay into the widened snapshot
+        merger(b_v2, 3)  # widened replay
+        out = C.read_current(spark, store)
+        return out.select(
+            "o_orderkey", "o_orderstatus", "price_cents", "priority", "ts_ms"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(store, ignore_errors=True)

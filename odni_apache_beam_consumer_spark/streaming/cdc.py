@@ -55,7 +55,10 @@ def debezium_schema(payload_schema: str) -> str:
 
 
 def parse_debezium(
-    df: DataFrame, payload_schema: str, value_col: str = "value"
+    df: DataFrame,
+    payload_schema: str,
+    value_col: str = "value",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Envelope JSON (binary or string column) -> normalized change rows.
 
@@ -63,11 +66,19 @@ def parse_debezium(
     from ``after`` for op in (c, u, r), from ``before`` for op = 'd'.
     Malformed envelopes (unparseable JSON, unknown op, missing image)
     are routed to ``_corrupt = true`` rather than dropped, the same
-    quarantine discipline as the JSON/CSV file sources."""
+    quarantine discipline as the JSON/CSV file sources.
+
+    ``passthrough`` copies transport columns (e.g. the Kafka ``offset``)
+    through to the output so the merger can use a monotone sequence as
+    the LWW tiebreaker for same-``ts_ms`` changes — real CDC appliers
+    break ts ties on the log position (Kafka offset / Debezium
+    source.lsn); without one, two non-delete changes at the same ts_ms
+    resolve arbitrarily.  Names must not collide with payload columns."""
     env = df.select(
         F.from_json(
             F.col(value_col).cast("string"), debezium_schema(payload_schema)
-        ).alias("e")
+        ).alias("e"),
+        *[F.col(c) for c in passthrough],
     )
     image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
         F.col("e.after")
@@ -81,24 +92,48 @@ def parse_debezium(
             | ~F.col("e.op").isin("c", "u", "r", "d")
             | image.isNull()
         ).alias("_corrupt"),
+        *passthrough,
         image.alias("row"),
-    ).select("op", "ts_ms", "is_delete", "_corrupt", "row.*")
+    ).select("op", "ts_ms", "is_delete", "_corrupt", *passthrough, "row.*")
 
 
 def lww_upsert_merger(
-    store: str, key_cols: list[str], ts_col: str = "ts_ms"
+    store: str,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    seq_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callable applying normalized change rows (the
     :func:`parse_debezium` output shape, ``_corrupt`` rows already
     quarantined) to a keyed snapshot with last-writer-wins semantics.
 
     Per key the winning row is the one with the greatest
-    (ts_col, is_delete) — a delete at the same timestamp outranks the
-    paired image row, and tombstones are KEPT in the snapshot so any
-    older re-delivered change loses the window.  ``read_current`` strips
-    tombstones.  The pointer-flip commit protocol matches
+    (ts_col, is_delete[, seq_col]) — a delete at the same timestamp
+    outranks the paired image row, and tombstones are KEPT in the
+    snapshot so any older re-delivered change loses the window.
+    ``seq_col`` (e.g. the Kafka offset passed through parse_debezium)
+    breaks same-ts same-kind ties deterministically; without it two
+    non-delete changes at one ts_ms resolve by incumbent-wins on the
+    replay fast path and arbitrarily in a fresh merge.  ``read_current``
+    strips tombstones.  The pointer-flip commit protocol matches
     streaming/materialized.algebraic_merger; on top of it, LWW makes
-    even a lost marker + re-merge CONVERGENT rather than corrupting."""
+    even a lost marker + re-merge CONVERGENT rather than corrupting.
+
+    Schema evolution: a batch may WIDEN the payload (a new nullable
+    column appearing mid-stream — the most common real CDC event after
+    row changes).  The merge unions by name with missing columns filled
+    as NULL in both directions, so old snapshot rows read NULL for the
+    new column and a re-delivered old-schema batch merges cleanly into
+    an already-widened snapshot.
+
+    Replay fast path: if no delta row strictly beats its incumbent
+    (every change is older-or-tied — the at-least-once re-delivery
+    case), the snapshot is NOT rewritten; the batch costs one keyed
+    join + the commit marker instead of a full window + table write.
+    At 100 TB this is the difference between a no-op MERGE INTO (prunes
+    to matched files) and rewriting the table per duplicate delivery."""
+
+    order_cols = [ts_col, "is_delete"] + ([seq_col] if seq_col else [])
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(store, f"_committed_{batch_id}")
@@ -112,9 +147,34 @@ def lww_upsert_merger(
         spark = batch.sparkSession
         delta = batch.where(~F.col("_corrupt")).drop("_corrupt", "op")
         prev = read_view(spark, store)
-        both = delta if prev is None else prev.unionByName(delta)
+        if prev is not None:
+            # Replay fast path: a delta row WINS iff its key is new or
+            # its (ts, is_delete[, seq]) is lexicographically strictly
+            # greater than the incumbent's.  NULL ts orders last in the
+            # window (desc), and NULL comparisons here yield not-win —
+            # the two paths agree.  Ties lose, so a byte-identical
+            # re-delivered row skips the rewrite (content-equal either
+            # way); only genuinely newer changes pay for a merge.
+            inc = prev.select(
+                *key_cols,
+                *[F.col(c).alias(f"_inc_{c}") for c in order_cols],
+            )
+            win = F.col(f"_inc_{ts_col}").isNull()
+            ties = F.lit(True)
+            for c in order_cols:
+                win = win | (ties & (F.col(c) > F.col(f"_inc_{c}")))
+                ties = ties & (F.col(c) == F.col(f"_inc_{c}"))
+            if delta.join(inc, key_cols, "left").where(win).isEmpty():
+                with open(marker, "w"):
+                    pass
+                return
+        both = (
+            delta
+            if prev is None
+            else prev.unionByName(delta, allowMissingColumns=True)
+        )
         w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(ts_col), F.desc("is_delete")
+            *[F.desc(c) for c in order_cols]
         )
         merged = (
             both.withColumn("_rn", F.row_number().over(w))

@@ -141,3 +141,107 @@ def test_cdc_readstream_end_to_end(spark, tmp_path):
     q.awaitTermination(300)
     got = {(r.k, r.v) for r in C.read_current(spark, store).collect()}
     assert got == {(0, "v0"), (1, "v1"), (2, "v2b"), (3, "v3"), (5, "v5")}
+
+def test_lww_seq_tiebreak_same_ts_updates(spark):
+    """Two non-delete changes at the SAME ts_ms must resolve by the
+    passed-through monotone sequence (Kafka offset / source.lsn), not
+    row_number luck — and a replay of the losing change must no-op."""
+    store = tempfile.mkdtemp(prefix="cdc_test_")
+    try:
+        m = C.lww_upsert_merger(store, ["k"], seq_col="offset")
+        envs = spark.createDataFrame(
+            [
+                ('{"op":"c","ts_ms":10,"after":{"k":1,"v":"first"}}', 100),
+                ('{"op":"u","ts_ms":10,"after":{"k":1,"v":"second"}}', 101),
+            ],
+            "value STRING, offset BIGINT",
+        )
+        b = C.parse_debezium(envs, SCHEMA, passthrough=("offset",))
+        m(b, 0)
+        assert [(r.k, r.v) for r in C.read_current(spark, store).collect()] == [
+            (1, "second")
+        ]
+        lose = C.parse_debezium(
+            spark.createDataFrame(
+                [('{"op":"u","ts_ms":10,"after":{"k":1,"v":"first"}}', 100)],
+                "value STRING, offset BIGINT",
+            ),
+            SCHEMA,
+            passthrough=("offset",),
+        )
+        m(lose, 1)  # same ts, lower offset: fast path must skip the write
+        assert [(r.k, r.v) for r in C.read_current(spark, store).collect()] == [
+            (1, "second")
+        ]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_lww_schema_evolution_widens_and_replays(spark):
+    """A widened payload mid-stream: old snapshot rows read NULL for the
+    new column; an old-schema batch re-delivered AFTER widening merges
+    by name and no-ops; a genuinely newer old-schema change still wins
+    (its row carries NULL for the new column)."""
+    store = tempfile.mkdtemp(prefix="cdc_test_")
+    v2 = SCHEMA + ", extra STRING"
+    try:
+        m = C.lww_upsert_merger(store, ["k"])
+        b0 = C.parse_debezium(
+            _envs(
+                spark,
+                [
+                    ('{"op":"c","ts_ms":10,"after":{"k":1,"v":"a"}}',),
+                    ('{"op":"c","ts_ms":10,"after":{"k":2,"v":"b"}}',),
+                ],
+            ),
+            SCHEMA,
+        )
+        b1 = C.parse_debezium(
+            _envs(
+                spark,
+                [('{"op":"u","ts_ms":20,"after":{"k":1,"v":"a2","extra":"E"}}',)],
+            ),
+            v2,
+        )
+        m(b0, 0)
+        m(b1, 1)  # widens
+        got = {(r.k, r.v, r.extra) for r in C.read_current(spark, store).collect()}
+        assert got == {(1, "a2", "E"), (2, "b", None)}
+        m(b0, 2)  # old-schema replay into widened snapshot: no-op
+        got = {(r.k, r.v, r.extra) for r in C.read_current(spark, store).collect()}
+        assert got == {(1, "a2", "E"), (2, "b", None)}
+        # newer old-schema change beats the widened row; extra -> NULL
+        b3 = C.parse_debezium(
+            _envs(spark, [('{"op":"u","ts_ms":30,"after":{"k":1,"v":"a3"}}',)]),
+            SCHEMA,
+        )
+        m(b3, 3)
+        got = {(r.k, r.v, r.extra) for r in C.read_current(spark, store).collect()}
+        assert got == {(1, "a3", None), (2, "b", None)}
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_lww_replay_fast_path_skips_snapshot_write(spark):
+    """A no-win batch must NOT write a new snapshot (the replay fast
+    path): the pointer stays on the previous version."""
+    import os
+
+    from odni_apache_beam_consumer_spark.streaming.materialized import (
+        latest_version,
+    )
+
+    store = tempfile.mkdtemp(prefix="cdc_test_")
+    try:
+        m = C.lww_upsert_merger(store, ["k"])
+        b0 = C.parse_debezium(
+            _envs(spark, [('{"op":"c","ts_ms":10,"after":{"k":1,"v":"a"}}',)]),
+            SCHEMA,
+        )
+        m(b0, 0)
+        m(b0, 5)  # fresh id, all-tie delta
+        assert latest_version(store) == 0
+        assert not os.path.exists(os.path.join(store, "snapshot_5"))
+        assert os.path.exists(os.path.join(store, "_committed_5"))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
