@@ -643,11 +643,18 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_rounds(words, _BPE_ROUNDS)
 
 
-def bpe_train_rounds(words: DataFrame, n_rounds: int) -> DataFrame:
+def bpe_train_rounds(
+    words: DataFrame, n_rounds: int, merges_out: list | None = None
+) -> DataFrame:
     """The BPE training loop over a (w, freq) vocabulary table — exposed
     separately so tests can drive adversarial vocabularies (repeated-
     symbol runs, overlapping candidates) through the exact production
-    path.  See bpe_train for semantics and scale shape."""
+    path.  See bpe_train for semantics and scale shape.
+
+    ``merges_out`` (a list) collects the learned (a, b) pair per round —
+    one 1-row ``first()`` per round on the already-materialized argmax,
+    metadata-sized — so :func:`bpe_apply_merges` can replay the merge
+    table in priority order (the inference half)."""
     w_pos = Window.partitionBy("w").orderBy("pos")
     s = (
         words.select(
@@ -669,6 +676,9 @@ def bpe_train_rounds(words: DataFrame, n_rounds: int) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if merges_out is not None:
+            t = top.first()
+            merges_out.append((t["a"], t["b"]))
         paug = p.crossJoin(F.broadcast(top))
         cand = (
             paug.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")))
@@ -720,6 +730,226 @@ def bpe_train_rounds(words: DataFrame, n_rounds: int) -> DataFrame:
     for m in metrics[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """BPE INFERENCE: re-segment a (w, freq) vocabulary by replaying a
+    learned merge table in priority order (Sennrich et al.'s apply step)
+    — each rule greedily merges all its occurrences left-to-right before
+    the next rule runs, the same even-offset-island machinery as
+    training but with the (a, b) pair a LITERAL per round, so apply
+    needs no pair counting, no argmax, and no joins at all: per rule one
+    lead() window, one island filter, one re-number — all keyed by word.
+
+    Output: one row per word — ``n_tokens`` and the space-joined
+    ``tokens`` segmentation.
+
+    Scale shape: cost is |vocab| x avg word length rows per rule, fully
+    parallel on the word key and corpus-size-independent (the same
+    BPE-at-scale property as training); real tokenizer deployments apply
+    thousands of rules this way as a map-side loop, then join the
+    segmented vocab back to the corpus by word."""
+    w_pos = Window.partitionBy("w").orderBy("pos")
+    s = (
+        words.select(
+            "w",
+            "freq",
+            F.posexplode(F.split("w", "")).alias("pos0", "sym"),
+        )
+        .select("w", "freq", (F.col("pos0") + 1).cast("long").alias("pos"), "sym")
+        .localCheckpoint(eager=True)
+    )
+    for a, b in merges:
+        p = s.withColumn("nxt", F.lead("sym").over(w_pos))
+        cand = (
+            p.where((F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)))
+            .select("w", "pos")
+            .withColumn("rn", F.row_number().over(w_pos))
+            .withColumn("island", F.col("pos") - F.col("rn"))
+        )
+        valid = (
+            cand.withColumn(
+                "off",
+                F.row_number().over(
+                    Window.partitionBy("w", "island").orderBy("pos")
+                )
+                - 1,
+            )
+            .where(F.col("off") % 2 == 0)
+            .select("w", "pos")
+        )
+        consumed = valid.select("w", (F.col("pos") + 1).alias("pos"))
+        s = (
+            p.join(consumed, ["w", "pos"], "left_anti")
+            .join(valid.withColumn("_st", F.lit(1)), ["w", "pos"], "left")
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(F.col("_st").isNotNull(), F.lit(a + b))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(w_pos).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    return s.groupBy("w", "freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, sym))),"
+            " x -> x.sym), ' ')"
+        ).alias("tokens"),
+    )
+
+
+def _bpe_apply_oracle(n_rounds: int) -> str:
+    """Unrolled SQL: the TRAINING chain (same CTE text as
+    _bpe_train_oracle, which derives top{r} per round over the len>=2
+    vocab) plus an APPLY chain that replays each top{r} pair over the
+    FULL vocabulary with the same even-offset-island greedy merge, then
+    emits per-word (n_tokens, tokens)."""
+    ctes = [
+        """words AS (
+  SELECT w, freq FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    )
+    GROUP BY term
+  ) WHERE len(w) >= 2
+),
+wall AS (
+  SELECT w, freq FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    )
+    GROUP BY term
+  ) WHERE len(w) >= 1
+),
+s0 AS (
+  SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+  FROM words, UNNEST(generate_series(1, len(w))) AS g(i)
+),
+a0 AS (
+  SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+  FROM wall, UNNEST(generate_series(1, len(w))) AS g(i)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT w, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{p}
+),
+top{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+cand{r} AS (
+  SELECT p.w, p.pos,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+  FROM p{r} p, top{r} t
+  WHERE p.sym = t.a AND p.nxt = t.b
+),
+valid{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+           ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
+             AS off
+    FROM cand{r}
+  ) WHERE off % 2 = 0
+),
+s{r} AS (
+  SELECT p.w, p.freq,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
+         CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym
+  FROM p{r} p
+  CROSS JOIN top{r} t
+  LEFT JOIN valid{r} v ON v.w = p.w AND v.pos = p.pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM valid{r} v2 WHERE v2.w = p.w AND v2.pos = p.pos - 1
+  )
+),
+ap{r} AS (
+  SELECT w, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM a{p}
+),
+acand{r} AS (
+  SELECT p.w, p.pos,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
+  FROM ap{r} p, top{r} t
+  WHERE p.sym = t.a AND p.nxt = t.b
+),
+avalid{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+           ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
+             AS off
+    FROM acand{r}
+  ) WHERE off % 2 = 0
+),
+a{r} AS (
+  SELECT p.w, p.freq,
+         ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
+         CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym
+  FROM ap{r} p
+  CROSS JOIN top{r} t
+  LEFT JOIN avalid{r} v ON v.w = p.w AND v.pos = p.pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM avalid{r} v2 WHERE v2.w = p.w AND v2.pos = p.pos - 1
+  )
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w, freq, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       STRING_AGG(sym, ' ' ORDER BY pos) AS tokens
+FROM a{n_rounds}
+GROUP BY w, freq
+"""
+    )
+
+
+@query("bpe_apply", oracle=_bpe_apply_oracle(_BPE_ROUNDS))
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE — the other half of bpe_train: train the
+    merge table ({n} rounds, same argmax-per-round loop), then replay it
+    in priority order over the FULL corpus vocabulary (length-1 words
+    included — they segment to themselves; training only sees len>=2)
+    with :func:`bpe_apply_merges`, emitting each word's token count and
+    segmentation.  Applying the rules in learned priority order
+    reproduces the training segmentation on training words — a
+    train/apply divergence (wrong rule order, non-greedy occurrence
+    handling, a lost island) shifts segmentations and fails the hash;
+    agreement with the plain-Python Sennrich reference apply is asserted
+    in tests/test_retrieval_ops.py.
+
+    Scale shape: training as bpe_train; the merge table crosses the
+    driver as {n} literal pairs (metadata-sized first() per round, the
+    probe-set-literal discipline); apply is join-free — per rule one
+    lead window + island filter + renumber, all keyed by word over the
+    corpus-size-independent vocab segmentation."""
+    docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
+    vocab = (
+        docs.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.length("w") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    bpe_train_rounds(vocab.where(F.length("w") >= 2), _BPE_ROUNDS, merges_out=merges)
+    return bpe_apply_merges(vocab, merges)
 
 
 _MU = 2000  # Dirichlet prior mass (Zhai & Lafferty's recommended range)

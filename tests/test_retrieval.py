@@ -157,3 +157,56 @@ def test_bpe_train_rounds_greedy_overlap_semantics(spark):
         .collect()
     ]
     assert got == _bpe_greedy_reference(vocab, 5)
+
+
+def _bpe_apply_reference(
+    words: list[str], merges: list[tuple[str, str]]
+) -> dict[str, list[str]]:
+    """Plain-Python Sennrich APPLY reference: replay the merge table in
+    priority order, greedy left-to-right fold per rule."""
+    segs = {w: list(w) for w in words}
+    for a, b in merges:
+        for w, syms in segs.items():
+            acc: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    acc.append(a + b)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            segs[w] = acc
+    return segs
+
+
+def test_bpe_apply_merges_matches_reference_on_unseen_words(spark):
+    """The inference half: a merge table learned on one vocab applied to
+    UNSEEN words (runs, overlaps, merged-symbol chains, length-1) must
+    match the plain-Python Sennrich apply exactly — and on the training
+    words it must reproduce the training segmentation."""
+    from odni_apache_beam_consumer_spark.plans.retrieval import (
+        bpe_apply_merges,
+        bpe_train_rounds,
+    )
+
+    train_vocab = {"aaaa": 50, "ababab": 30, "banana": 10, "bb": 5}
+    train_words = spark.createDataFrame(
+        list(train_vocab.items()), "w STRING, freq BIGINT"
+    )
+    merges: list[tuple[str, str]] = []
+    bpe_train_rounds(train_words, 4, merges_out=merges)
+    assert len(merges) == 4
+
+    unseen = ["aaaaaaa", "abba", "nanaba", "a", "cacaca", "baaab"]
+    apply_words = spark.createDataFrame(
+        [(w, 1) for w in [*train_vocab, *unseen]], "w STRING, freq BIGINT"
+    )
+    got = {
+        r.w: (r.n_tokens, r.tokens)
+        for r in bpe_apply_merges(apply_words, merges).collect()
+    }
+    ref = _bpe_apply_reference([*train_vocab, *unseen], merges)
+    assert got == {
+        w: (len(syms), " ".join(syms)) for w, syms in ref.items()
+    }
