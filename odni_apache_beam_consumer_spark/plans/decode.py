@@ -62,6 +62,13 @@ def binary_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Protobuf body needs, and it runs as pure Catalyst expressions —
     whole-stage-codegen'd, no Python in the loop.
 
+    NONNEGATIVE-FIELD ASSUMPTION: ``conv(hex(x), 16, 10)`` reads the
+    bytes UNSIGNED, so a negative two's-complement value would not
+    round-trip (its decimal string exceeds BIGINT and the cast nulls).
+    The fields here (ids, prices in cents) are nonnegative by schema;
+    for signed fields use the zigzag-varint path
+    (:func:`avro_binary_decode`), which carries the sign in bit 0.
+
     Scale shape: encode and decode are both map-side expression chains
     (zero shuffles); the only exchange is the final small hash agg on
     event_type.  On a real Kafka read the decode happens per micro-batch
@@ -398,3 +405,121 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(store, ignore_errors=True)
+
+def _avro_varint_hex(v_expr: str) -> str:
+    """SQL expression: the Avro binary (zigzag + varint) encoding of a
+    signed BIGINT expression, as a hex string.  ZigZag maps the sign
+    into bit 0 (v>=0 -> 2v, v<0 -> -2v-1); the varint emits the result
+    little-endian in 7-bit groups with a continuation MSB on every
+    group but the last — the exact on-wire layout of an Avro ``long``
+    (and of a string's length prefix)."""
+    z = f"(CASE WHEN ({v_expr}) >= 0 THEN 2 * ({v_expr}) ELSE -2 * ({v_expr}) - 1 END)"
+    n = f"greatest(1, size(filter(sequence(0, 9), i -> shiftright({z}, 7 * i) > 0)))"
+    return (
+        f"array_join(transform(sequence(0, {n} - 1), i -> "
+        f"lpad(hex((shiftright({z}, 7 * i) & 127) + IF(i < {n} - 1, 128, 0)), "
+        f"2, '0')), '')"
+    )
+
+
+def _avro_byte(pos_expr: str) -> str:
+    return f"CAST(conv(hex(substring(value, CAST({pos_expr} AS INT), 1)), 16, 10) AS BIGINT)"
+
+
+def _avro_varint_len(pos_expr: str) -> str:
+    """SQL expression: byte length of the varint starting at pos —
+    1-based index of the first group without a continuation bit."""
+    return (
+        f"array_position(transform(sequence(0, 9), i -> "
+        f"{_avro_byte(f'({pos_expr}) + i')} < 128), true)"
+    )
+
+
+def _avro_varint_val(pos_expr: str, len_expr: str) -> str:
+    """SQL expression: the SIGNED value of the varint at pos with the
+    given byte length — 7-bit little-endian reassembly, then zigzag
+    decode (even -> z/2, odd -> -(z+1)/2)."""
+    z = (
+        f"aggregate(sequence(0, CAST({len_expr} AS INT) - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + shiftleft({_avro_byte(f'({pos_expr}) + i')} & 127, 7 * i))"
+    )
+    return f"(CASE WHEN {z} % 2 = 0 THEN {z} DIV 2 ELSE -((({z}) + 1) DIV 2) END)"
+
+
+@query(
+    "avro_binary_decode",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) - 5000) AS BIGINT)
+         AS total_delta_cents,
+       CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT) - 5000) AS BIGINT)
+         AS min_delta_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL wire format decoded without jars: each events row is
+    serialized as the Avro BINARY body of the record
+    ``{event_id: long, delta_cents: long, event_type: string}`` —
+    zigzag+varint longs and a varint-length-prefixed UTF-8 string, the
+    byte-for-byte layout ``avro-tools tojson`` expects — then decoded
+    back with pure Catalyst expressions (substring/conv/shift/
+    higher-order aggregate) tracking the VARIABLE field offsets, and
+    aggregated from the decoded columns only.  ``delta_cents`` is
+    negative for ~63% of rows, so the zigzag sign bit is exercised both
+    ways (a sign bug flips those values and the hash); multi-byte
+    varints are exercised by event_ids up to 3 groups.  The oracle
+    recomputes the aggregate from the raw table, so the hash match
+    proves the encode->decode round trip lossless — this is the
+    driver-checkable stand-in the jar-gated schema-registry decoders
+    (sources/kafka.py decode_avro_value) lacked.
+
+    Scale shape: encode and decode are both map-side expression chains
+    inside whole-stage codegen (zero shuffles, no Python); the only
+    exchange is the final small hash agg on event_type.  On a real
+    Kafka topic this decode runs per micro-batch at the consumer's
+    partition parallelism, composed under strip_confluent_header."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 5000).alias("delta_cents"),
+        "event_type",
+    )
+    wire = e.select(
+        F.expr(
+            "unhex(concat("
+            + _avro_varint_hex("event_id")
+            + ", "
+            + _avro_varint_hex("delta_cents")
+            + ", "
+            + _avro_varint_hex("length(event_type)")
+            + ", hex(CAST(event_type AS BINARY))))"
+        ).alias("value")
+    )
+    d = (
+        wire.withColumn("l1", F.expr(_avro_varint_len("1")))
+        .withColumn("event_id", F.expr(_avro_varint_val("1", "l1")))
+        .withColumn("p2", F.col("l1") + 1)
+        .withColumn("l2", F.expr(_avro_varint_len("p2")))
+        .withColumn("delta_cents", F.expr(_avro_varint_val("p2", "l2")))
+        .withColumn("p3", F.col("p2") + F.col("l2"))
+        .withColumn("l3", F.expr(_avro_varint_len("p3")))
+        .withColumn("slen", F.expr(_avro_varint_val("p3", "l3")))
+        .withColumn(
+            "event_type",
+            F.expr(
+                "CAST(substring(value, CAST(p3 + l3 AS INT), "
+                "CAST(slen AS INT)) AS STRING)"
+            ),
+        )
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("delta_cents").cast("long").alias("total_delta_cents"),
+        F.min("delta_cents").cast("long").alias("min_delta_cents"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )

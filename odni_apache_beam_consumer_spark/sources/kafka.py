@@ -152,6 +152,24 @@ def decode_json_value(df: DataFrame, schema: str) -> DataFrame:
     ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
 
 
+def _is_missing_jar_error(e: Exception) -> bool:
+    """Distinguish a missing spark-avro/spark-protobuf artifact from a
+    genuine analysis failure (malformed schema JSON, wrong column
+    types): only the former should be reworded into the --packages
+    hint — rewording everything buries real errors behind a misleading
+    missing-jar message when the jar IS present."""
+    text = f"{type(e).__name__}: {e}"
+    markers = (
+        "ClassNotFoundException",
+        "NoClassDefFoundError",
+        "Failed to find data source",
+        "AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
+        "PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
+        "CANNOT_LOAD_PROTOBUF_CLASS",
+    )
+    return any(m in text for m in markers)
+
+
 def decode_avro_value(
     df: DataFrame, avro_schema_json: str, options: dict[str, str] | None = None
 ) -> DataFrame:
@@ -187,6 +205,8 @@ def decode_avro_value(
         out.schema  # force analysis so a missing jar surfaces HERE
         return out
     except Exception as e:
+        if not _is_missing_jar_error(e):
+            raise  # genuine analysis error (bad schema JSON, wrong types)
         raise RuntimeError(
             "from_avro requires the spark-avro jar; launch with "
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
@@ -226,6 +246,8 @@ def decode_protobuf_value(
     except RuntimeError:
         raise
     except Exception as e:
+        if not _is_missing_jar_error(e):
+            raise  # genuine analysis error, not a packaging problem
         raise RuntimeError(
             "from_protobuf requires the spark-protobuf jar; launch with "
             "--packages org.apache.spark:spark-protobuf_2.13:<spark-version>"

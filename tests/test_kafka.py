@@ -113,13 +113,26 @@ def test_decode_avro_value_jar_gated(spark):
 
 
 def test_decode_protobuf_value_jar_gated(spark):
+    """Java-class form (no driver-side descriptor read) exercises the
+    jar gate: absent the jar the failure names the --packages fix."""
     df = _kafka_shaped(spark, [b"\x00"])
     try:
-        out = K.decode_protobuf_value(df, "M", "/nonexistent.desc")
+        out = K.decode_protobuf_value(df, "com.example.M", None)
     except RuntimeError as e:
         assert "spark-protobuf" in str(e)
     else:
         assert out is not None
+
+
+def test_decode_protobuf_genuine_error_not_reworded(spark):
+    """A wrong descriptor PATH is a user error, not a packaging problem:
+    it must surface as FileNotFoundError, never the misleading
+    missing-jar hint (jar-present analysis errors take the same path)."""
+    import pytest
+
+    df = _kafka_shaped(spark, [b"\x00"])
+    with pytest.raises(FileNotFoundError):
+        K.decode_protobuf_value(df, "M", "/nonexistent.desc")
 
 
 def test_strip_confluent_header_slices_exact_bytes(spark):
