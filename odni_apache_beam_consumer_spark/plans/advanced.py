@@ -268,6 +268,15 @@ def order_lines_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sketches
 # ---------------------------------------------------------------------------
+#
+# NOTE on the within_5pct oracles below (approx_distinct_users,
+# hll_sketch_store): at rsd=0.02 the 5% bound is a ~2.5-sigma
+# PROBABILISTIC envelope, not a guarantee — the TRUE literal is pinned
+# EMPIRICALLY for the committed fixtures (every sf dir, every group).
+# A new scale factor, seed, or a change to Spark's HLL implementation
+# can legitimately flip the flag on correct behavior; if that happens,
+# widen the envelope toward 3x rsd (or re-pin against the new fixtures)
+# rather than suspecting the sketch plumbing first.
 
 
 @query(

@@ -110,21 +110,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: doc lengths and term frequencies are two hash
     aggregations over the token stream (map-side combined); the dlen
-    table is PERSISTED because both the per-doc score join and the 1-row
-    corpus-stats aggregate consume it — without the persist each reader
-    re-runs the full token-stream aggregation, doubling corpus passes
-    (caches live until the session's next clearCache; bench.py clears
-    between queries).  The df and corpus-stats tables are probe-sized /
-    1-row and broadcast; top-50 runs as TakeOrderedAndProject
-    (per-partition heaps, no global sort).  At 100 TB the probe-term IN
-    filter prunes the tf build to a sliver of the (doc, term) space
-    before anything shuffles."""
+    table is materialized ONCE (eager localCheckpoint) because both the
+    per-doc score join and the 1-row corpus-stats aggregate consume it —
+    without it each reader re-runs the full token-stream aggregation,
+    doubling corpus passes.  localCheckpoint (not persist) so the block
+    self-drains via the ContextCleaner once the plan is released instead
+    of pinning cache in a shared session.  The df and corpus-stats
+    tables are probe-sized / 1-row and broadcast; top-50 runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort).  At
+    100 TB the probe-term IN filter prunes the tf build to a sliver of
+    the (doc, term) space before anything shuffles."""
     toks = (
         with_tokens(spread(load_table(spark, sf_dir, "documents")))
         .select("doc_id", F.explode("tk").alias("term"))
     )
     dlen = (
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
     )
     stats = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
@@ -1014,7 +1017,10 @@ def dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline bm25_topk proved driver-green.
 
     Scale shape: same two token-stream hash aggs as BM25 (dlen
-    persisted — consumed by the grid and the 1-row corpus stat);
+    materialized ONCE via eager localCheckpoint — consumed by the grid
+    and the 1-row corpus stat; unlike persist(), the checkpoint block
+    self-drains through the ContextCleaner when the plan is released,
+    so a shared session doesn't accumulate cached blocks per call);
     the doc x query-term grid is a broadcast nested-loop of the
     PROBE-SIZED ctf table against dlen — |D| x |q| rows, the inherent
     LM-scoring cost — with tf LEFT-joined in; top-50 is
@@ -1023,7 +1029,11 @@ def dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tokens(spread(load_table(spark, sf_dir, "documents")))
         .select("doc_id", F.explode("tk").alias("term"))
     )
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl")).persist()
+    dlen = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     stats = dlen.agg(F.sum("dl").cast("long").alias("clen"))
     probe = toks.where(F.col("term").isin(*_PROBE_TERMS))
     ctf = probe.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ctf"))
