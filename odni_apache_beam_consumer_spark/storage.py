@@ -244,3 +244,151 @@ def delete_keys_partitioned(
         "partitions_rewritten": sorted(str(p) for p in affected),
         "rows_deleted": n_before - n_after,
     }
+
+# -- compaction EXECUTION (the OPTIMIZE half of small_file_compaction_plan) --
+
+_COMPACT_MANIFEST = ".compact_manifest.json"
+_COMPACT_TMP = ".compact_tmp"
+
+
+def _nfd_bins(files: list[tuple[str, int]], target_bytes: int) -> list[list[str]]:
+    """Next-fit-decreasing bin assignment — the EXACT rule
+    plans/maintenance.small_file_compaction_plan computes as a DataFrame
+    (bin_id = cumulative_bytes_before DIV target over the
+    (bytes DESC, name) order), so the executed rewrite matches the
+    published plan file for file."""
+    ordered = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    bins: dict[int, list[str]] = {}
+    before = 0
+    for name, size in ordered:
+        bins.setdefault(before // target_bytes, []).append(name)
+        before += size
+    return [bins[b] for b in sorted(bins)]
+
+
+def _complete_compaction(part_dir: str) -> bool:
+    """Finish (or replay) a partition's compaction swap from its
+    manifest — the crash-recovery half.  The manifest is the commit
+    record: it lists the OLD fragment files and the NEW compacted files
+    (already fully written under .compact_tmp/ before the manifest was
+    published via tmp-write + atomic rename).  Completion moves news in
+    FIRST, then deletes olds, then removes the manifest — so a crash at
+    any point loses nothing: every datum is in an old file, a new file,
+    or both, and a re-run converges by replaying this function.
+    Returns True if a manifest was found and completed."""
+    import json
+
+    mpath = os.path.join(part_dir, _COMPACT_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        m = json.load(f)
+    tmp = os.path.join(part_dir, _COMPACT_TMP)
+    for new in m["new"]:
+        src = os.path.join(tmp, new)
+        dst = os.path.join(part_dir, new)
+        if os.path.exists(src):
+            os.replace(src, dst)  # atomic; replays overwrite identically
+    for old in m["old"]:
+        try:
+            os.remove(os.path.join(part_dir, old))
+        except FileNotFoundError:
+            pass  # already removed by a previous (crashed) completion
+    os.remove(mpath)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Execute OPTIMIZE on a hive-partitioned parquet table: inside each
+    partition, group data files into target-sized bins (next-fit
+    decreasing — the same assignment small_file_compaction_plan
+    publishes) and rewrite every multi-file bin as ONE file.  Partitions
+    whose bins are all single-file are never read, written, or touched —
+    their files stay byte-identical, the delete_keys_partitioned
+    discipline applied to maintenance.
+
+    Crash-safe and idempotent per partition, the txtable commit shape on
+    plain files: new files are fully written under a hidden
+    ``.compact_tmp/`` dir (underscore/dot names are invisible to Spark
+    readers), then a manifest naming old + new files is published
+    atomically (tmp write + rename) — the commit point — then news move
+    in, olds are deleted, and the manifest is removed.  A crash before
+    the manifest leaves only invisible temp debris (re-run restarts the
+    partition); a crash after it is completed by the next run via
+    :func:`_complete_compaction`.  Like vacuum, must not run
+    concurrently with readers of the SAME partition (the post-commit
+    swap window can briefly double-expose a bin's rows).
+
+    Scale shape: the file listing and bin plan are metadata-sized
+    (driver-side, one entry per FILE); each bin rewrite reads only its
+    own fragments and writes one file, so a run costs exactly the bytes
+    in multi-file bins — never a full-table rewrite; partitions
+    compact independently (a real service fans them out as tasks).
+    Returns {"partitions_compacted": [...], "files_before": n,
+    "files_after": n, "recovered": [...]}."""
+    import json
+    import shutil
+    import uuid
+
+    results = {
+        "partitions_compacted": [],
+        "files_before": 0,
+        "files_after": 0,
+        "recovered": [],
+    }
+    for d in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, d)
+        if not (os.path.isdir(part_dir) and d.startswith(partition_col + "=")):
+            continue
+        if _complete_compaction(part_dir):
+            results["recovered"].append(d)
+        shutil.rmtree(os.path.join(part_dir, _COMPACT_TMP), ignore_errors=True)
+        files = [
+            (f, os.path.getsize(os.path.join(part_dir, f)))
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        results["files_before"] += len(files)
+        bins = _nfd_bins(files, target_bytes)
+        multi = [b for b in bins if len(b) > 1]
+        if not multi:
+            results["files_after"] += len(files)
+            continue  # untouched: never read, never rewritten
+        tmp = os.path.join(part_dir, _COMPACT_TMP)
+        os.makedirs(tmp)
+        old_names: list[str] = []
+        new_names: list[str] = []
+        for b in multi:
+            out = os.path.join(tmp, f"stage-{uuid.uuid4().hex}")
+            (
+                spark.read.parquet(*[os.path.join(part_dir, f) for f in b])
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            part_file = next(
+                f for f in os.listdir(out) if f.endswith(".parquet")
+            )
+            new = f"compacted-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(out, part_file), os.path.join(tmp, new))
+            shutil.rmtree(out, ignore_errors=True)
+            old_names.extend(b)
+            new_names.append(new)
+        mtmp = os.path.join(part_dir, _COMPACT_MANIFEST + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump({"old": old_names, "new": new_names}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, os.path.join(part_dir, _COMPACT_MANIFEST))  # commit
+        _complete_compaction(part_dir)
+        results["partitions_compacted"].append(d)
+        results["files_after"] += len(files) - len(old_names) + len(new_names)
+    return results

@@ -102,3 +102,116 @@ def test_zorder_beats_single_column_sort_on_second_dim(spark, sf_dir):
     z_qb_span = sum(r.qb_max - r.qb_min + 1 for r in rows)
     single_sort_span = 16 * len(rows)  # qa-sorted files span all of qb
     assert z_qb_span * 2 <= single_sort_span, (z_qb_span, single_sort_span)
+
+
+def _fragmented_table(spark, base: str) -> str:
+    """Hive-partitioned events table with one deliberately fragmented
+    partition (8 tiny files) and one healthy partition (1 file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(base, "tbl")
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.when(F.col("id") < 400, "a").otherwise("b").alias("p"),
+    )
+    df.where("p = 'a'").repartition(8).write.partitionBy("p").parquet(path)
+    df.where("p = 'b'").coalesce(1).write.mode("append").partitionBy("p").parquet(
+        path
+    )
+    return path
+
+
+def _data_files(part_dir: str) -> dict[str, bytes]:
+    import os
+
+    return {
+        f: open(os.path.join(part_dir, f), "rb").read()
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+
+
+def test_compact_partitions_executes_the_plan(spark, tmp_path):
+    """OPTIMIZE executed: table content byte-identical (same rows), the
+    fragmented partition collapses to fewer files, and the healthy
+    partition's files are untouched byte for byte."""
+    import os
+
+    from odni_apache_beam_consumer_spark.storage import compact_partitions
+
+    path = _fragmented_table(spark, str(tmp_path))
+    before = sorted(
+        (r.k, r.v, r.p) for r in spark.read.parquet(path).collect()
+    )
+    b_files_before = _data_files(os.path.join(path, "p=b"))
+    a_before = len(_data_files(os.path.join(path, "p=a")))
+
+    res = compact_partitions(spark, path, "p", target_bytes=64 * 1024 * 1024)
+
+    after = sorted((r.k, r.v, r.p) for r in spark.read.parquet(path).collect())
+    assert after == before, "compaction changed table content"
+    assert res["partitions_compacted"] == ["p=a"]
+    a_after = len(_data_files(os.path.join(path, "p=a")))
+    assert a_after < a_before and a_after == 1, (a_before, a_after)
+    assert _data_files(os.path.join(path, "p=b")) == b_files_before, (
+        "untouched partition was rewritten"
+    )
+    # idempotent: a second run is a structural no-op
+    res2 = compact_partitions(spark, path, "p", target_bytes=64 * 1024 * 1024)
+    assert res2["partitions_compacted"] == []
+    assert sorted(
+        (r.k, r.v, r.p) for r in spark.read.parquet(path).collect()
+    ) == before
+
+
+def test_compact_partitions_recovers_from_crash_after_commit(spark, tmp_path):
+    """Crash INJECTED between manifest publish and swap: the new files
+    sit in .compact_tmp, olds still live.  The next run must complete
+    the swap from the manifest and converge to the same content."""
+    import json
+    import os
+    import shutil
+
+    from odni_apache_beam_consumer_spark.storage import (
+        _COMPACT_MANIFEST,
+        _COMPACT_TMP,
+        compact_partitions,
+    )
+
+    path = _fragmented_table(spark, str(tmp_path))
+    before = sorted(
+        (r.k, r.v, r.p) for r in spark.read.parquet(path).collect()
+    )
+    part_dir = os.path.join(path, "p=a")
+    olds = sorted(_data_files(part_dir))
+    # Build the committed-but-unswapped state by hand: one compacted
+    # file in tmp + a published manifest (exactly what a crash right
+    # after the os.replace commit leaves behind).
+    tmp = os.path.join(part_dir, _COMPACT_TMP)
+    stage = os.path.join(tmp, "stage")
+    (
+        spark.read.parquet(*[os.path.join(part_dir, f) for f in olds])
+        .coalesce(1)
+        .write.parquet(stage)
+    )
+    part_file = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(
+        os.path.join(stage, part_file), os.path.join(tmp, "compacted-x.parquet")
+    )
+    shutil.rmtree(stage)
+    with open(os.path.join(part_dir, _COMPACT_MANIFEST), "w") as f:
+        json.dump({"old": olds, "new": ["compacted-x.parquet"]}, f)
+
+    res = compact_partitions(spark, path, "p", target_bytes=64 * 1024 * 1024)
+    assert res["recovered"] == ["p=a"]
+    after = sorted((r.k, r.v, r.p) for r in spark.read.parquet(path).collect())
+    assert after == before
+    files = _data_files(part_dir)
+    assert list(files) == ["compacted-x.parquet"]
+    assert not os.path.exists(os.path.join(part_dir, _COMPACT_MANIFEST))
+    # replaying recovery mid-way is also safe: manifest gone -> no-op
+    res2 = compact_partitions(spark, path, "p", target_bytes=64 * 1024 * 1024)
+    assert res2["recovered"] == [] and res2["partitions_compacted"] == []
