@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.catalog import load_table, spread
 from odni_apache_beam_consumer_spark.plans.registry import query
 
 
@@ -208,7 +208,9 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odni_apache_beam_consumer_spark.streaming import cdc as C
 
     payload_schema = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
-    o = load_table(spark, sf_dir, "orders").select(
+    # spread: the orders fixture scans as ONE split, which would run the
+    # JSON encode+parse single-task (the dominant cost here); see catalog.spread.
+    o = spread(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
@@ -283,8 +285,11 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         merger = C.lww_upsert_merger(store, ["o_orderkey"])
+        # Materialize each parsed batch ONCE (a real foreachBatch hands
+        # the merger an already-materialized micro-batch); without this
+        # every merge and replay re-runs the ~1s encode+parse pipeline.
         batches = [
-            C.parse_debezium(b, payload_schema)
+            C.parse_debezium(b, payload_schema).localCheckpoint(eager=True)
             for b in (creates.unionByName(bad), updates, deletes)
         ]
         merger(batches[0], 0)
@@ -346,7 +351,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v1 = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
     v2 = v1 + ", priority STRING"
-    o = load_table(spark, sf_dir, "orders").select(
+    o = spread(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderstatus",
         "o_orderpriority",
@@ -392,8 +397,9 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         merger = C.lww_upsert_merger(store, ["o_orderkey"])
-        b_v1 = C.parse_debezium(creates_v1, v1)
-        b_v2 = C.parse_debezium(updates_v2, v2)
+        # one materialization per parsed batch (micro-batch semantics)
+        b_v1 = C.parse_debezium(creates_v1, v1).localCheckpoint(eager=True)
+        b_v2 = C.parse_debezium(updates_v2, v2).localCheckpoint(eager=True)
         merger(b_v1, 0)
         merger(b_v2, 1)  # widens the snapshot mid-stream
         merger(b_v1, 2)  # old-schema replay into the widened snapshot

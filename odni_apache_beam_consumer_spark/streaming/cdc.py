@@ -126,12 +126,15 @@ def lww_upsert_merger(
     new column and a re-delivered old-schema batch merges cleanly into
     an already-widened snapshot.
 
-    Replay fast path: if no delta row strictly beats its incumbent
-    (every change is older-or-tied — the at-least-once re-delivery
-    case), the snapshot is NOT rewritten; the batch costs one keyed
-    join + the commit marker instead of a full window + table write.
-    At 100 TB this is the difference between a no-op MERGE INTO (prunes
-    to matched files) and rewriting the table per duplicate delivery."""
+    Replay fast path: the merge window tags each row's provenance
+    (incumbent vs delta) and prefers the INCUMBENT on full-rank ties, so
+    "nothing changed" falls out of the merge itself — zero delta rows
+    among the winners means the merged state IS the previous snapshot,
+    and the write is skipped (the batch costs one merge pass into local
+    checkpoint blocks, never a table rewrite).  At 100 TB this is the
+    difference between a no-op MERGE INTO and rewriting the table per
+    duplicate delivery — and unlike a separate winner-check join, the
+    decision rides the merge pass that a winning batch needs anyway."""
 
     order_cols = [ts_col, "is_delete"] + ([seq_col] if seq_col else [])
 
@@ -147,42 +150,31 @@ def lww_upsert_merger(
         spark = batch.sparkSession
         delta = batch.where(~F.col("_corrupt")).drop("_corrupt", "op")
         prev = read_view(spark, store)
-        if prev is not None:
-            # Replay fast path: a delta row WINS iff its key is new or
-            # its (ts, is_delete[, seq]) is lexicographically strictly
-            # greater than the incumbent's.  NULL ts orders last in the
-            # window (desc), and NULL comparisons here yield not-win —
-            # the two paths agree.  Ties lose, so a byte-identical
-            # re-delivered row skips the rewrite (content-equal either
-            # way); only genuinely newer changes pay for a merge.
-            inc = prev.select(
-                *key_cols,
-                *[F.col(c).alias(f"_inc_{c}") for c in order_cols],
-            )
-            win = F.col(f"_inc_{ts_col}").isNull()
-            ties = F.lit(True)
-            for c in order_cols:
-                win = win | (ties & (F.col(c) > F.col(f"_inc_{c}")))
-                ties = ties & (F.col(c) == F.col(f"_inc_{c}"))
-            if delta.join(inc, key_cols, "left").where(win).isEmpty():
-                with open(marker, "w"):
-                    pass
-                return
         both = (
-            delta
+            delta.withColumn("_src", F.lit(1))
             if prev is None
-            else prev.unionByName(delta, allowMissingColumns=True)
+            else prev.withColumn("_src", F.lit(0)).unionByName(
+                delta.withColumn("_src", F.lit(1)), allowMissingColumns=True
+            )
         )
+        # asc(_src) last: on a full (ts, is_delete[, seq]) tie the
+        # incumbent wins — deterministic, and it makes _src==1 among the
+        # winners EXACTLY "this batch changed the state".
         w = Window.partitionBy(*key_cols).orderBy(
-            *[F.desc(c) for c in order_cols]
+            *[F.desc(c) for c in order_cols], F.asc("_src")
         )
         merged = (
             both.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
+            .localCheckpoint(eager=True)  # one merge pass, reused below
         )
+        if prev is not None and merged.where(F.col("_src") == 1).isEmpty():
+            with open(marker, "w"):
+                pass
+            return
         out_path = os.path.join(store, f"snapshot_{batch_id}")
-        merged.write.mode("overwrite").parquet(out_path)
+        merged.drop("_src").write.mode("overwrite").parquet(out_path)
         tmp = os.path.join(store, f"._latest_{batch_id}")
         with open(tmp, "w") as fh:
             fh.write(str(batch_id))
