@@ -812,19 +812,34 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT i - 1 AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
-       ROUND(STDDEV_SAMP(CAST(embedding[i] AS DOUBLE)), 4) AS std,
-       ROUND(MIN(CAST(embedding[i] AS DOUBLE)), 4) AS lo,
-       ROUND(MAX(CAST(embedding[i] AS DOUBLE)), 4) AS hi
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+         AS BIGINT) AS sum_e4,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                * CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+         AS BIGINT) AS sumsq_e8,
+       CAST(MIN(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+         AS BIGINT) AS lo_e4,
+       CAST(MAX(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+         AS BIGINT) AS hi_e4
 FROM embeddings, UNNEST(range(1, 65)) AS u(i)
 GROUP BY i
 """,
 )
 def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension embedding distribution audit (n/mean/std/min/max for
-    each of the 64 components) — the fingerprint compared across corpus
-    snapshots or encoder versions to catch embedding drift before it
-    poisons ANN recall or dedup thresholds.
+    """Per-dimension embedding distribution audit (count / sum / sum of
+    squares / min / max of each of the 64 components, in exact integer
+    e4 units) — the fingerprint compared across corpus snapshots or
+    encoder versions to catch embedding drift before it poisons ANN
+    recall or dedup thresholds.  Mean and std derive downstream from
+    (n, sum_e4, sumsq_e8) — the mergeable sufficient statistics.
+
+    Integer units, not ROUND-on-double: the original ROUND(AVG) form
+    passed sf0.01 for five rounds, then the first sf0.1 sweep after it
+    was added caught DuckDB emitting -0.0 on two near-zero means where
+    Spark emits +0.0 (hash-distinct, tolerance-invisible) — exactly the
+    embedding_gram_matrix r4 divergence class.  Per-row FLOOR(x*1e4)
+    floors identically on both engines, and integer SUM/MIN/MAX are
+    order-independent with no -0.0.
 
     Scale shape: posexplode fans each vector into 64 (dim, value) rows
     map-side, then ONE hash aggregate with 64 groups — partial
@@ -835,15 +850,18 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         F.posexplode("embedding").alias("dim", "x")
-    ).select("dim", F.col("x").cast("double").alias("x"))
+    ).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 10000).cast("long").alias("x_e4"),
+    )
     return (
         exploded.groupBy("dim")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("x"), 4).alias("mean"),
-            F.round(F.stddev_samp("x"), 4).alias("std"),
-            F.round(F.min("x"), 4).alias("lo"),
-            F.round(F.max("x"), 4).alias("hi"),
+            F.sum("x_e4").cast("long").alias("sum_e4"),
+            F.sum(F.col("x_e4") * F.col("x_e4")).cast("long").alias("sumsq_e8"),
+            F.min("x_e4").cast("long").alias("lo_e4"),
+            F.max("x_e4").cast("long").alias("hi_e4"),
         )
     )
 
