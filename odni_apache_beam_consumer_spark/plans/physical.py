@@ -187,7 +187,11 @@ def quantile_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     across languages, and within a group the sort is the unavoidable
     cost of exact ranks (an approx-percentile binning variant trades
     that for a two-pass histogram at extreme group sizes —
-    quantile_binning next door is exactly that path)."""
+    quantile_binning next door is exactly that path).  ``rk`` is cast
+    to BIGINT before the ppm multiply: row_number() is INT, and
+    (rk-1)*1e6 overflows int32 for any group past ~2147 rows — caught
+    by the 10x synthetic sweep (ANSI ARITHMETIC_OVERFLOW at ~20k-row
+    groups), invisible at every committed sf."""
     w_rank = Window.partitionBy("lang").orderBy(
         F.asc("n_chars"), F.asc("doc_id")
     )
@@ -202,9 +206,9 @@ def quantile_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_chars",
-            F.expr("CAST((rk - 1) * 1000000 DIV (n - 1) AS BIGINT)").alias(
-                "quantile_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(rk AS BIGINT) - 1) * 1000000 DIV (n - 1) AS BIGINT)"
+            ).alias("quantile_ppm"),
         )
     )
 

@@ -308,7 +308,7 @@ def postings_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bpe_merge_step",
     oracle="""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (
     SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
@@ -544,7 +544,7 @@ def _bpe_train_oracle(n_rounds: int) -> str:
     symbol, where greedy keeps every other match — expressed as islands
     of consecutive match positions keeping even offsets."""
     ctes = [
-        """words AS (
+        """words AS MATERIALIZED (
   SELECT w, freq FROM (
     SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
@@ -553,7 +553,7 @@ def _bpe_train_oracle(n_rounds: int) -> str:
     GROUP BY term
   ) WHERE len(w) >= 2
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
   FROM words, UNNEST(generate_series(1, len(w))) AS g(i)
 )"""
@@ -561,24 +561,24 @@ s0 AS (
     for r in range(1, n_rounds + 1):
         p = r - 1
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT w, freq, pos, sym,
          LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
   FROM s{p}
 ),
-top{r} AS (
+top{r} AS MATERIALIZED (
   SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM p{r} WHERE nxt IS NOT NULL
   GROUP BY 1, 2
   ORDER BY cnt DESC, a, b LIMIT 1
 ),
-cand{r} AS (
+cand{r} AS MATERIALIZED (
   SELECT p.w, p.pos,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
   FROM p{r} p, top{r} t
   WHERE p.sym = t.a AND p.nxt = t.b
 ),
-valid{r} AS (
+valid{r} AS MATERIALIZED (
   SELECT w, pos FROM (
     SELECT w, pos,
            ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
@@ -586,7 +586,7 @@ valid{r} AS (
     FROM cand{r}
   ) WHERE off % 2 = 0
 ),
-s{r} AS (
+s{r} AS MATERIALIZED (
   SELECT p.w, p.freq,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
          CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym
@@ -597,7 +597,7 @@ s{r} AS (
     SELECT 1 FROM valid{r} v2 WHERE v2.w = p.w AND v2.pos = p.pos - 1
   )
 ),
-m{r} AS (
+m{r} AS MATERIALIZED (
   SELECT CAST({r} AS BIGINT) AS round, t.a || t.b AS merged,
          t.cnt AS pair_count,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS vocab_symbols
@@ -814,7 +814,7 @@ def _bpe_apply_oracle(n_rounds: int) -> str:
     FULL vocabulary with the same even-offset-island greedy merge, then
     emits per-word (n_tokens, tokens)."""
     ctes = [
-        """words AS (
+        """words AS MATERIALIZED (
   SELECT w, freq FROM (
     SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
@@ -823,7 +823,7 @@ def _bpe_apply_oracle(n_rounds: int) -> str:
     GROUP BY term
   ) WHERE len(w) >= 2
 ),
-wall AS (
+wall AS MATERIALIZED (
   SELECT w, freq FROM (
     SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
@@ -832,11 +832,11 @@ wall AS (
     GROUP BY term
   ) WHERE len(w) >= 1
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
   FROM words, UNNEST(generate_series(1, len(w))) AS g(i)
 ),
-a0 AS (
+a0 AS MATERIALIZED (
   SELECT w, freq, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
   FROM wall, UNNEST(generate_series(1, len(w))) AS g(i)
 )"""
@@ -844,24 +844,24 @@ a0 AS (
     for r in range(1, n_rounds + 1):
         p = r - 1
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT w, freq, pos, sym,
          LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
   FROM s{p}
 ),
-top{r} AS (
+top{r} AS MATERIALIZED (
   SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM p{r} WHERE nxt IS NOT NULL
   GROUP BY 1, 2
   ORDER BY cnt DESC, a, b LIMIT 1
 ),
-cand{r} AS (
+cand{r} AS MATERIALIZED (
   SELECT p.w, p.pos,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
   FROM p{r} p, top{r} t
   WHERE p.sym = t.a AND p.nxt = t.b
 ),
-valid{r} AS (
+valid{r} AS MATERIALIZED (
   SELECT w, pos FROM (
     SELECT w, pos,
            ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
@@ -869,7 +869,7 @@ valid{r} AS (
     FROM cand{r}
   ) WHERE off % 2 = 0
 ),
-s{r} AS (
+s{r} AS MATERIALIZED (
   SELECT p.w, p.freq,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
          CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym
@@ -880,18 +880,18 @@ s{r} AS (
     SELECT 1 FROM valid{r} v2 WHERE v2.w = p.w AND v2.pos = p.pos - 1
   )
 ),
-ap{r} AS (
+ap{r} AS MATERIALIZED (
   SELECT w, freq, pos, sym,
          LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
   FROM a{p}
 ),
-acand{r} AS (
+acand{r} AS MATERIALIZED (
   SELECT p.w, p.pos,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS rn
   FROM ap{r} p, top{r} t
   WHERE p.sym = t.a AND p.nxt = t.b
 ),
-avalid{r} AS (
+avalid{r} AS MATERIALIZED (
   SELECT w, pos FROM (
     SELECT w, pos,
            ROW_NUMBER() OVER (PARTITION BY w, pos - rn ORDER BY pos) - 1
@@ -899,7 +899,7 @@ avalid{r} AS (
     FROM acand{r}
   ) WHERE off % 2 = 0
 ),
-a{r} AS (
+a{r} AS MATERIALIZED (
   SELECT p.w, p.freq,
          ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.pos) AS pos,
          CASE WHEN v.pos IS NOT NULL THEN t.a || t.b ELSE p.sym END AS sym

@@ -307,7 +307,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents,
        n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey
@@ -317,7 +318,7 @@ WHERE c_custkey = o_custkey
   AND l_returnflag = 'R'
   AND c_nationkey = n_nationkey
 GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
+ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
 """,
 )
@@ -325,7 +326,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by lost revenue from returned items in
     one quarter-pair.  Return-flag and date predicates push into the two
     fact scans; customer and nation broadcast onto the fact row; top-20
-    via TakeOrderedAndProject (no global sort materialization)."""
+    via TakeOrderedAndProject (no global sort materialization).
+
+    Revenue is integer centi-units (per-row FLOOR before the SUM): the
+    original ROUND(SUM(double), 2) crossed a cent boundary on 2 of 20
+    rows at the 10x synthetic sweep — double summation order differs
+    between engines in the last ulp, and a ranking keyed on the rounded
+    double is then engine-dependent too.  Integer cents make both the
+    value and the top-20 cut order-independent."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast(_TS))
@@ -339,12 +347,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents")
         )
-        .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
     )
 
