@@ -545,6 +545,7 @@ def pq_adc_topk(
     k: int = 5,
     rerank: int = 50,
     scale: int = 10000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-ranking (ADC+R, Jégou et al. TPAMI'11): corpus vectors are
@@ -571,8 +572,11 @@ def pq_adc_topk(
     touches only the code table (M small ints per vector, never the
     raw vectors) — that read-volume reduction IS the PQ speedup — and
     the exact re-rank reads raw vectors for just ``rerank`` candidates
-    per query.  Composing with the IVF coarse quantizer (ivf_topk)
-    gates the code scan to probed cells = IVFADC."""
+    per query.  ``candidates`` (query_id, vec_id) optionally gates the
+    ADC scan to a precomputed candidate set — passing the IVF coarse
+    quantizer's probed-cell pairs here IS IVFADC (ivfpq_adc_topk);
+    keeping one shared body guarantees the two paths can never diverge
+    in scale/rounding/tie-break conventions."""
     m_count = len(planes_by_sub)
     sub_dim = len(planes_by_sub[0][0])
     emb = with_self_dot(with_vec(corpus))
@@ -624,11 +628,16 @@ def pq_adc_topk(
         .groupBy("query_id", "m", "code")
         .agg(F.sum(F.col("qs") * F.col("c")).cast("long").alias("partial"))
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("partial").cast("long").alias("adc_score"))
+    if candidates is None:
+        gated = codes.join(F.broadcast(lut), ["m", "code"]).where(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        gated = candidates.join(codes, "vec_id").join(
+            F.broadcast(lut), ["query_id", "m", "code"]
+        )
+    adc = gated.groupBy("query_id", "vec_id").agg(
+        F.sum("partial").cast("long").alias("adc_score")
     )
     w_adc = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
     cand = (
@@ -697,8 +706,6 @@ def ivfpq_adc_topk(
     pairs — at 100 TB the code table would be written partitioned by
     cell so the probed-cell join prunes partitions, the ivf_topk note
     applied to codes instead of raw vectors."""
-    m_count = len(planes_by_sub)
-    sub_dim = len(planes_by_sub[0][0])
     emb = with_self_dot(with_vec(corpus))
 
     # --- IVF coarse quantizer: one cell per corpus vector, nprobe per query
@@ -730,95 +737,20 @@ def ivfpq_adc_topk(
         .select("query_id", "cell")
     )
 
-    # --- PQ code table + integer codebook + per-query LUT (pq_adc_topk)
-    codes = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("int").alias("m"),
-                        pq_code_col("vec", planes_by_sub[m], m * sub_dim + 1).alias(
-                            "code"
-                        ),
-                    )
-                    for m in range(m_count)
-                ]
-            )
-        ).alias("mc"),
-    ).select("vec_id", "mc.m", "mc.code")
-    norm_ints = f"transform(vec, x -> CAST(FLOOR(x / sqrt(dd) * {scale}) AS BIGINT))"
-
-    def _elems(df: DataFrame, id_out: str) -> DataFrame:
-        return (
-            df.select(
-                F.col("vec_id").alias(id_out),
-                F.posexplode(F.expr(norm_ints)).alias("d0", "xs"),
-            )
-            .select(
-                id_out,
-                (F.col("d0") + 1).cast("int").alias("d"),
-                F.expr(f"CAST(d0 DIV {sub_dim} AS INT)").alias("m"),
-                "xs",
-            )
-        )
-
-    cent = (
-        _elems(emb, "vec_id")
-        .join(codes, ["vec_id", "m"])
-        .groupBy("m", "code", "d")
-        .agg(F.expr("CAST(SUM(xs) DIV COUNT(*) AS BIGINT)").alias("c"))
-    )
-    lut = (
-        _elems(qemb, "query_id")
-        .withColumnRenamed("xs", "qs")
-        .join(cent, ["m", "d"])
-        .groupBy("query_id", "m", "code")
-        .agg(F.sum(F.col("qs") * F.col("c")).cast("long").alias("partial"))
-    )
-
-    # --- the IVFADC step: gate the ADC scan to probed cells
+    # --- the IVFADC step: the probed-cell candidate pairs gate the shared
+    # PQ-ADC body (code table, integer codebook, LUT, ADC scan, exact
+    # re-rank all live in pq_adc_topk — one copy, zero drift risk)
     cand_ids = (
         cell_of.join(F.broadcast(q_probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    adc = (
-        cand_ids.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("partial").cast("long").alias("adc_score"))
-    )
-    w_adc = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
-    cand = (
-        adc.withColumn("crank", F.row_number().over(w_adc))
-        .where(F.col("crank") <= rerank)
-        .select("query_id", "vec_id")
-    )
-    qv = qemb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("dd").alias("qdd"),
-    )
-    rescored = (
-        cand.join(emb.select("vec_id", "vec", "dd"), "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(dot("qv", "vec"), F.col("qdd"), F.col("dd")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return pq_adc_topk(
+        q_df,
+        corpus,
+        planes_by_sub,
+        k=k,
+        rerank=rerank,
+        scale=scale,
+        candidates=cand_ids,
     )

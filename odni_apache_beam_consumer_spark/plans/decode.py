@@ -419,11 +419,19 @@ def _avro_varint_hex(v_expr: str) -> str:
     little-endian in 7-bit groups with a continuation MSB on every
     group but the last — the exact on-wire layout of an Avro ``long``
     (and of a string's length prefix)."""
-    z = f"(CASE WHEN ({v_expr}) >= 0 THEN 2 * ({v_expr}) ELSE -2 * ({v_expr}) - 1 END)"
-    n = f"greatest(1, size(filter(sequence(0, 9), i -> shiftright({z}, 7 * i) > 0)))"
+    # Bit-op zigzag (shiftleft ^ arithmetic shiftright) is exact over the
+    # FULL int64 domain: the arithmetic form (2v / -2v-1) overflows BIGINT
+    # at |v| >= 2^62 and v = -2^63, silently emitting wrong wire bytes
+    # with ANSI off.  The result is the unsigned 64-bit pattern stored in
+    # a signed BIGINT, so group extraction must use shiftrightunsigned.
+    z = f"(shiftleft({v_expr}, 1) ^ shiftright({v_expr}, 63))"
+    n = (
+        f"greatest(1, size(filter(sequence(0, 9), "
+        f"i -> shiftrightunsigned({z}, 7 * i) != 0)))"
+    )
     return (
         f"array_join(transform(sequence(0, {n} - 1), i -> "
-        f"lpad(hex((shiftright({z}, 7 * i) & 127) + IF(i < {n} - 1, 128, 0)), "
+        f"lpad(hex((shiftrightunsigned({z}, 7 * i) & 127) + IF(i < {n} - 1, 128, 0)), "
         f"2, '0')), '')"
     )
 
@@ -443,13 +451,16 @@ def _avro_varint_len(pos_expr: str) -> str:
 
 def _avro_varint_val(pos_expr: str, len_expr: str) -> str:
     """SQL expression: the SIGNED value of the varint at pos with the
-    given byte length — 7-bit little-endian reassembly, then zigzag
-    decode (even -> z/2, odd -> -(z+1)/2)."""
+    given byte length — 7-bit little-endian reassembly via bitwise OR
+    (groups occupy disjoint bit ranges; a 10-group varint's top group
+    lands on bit 63, where OR is carry-free by construction), then the
+    bit-op zigzag inverse (shiftrightunsigned ^ -(z&1)) which — unlike
+    the arithmetic z/2 form — is exact over the full int64 domain."""
     z = (
         f"aggregate(sequence(0, CAST({len_expr} AS INT) - 1), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + shiftleft({_avro_byte(f'({pos_expr}) + i')} & 127, 7 * i))"
+        f"(acc, i) -> acc | shiftleft({_avro_byte(f'({pos_expr}) + i')} & 127, 7 * i))"
     )
-    return f"(CASE WHEN {z} % 2 = 0 THEN {z} DIV 2 ELSE -((({z}) + 1) DIV 2) END)"
+    return f"(shiftrightunsigned({z}, 1) ^ -(({z}) & 1))"
 
 
 @query(

@@ -165,7 +165,9 @@ def _is_missing_jar_error(e: Exception) -> bool:
         "Failed to find data source",
         "AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
         "PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE",
-        "CANNOT_LOAD_PROTOBUF_CLASS",
+        # NOT CANNOT_LOAD_PROTOBUF_CLASS: Spark raises that for a wrong
+        # Java message-class NAME with the jar present — a user error
+        # that must surface as-is, not be reworded into a --packages hint.
     )
     return any(m in text for m in markers)
 

@@ -169,7 +169,18 @@ def lww_upsert_merger(
             .drop("_rn")
             .localCheckpoint(eager=True)  # one merge pass, reused below
         )
-        if prev is not None and merged.where(F.col("_src") == 1).isEmpty():
+        # A widening batch must persist even when every row loses the LWW
+        # window: skipping would leave read_current's schema dependent on
+        # whether some row happened to win, and a later reader expecting
+        # the new column would fail instead of seeing all-NULLs.
+        widens = prev is not None and bool(
+            set(delta.columns) - set(prev.columns)
+        )
+        if (
+            prev is not None
+            and not widens
+            and merged.where(F.col("_src") == 1).isEmpty()
+        ):
             with open(marker, "w"):
                 pass
             return

@@ -24,28 +24,48 @@ def _autoheal_witness_manifest() -> None:
     let test_manifest_covers_all_witnessed_names surface the gap.
     """
     import glob
+    import re
     import subprocess
 
     manifest = os.path.join(REPO_DIR, "WITNESS_MANIFEST.json")
-    rounds = glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))
+    rounds: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
     if not rounds:
         return
-    newest = max(os.path.getmtime(p) for p in rounds)
-    if os.path.exists(manifest) and os.path.getmtime(manifest) >= newest:
+    newest_path = max(rounds)[1]
+    if os.path.exists(manifest) and os.path.getmtime(manifest) >= os.path.getmtime(
+        newest_path
+    ):
         return
+    # Safety gate is CONTENT-based, not mtime-based (git does not preserve
+    # mtimes, so commit-time-vs-mtime comparisons fail open after any
+    # checkout/touch): refresh only while the package tree at HEAD is
+    # byte-identical to the tree at the commit that recorded the newest
+    # CORRECTNESS artifact — i.e. HEAD still IS the source the driver
+    # executed — and both the package and the artifact are clean.
     pkg = ["odni_apache_beam_consumer_spark", "__spark_entry__.py"]
     try:
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--", *pkg],
+            ["git", "status", "--porcelain", "--", *pkg, newest_path],
             capture_output=True, text=True, cwd=REPO_DIR, timeout=30,
         ).stdout.strip()
-        head_ct = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--", *pkg],
+        art_commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", newest_path],
             capture_output=True, text=True, cwd=REPO_DIR, timeout=30,
         ).stdout.strip()
+        pkg_differs = bool(art_commit) and (
+            subprocess.run(
+                ["git", "diff", "--quiet", art_commit, "HEAD", "--", *pkg],
+                capture_output=True, cwd=REPO_DIR, timeout=30,
+            ).returncode
+            != 0
+        )
     except Exception:
         return
-    if dirty or (head_ct and int(head_ct) > newest):
+    if dirty or not art_commit or pkg_differs:
         return
     subprocess.run(
         [sys.executable, os.path.join(REPO_DIR, "tools", "witness_manifest.py")],

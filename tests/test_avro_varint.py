@@ -21,6 +21,9 @@ EDGE_VALUES = [
     2**7 - 1, 2**7, 2**14 - 1, 2**14, 2**21, 2**28, 2**35,
     -(2**7), -(2**14), -(2**21), -(2**35),
     2**55 - 1, -(2**55), 2**61, -(2**61),
+    # full int64 domain: the arithmetic zigzag (2v / -2v-1) overflowed
+    # here; the bit-op form must match the reference bit-for-bit
+    2**62, -(2**62), 2**62 + 1, -(2**62) - 1, 2**63 - 1, -(2**63),
 ]
 
 

@@ -222,6 +222,39 @@ def test_lww_schema_evolution_widens_and_replays(spark):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def test_lww_widening_batch_persists_even_when_all_rows_lose(spark):
+    """A schema-widening batch whose rows ALL lose/tie the LWW window
+    must still write a snapshot: read_current's schema must not depend
+    on whether some row happened to win (a later reader expecting the
+    widened column would otherwise get AnalysisException, not NULLs)."""
+    store = tempfile.mkdtemp(prefix="cdc_test_")
+    v2 = SCHEMA + ", extra STRING"
+    try:
+        m = C.lww_upsert_merger(store, ["k"])
+        m(
+            C.parse_debezium(
+                _envs(spark, [('{"op":"c","ts_ms":10,"after":{"k":1,"v":"a"}}',)]),
+                SCHEMA,
+            ),
+            0,
+        )
+        # widened payload but OLDER ts: loses the window, must still widen
+        m(
+            C.parse_debezium(
+                _envs(
+                    spark,
+                    [('{"op":"u","ts_ms":5,"after":{"k":1,"v":"old","extra":"E"}}',)],
+                ),
+                v2,
+            ),
+            1,
+        )
+        got = [(r.k, r.v, r.extra) for r in C.read_current(spark, store).collect()]
+        assert got == [(1, "a", None)]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def test_lww_replay_fast_path_skips_snapshot_write(spark):
     """A no-win batch must NOT write a new snapshot (the replay fast
     path): the pointer stays on the previous version."""
