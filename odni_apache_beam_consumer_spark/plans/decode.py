@@ -423,15 +423,24 @@ def _avro_varint_hex(v_expr: str) -> str:
     # FULL int64 domain: the arithmetic form (2v / -2v-1) overflows BIGINT
     # at |v| >= 2^62 and v = -2^63, silently emitting wrong wire bytes
     # with ANSI off.  The result is the unsigned 64-bit pattern stored in
-    # a signed BIGINT, so group extraction must use shiftrightunsigned.
-    z = f"(shiftleft({v_expr}, 1) ^ shiftright({v_expr}, 63))"
+    # a signed BIGINT, handed to the shared unsigned-varint emitter.
+    return _uvarint_hex(f"(shiftleft({v_expr}, 1) ^ shiftright({v_expr}, 63))")
+
+
+def _uvarint_hex(z_expr: str) -> str:
+    """SQL expression: base-128 varint bytes (hex string) of a BIGINT
+    treated as an UNSIGNED 64-bit pattern — the shared emitter behind
+    both Avro longs (zigzag pre-applied by the caller) and Protobuf
+    plain varints (int64/uint64 fields, where a negative int64 encodes
+    as the 10-byte two's-complement pattern).  Group extraction uses
+    shiftrightunsigned so bit 63 never sign-extends."""
     n = (
         f"greatest(1, size(filter(sequence(0, 9), "
-        f"i -> shiftrightunsigned({z}, 7 * i) != 0)))"
+        f"i -> shiftrightunsigned({z_expr}, 7 * i) != 0)))"
     )
     return (
         f"array_join(transform(sequence(0, {n} - 1), i -> "
-        f"lpad(hex((shiftrightunsigned({z}, 7 * i) & 127) + IF(i < {n} - 1, 128, 0)), "
+        f"lpad(hex((shiftrightunsigned({z_expr}, 7 * i) & 127) + IF(i < {n} - 1, 128, 0)), "
         f"2, '0')), '')"
     )
 
@@ -451,16 +460,25 @@ def _avro_varint_len(pos_expr: str) -> str:
 
 def _avro_varint_val(pos_expr: str, len_expr: str) -> str:
     """SQL expression: the SIGNED value of the varint at pos with the
-    given byte length — 7-bit little-endian reassembly via bitwise OR
-    (groups occupy disjoint bit ranges; a 10-group varint's top group
-    lands on bit 63, where OR is carry-free by construction), then the
-    bit-op zigzag inverse (shiftrightunsigned ^ -(z&1)) which — unlike
-    the arithmetic z/2 form — is exact over the full int64 domain."""
-    z = (
+    given byte length — unsigned reassembly (:func:`_uvarint_val`), then
+    the bit-op zigzag inverse (shiftrightunsigned ^ -(z&1)) which —
+    unlike the arithmetic z/2 form — is exact over the full int64
+    domain."""
+    z = _uvarint_val(pos_expr, len_expr)
+    return f"(shiftrightunsigned({z}, 1) ^ -(({z}) & 1))"
+
+
+def _uvarint_val(pos_expr: str, len_expr: str) -> str:
+    """SQL expression: the UNSIGNED 64-bit pattern of the varint at pos
+    with the given byte length — 7-bit little-endian reassembly via
+    bitwise OR (groups occupy disjoint bit ranges; a 10-group varint's
+    top group lands on bit 63, where OR is carry-free by construction).
+    This is the raw value of a Protobuf plain varint (tag, uint64 field,
+    length prefix) and the pre-zigzag pattern of an Avro long."""
+    return (
         f"aggregate(sequence(0, CAST({len_expr} AS INT) - 1), CAST(0 AS BIGINT), "
         f"(acc, i) -> acc | shiftleft({_avro_byte(f'({pos_expr}) + i')} & 127, 7 * i))"
     )
-    return f"(shiftrightunsigned({z}, 1) ^ -(({z}) & 1))"
 
 
 @query(
@@ -539,4 +557,175 @@ def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delta_cents").cast("long").alias("min_delta_cents"),
         F.min("event_id").cast("long").alias("min_event_id"),
         F.max("event_id").cast("long").alias("max_event_id"),
+    )
+
+
+def _pb_tag_hex(field_no: int, wire_type: int) -> str:
+    """Hex literal of a Protobuf field tag varint: (field_no << 3) |
+    wire_type, base-128 encoded.  Tags are plan-time constants, so this
+    runs in Python once and lands in the SQL as a string literal —
+    field numbers >= 16 produce MULTI-BYTE tags (exercised below with
+    field 200 -> 2 wire bytes)."""
+    t = (field_no << 3) | wire_type
+    out = bytearray()
+    while True:
+        g = t & 0x7F
+        t >>= 7
+        if t:
+            out.append(g | 0x80)
+        else:
+            out.append(g)
+            return bytes(out).hex().upper()
+
+
+def _pb_sint64_hex(field_no: int, v_expr: str) -> str:
+    """Wire hex of one Protobuf ``sint64`` field: tag + zigzag varint
+    (identical zigzag+base-128 layout to an Avro long, which is why
+    the Avro emitter is reused verbatim)."""
+    return f"concat('{_pb_tag_hex(field_no, 0)}', {_avro_varint_hex(v_expr)})"
+
+
+def _pb_uint64_hex(field_no: int, v_expr: str) -> str:
+    """Wire hex of one Protobuf ``uint64``/``int64`` field: tag + PLAIN
+    varint (no zigzag — the flavor distinction sint64 carries on the
+    wire and a decoder must apply per field number)."""
+    return f"concat('{_pb_tag_hex(field_no, 0)}', {_uvarint_hex(f'({v_expr})')})"
+
+
+def _pb_string_hex(field_no: int, v_expr: str) -> str:
+    """Wire hex of one Protobuf ``string`` field: tag + varint byte
+    length + UTF-8 bytes (wire type 2, length-delimited)."""
+    return (
+        f"concat('{_pb_tag_hex(field_no, 2)}', "
+        f"{_uvarint_hex(f'CAST(length({v_expr}) AS BIGINT)')}, "
+        f"hex(CAST({v_expr} AS BINARY)))"
+    )
+
+
+@query(
+    "protobuf_binary_decode",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) - 5000) AS BIGINT)
+         AS total_delta_cents,
+       CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT) - 5000) AS BIGINT)
+         AS min_delta_cents,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(COUNT(CASE WHEN user_id % 7 != 0 THEN 1 END) AS BIGINT)
+         AS n_with_user,
+       CAST(SUM(CASE WHEN user_id % 7 != 0 THEN user_id END) AS BIGINT)
+         AS sum_user_id
+FROM events
+GROUP BY event_type
+""",
+)
+def protobuf_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire format decoded without jars — completing the
+    Schema-Registry format family (Confluent frame: strip_confluent_
+    header; Avro body: avro_binary_decode; Protobuf body: here; the
+    jar-gated native builders in sources/kafka.py:173,216 remain the
+    production path).  Each events row is serialized as the wire bytes
+    of::
+
+        message Event {
+          sint64 delta_cents = 1;   // zigzag varint, ~63% negative
+          sint64 event_id    = 2;   // multi-byte varints
+          string event_type  = 3;   // length-delimited
+          uint64 user_id     = 200; // PLAIN varint + MULTI-BYTE tag
+        }
+
+    with two properties a layout-assuming decoder would get wrong and a
+    real Protobuf decoder must handle:
+
+    * **field order varies per row** (even event_ids serialize 1,2,3,200;
+      odd ones 200,3,2,1 — both legal, Protobuf fields are unordered on
+      the wire), so the decode TAG-WALKS the buffer: read tag varint,
+      split field_no = tag >> 3 / wire_type = tag & 7, parse the value
+      by wire type, advance;
+    * **field 200 is OMITTED** when user_id % 7 = 0 (proto3 optional
+      semantics: absent field, not a null marker), so rows carry 3 or 4
+      fields and the walk is guarded by the buffer length.
+
+    The decoder dispatches zigzag (fields 1,2) vs plain (field 200)
+    varints by field number — exactly the sint64/int64 wire ambiguity
+    that makes Protobuf decoding schema-driven.  The oracle re-derives
+    every aggregate from the raw columns, so the hash match proves the
+    encode->decode round trip lossless for both varint flavors, both
+    orders, multi-byte tags, and the omitted-field path.
+
+    Scale shape: encode and decode are map-side Catalyst expression
+    chains inside whole-stage codegen (zero shuffles, zero Python); the
+    only exchange is the final small hash agg on event_type.  On a real
+    topic this runs per micro-batch at the consumer's partition
+    parallelism, composed under strip_confluent_header."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 5000).alias("delta_cents"),
+        "event_type",
+        "user_id",
+    )
+    f1 = _pb_sint64_hex(1, "delta_cents")
+    f2 = _pb_sint64_hex(2, "event_id")
+    f3 = _pb_string_hex(3, "event_type")
+    f200 = f"IF(user_id % 7 = 0, '', {_pb_uint64_hex(200, 'user_id')})"
+    wire = e.select(
+        F.expr(
+            f"unhex(IF(event_id % 2 = 0, "
+            f"concat({f1}, {f2}, {f3}, {f200}), "
+            f"concat({f200}, {f3}, {f2}, {f1})))"
+        ).alias("value")
+    )
+    # Tag-walk: 4 slots, each slot parses (tag, value) and advances; a
+    # slot past the buffer end (3-field rows) yields NULLs and holds pos.
+    d = wire.withColumn("p1", F.lit(1).cast("bigint"))
+    for i in (1, 2, 3, 4):
+        p, valid = f"p{i}", f"(p{i} <= length(value))"
+        tl = f"IF({valid}, {_avro_varint_len(p)}, NULL)"
+        d = (
+            d.withColumn(f"tag{i}", F.expr(f"IF({valid}, {_uvarint_val(p, tl)}, NULL)"))
+            .withColumn(f"f{i}", F.expr(f"shiftright(tag{i}, 3)"))
+            .withColumn(f"w{i}", F.expr(f"tag{i} & 7"))
+            .withColumn(f"vp{i}", F.expr(f"{p} + {tl}"))
+            .withColumn(f"vl{i}", F.expr(f"IF({valid}, {_avro_varint_len(f'vp{i}')}, NULL)"))
+            .withColumn(f"uv{i}", F.expr(f"IF({valid}, {_uvarint_val(f'vp{i}', f'vl{i}')}, NULL)"))
+            .withColumn(
+                f"sv{i}",
+                F.expr(f"(shiftrightunsigned(uv{i}, 1) ^ -(uv{i} & 1))"),
+            )
+            .withColumn(
+                f"str{i}",
+                F.expr(
+                    f"IF(w{i} = 2, CAST(substring(value, "
+                    f"CAST(vp{i} + vl{i} AS INT), CAST(uv{i} AS INT)) AS STRING), NULL)"
+                ),
+            )
+            .withColumn(
+                f"p{i + 1}",
+                F.expr(
+                    f"IF({valid}, vp{i} + vl{i} + IF(w{i} = 2, uv{i}, 0), {p})"
+                ),
+            )
+        )
+
+    def _pick(expr_tpl: str) -> str:
+        return (
+            "coalesce("
+            + ", ".join(expr_tpl.format(i=i) for i in (1, 2, 3, 4))
+            + ")"
+        )
+
+    dec = d.select(
+        F.expr(_pick("IF(f{i} = 1, sv{i}, NULL)")).alias("delta_cents"),
+        F.expr(_pick("IF(f{i} = 2, sv{i}, NULL)")).alias("event_id"),
+        F.expr(_pick("IF(f{i} = 3, str{i}, NULL)")).alias("event_type"),
+        F.expr(_pick("IF(f{i} = 200, uv{i}, NULL)")).alias("user_id"),
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("delta_cents").cast("long").alias("total_delta_cents"),
+        F.min("delta_cents").cast("long").alias("min_delta_cents"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+        F.count("user_id").cast("long").alias("n_with_user"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
     )
