@@ -530,7 +530,7 @@ def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", "
             + _avro_varint_hex("delta_cents")
             + ", "
-            + _avro_varint_hex("length(event_type)")
+            + _avro_varint_hex("octet_length(CAST(event_type AS BINARY))")
             + ", hex(CAST(event_type AS BINARY))))"
         ).alias("value")
     )
@@ -594,11 +594,71 @@ def _pb_uint64_hex(field_no: int, v_expr: str) -> str:
 
 def _pb_string_hex(field_no: int, v_expr: str) -> str:
     """Wire hex of one Protobuf ``string`` field: tag + varint byte
-    length + UTF-8 bytes (wire type 2, length-delimited)."""
+    length (``octet_length`` — UTF-8 bytes, not characters, so non-ASCII
+    values keep the decoder's byte-count advance in sync) + UTF-8
+    bytes (wire type 2, length-delimited)."""
     return (
         f"concat('{_pb_tag_hex(field_no, 2)}', "
-        f"{_uvarint_hex(f'CAST(length({v_expr}) AS BIGINT)')}, "
+        f"{_uvarint_hex(f'CAST(octet_length(CAST({v_expr} AS BINARY)) AS BIGINT)')}, "
         f"hex(CAST({v_expr} AS BINARY)))"
+    )
+
+
+def _pb_tag_walk(wire: DataFrame, n_slots: int, fields: dict) -> DataFrame:
+    """Schema-driven Protobuf tag-walk over a BINARY ``value`` column.
+
+    ``fields`` maps output column name -> (field_no, flavor) where
+    flavor is ``sint64`` (zigzag varint), ``uint64`` (plain varint) or
+    ``string`` (length-delimited).  Walks up to ``n_slots`` (tag,
+    value) pairs; a slot past the buffer end yields NULLs and holds
+    position, so rows with fewer fields (proto3 omitted optionals)
+    decode correctly.  Pure Catalyst expressions — zero Python in the
+    data path; the walk runs inside whole-stage codegen at source
+    partition parallelism."""
+    slots = tuple(range(1, n_slots + 1))
+    d = wire.withColumn("p1", F.lit(1).cast("bigint"))
+    for i in slots:
+        p, valid = f"p{i}", f"(p{i} <= length(value))"
+        tl = f"IF({valid}, {_avro_varint_len(p)}, NULL)"
+        d = (
+            d.withColumn(f"tag{i}", F.expr(f"IF({valid}, {_uvarint_val(p, tl)}, NULL)"))
+            .withColumn(f"f{i}", F.expr(f"shiftright(tag{i}, 3)"))
+            .withColumn(f"w{i}", F.expr(f"tag{i} & 7"))
+            .withColumn(f"vp{i}", F.expr(f"{p} + {tl}"))
+            .withColumn(f"vl{i}", F.expr(f"IF({valid}, {_avro_varint_len(f'vp{i}')}, NULL)"))
+            .withColumn(f"uv{i}", F.expr(f"IF({valid}, {_uvarint_val(f'vp{i}', f'vl{i}')}, NULL)"))
+            .withColumn(
+                f"sv{i}",
+                F.expr(f"(shiftrightunsigned(uv{i}, 1) ^ -(uv{i} & 1))"),
+            )
+            .withColumn(
+                f"str{i}",
+                F.expr(
+                    f"IF(w{i} = 2, CAST(substring(value, "
+                    f"CAST(vp{i} + vl{i} AS INT), CAST(uv{i} AS INT)) AS STRING), NULL)"
+                ),
+            )
+            .withColumn(
+                f"p{i + 1}",
+                F.expr(
+                    f"IF({valid}, vp{i} + vl{i} + IF(w{i} = 2, uv{i}, 0), {p})"
+                ),
+            )
+        )
+
+    def _pick(expr_tpl: str) -> str:
+        return (
+            "coalesce("
+            + ", ".join(expr_tpl.format(i=i) for i in slots)
+            + ")"
+        )
+
+    _val = {"sint64": "sv{i}", "uint64": "uv{i}", "string": "str{i}"}
+    return d.select(
+        *(
+            F.expr(_pick(f"IF(f{{i}} = {fno}, {_val[flavor]}, NULL)")).alias(name)
+            for name, (fno, flavor) in fields.items()
+        )
     )
 
 
@@ -668,7 +728,10 @@ def protobuf_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = _pb_sint64_hex(1, "delta_cents")
     f2 = _pb_sint64_hex(2, "event_id")
     f3 = _pb_string_hex(3, "event_type")
-    f200 = f"IF(user_id % 7 = 0, '', {_pb_uint64_hex(200, 'user_id')})"
+    f200 = (
+        "IF(user_id IS NULL OR user_id % 7 = 0, '', "
+        f"{_pb_uint64_hex(200, 'user_id')})"
+    )
     wire = e.select(
         F.expr(
             f"unhex(IF(event_id % 2 = 0, "
@@ -676,50 +739,15 @@ def protobuf_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"concat({f200}, {f3}, {f2}, {f1})))"
         ).alias("value")
     )
-    # Tag-walk: 4 slots, each slot parses (tag, value) and advances; a
-    # slot past the buffer end (3-field rows) yields NULLs and holds pos.
-    d = wire.withColumn("p1", F.lit(1).cast("bigint"))
-    for i in (1, 2, 3, 4):
-        p, valid = f"p{i}", f"(p{i} <= length(value))"
-        tl = f"IF({valid}, {_avro_varint_len(p)}, NULL)"
-        d = (
-            d.withColumn(f"tag{i}", F.expr(f"IF({valid}, {_uvarint_val(p, tl)}, NULL)"))
-            .withColumn(f"f{i}", F.expr(f"shiftright(tag{i}, 3)"))
-            .withColumn(f"w{i}", F.expr(f"tag{i} & 7"))
-            .withColumn(f"vp{i}", F.expr(f"{p} + {tl}"))
-            .withColumn(f"vl{i}", F.expr(f"IF({valid}, {_avro_varint_len(f'vp{i}')}, NULL)"))
-            .withColumn(f"uv{i}", F.expr(f"IF({valid}, {_uvarint_val(f'vp{i}', f'vl{i}')}, NULL)"))
-            .withColumn(
-                f"sv{i}",
-                F.expr(f"(shiftrightunsigned(uv{i}, 1) ^ -(uv{i} & 1))"),
-            )
-            .withColumn(
-                f"str{i}",
-                F.expr(
-                    f"IF(w{i} = 2, CAST(substring(value, "
-                    f"CAST(vp{i} + vl{i} AS INT), CAST(uv{i} AS INT)) AS STRING), NULL)"
-                ),
-            )
-            .withColumn(
-                f"p{i + 1}",
-                F.expr(
-                    f"IF({valid}, vp{i} + vl{i} + IF(w{i} = 2, uv{i}, 0), {p})"
-                ),
-            )
-        )
-
-    def _pick(expr_tpl: str) -> str:
-        return (
-            "coalesce("
-            + ", ".join(expr_tpl.format(i=i) for i in (1, 2, 3, 4))
-            + ")"
-        )
-
-    dec = d.select(
-        F.expr(_pick("IF(f{i} = 1, sv{i}, NULL)")).alias("delta_cents"),
-        F.expr(_pick("IF(f{i} = 2, sv{i}, NULL)")).alias("event_id"),
-        F.expr(_pick("IF(f{i} = 3, str{i}, NULL)")).alias("event_type"),
-        F.expr(_pick("IF(f{i} = 200, uv{i}, NULL)")).alias("user_id"),
+    dec = _pb_tag_walk(
+        wire,
+        n_slots=4,
+        fields={
+            "delta_cents": (1, "sint64"),
+            "event_id": (2, "sint64"),
+            "event_type": (3, "string"),
+            "user_id": (200, "uint64"),
+        },
     )
     return dec.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
