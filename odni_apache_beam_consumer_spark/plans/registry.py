@@ -55,20 +55,107 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+_PKG_PREFIX = "odni_apache_beam_consumer_spark"
+_CONST_TYPES = (int, float, str, bytes, bool, tuple, list, dict, set, frozenset)
+
+
+def _closure_parts(fn, seen: set, parts: dict) -> None:
+    """Collect source text for ``fn`` and every package-local object it
+    references, transitively: helper functions get their own source (and
+    recurse), referenced package modules get their full module source,
+    referenced module-level constants get their repr.  Keys are
+    deterministic (module, qualname) pairs so the digest is stable."""
+    import inspect
+    import types
+
+    inner = getattr(fn, "func", None) or getattr(fn, "__wrapped__", None)
+    if isinstance(inner, types.FunctionType):
+        _closure_parts(inner, seen, parts)
+        return
+    if not isinstance(fn, types.FunctionType):
+        return
+    mod = getattr(fn, "__module__", "") or ""
+    if not mod.startswith(_PKG_PREFIX):
+        return
+    key = ("fn", mod, fn.__qualname__)
+    if key in seen:
+        return
+    seen.add(key)
+    try:
+        parts[key] = inspect.getsource(fn)
+    except (OSError, TypeError):
+        parts[key] = f"<nosource {mod}.{fn.__qualname__}>"
+
+    def _code_names(code):
+        names = set(code.co_names) | set(code.co_freevars)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                names |= _code_names(c)
+        return names
+
+    g = fn.__globals__
+    refs = []
+    for n in sorted(_code_names(fn.__code__)):
+        if n in g:
+            refs.append((n, g[n]))
+    if fn.__closure__:
+        for n, cell in zip(fn.__code__.co_freevars, fn.__closure__):
+            try:
+                refs.append((n, cell.cell_contents))
+            except ValueError:
+                pass
+    for n, obj in refs:
+        if isinstance(obj, types.FunctionType) or hasattr(obj, "__wrapped__") or (
+            hasattr(obj, "func") and isinstance(getattr(obj, "func"), types.FunctionType)
+        ):
+            _closure_parts(obj, seen, parts)
+        elif isinstance(obj, type):
+            omod = getattr(obj, "__module__", "") or ""
+            ckey = ("cls", omod, obj.__qualname__)
+            if omod.startswith(_PKG_PREFIX) and ckey not in seen:
+                seen.add(ckey)
+                try:
+                    parts[ckey] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    parts[ckey] = f"<nosource {omod}.{obj.__qualname__}>"
+        elif isinstance(obj, types.ModuleType):
+            oname = getattr(obj, "__name__", "") or ""
+            mkey = ("mod", oname, "")
+            if oname.startswith(_PKG_PREFIX) and mkey not in seen:
+                seen.add(mkey)
+                try:
+                    parts[mkey] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    parts[mkey] = f"<nosource {oname}>"
+        elif obj is None or isinstance(obj, _CONST_TYPES):
+            ckey = ("const", g.get("__name__", mod), n)
+            if ckey not in seen:
+                seen.add(ckey)
+                parts[ckey] = repr(obj)
+
+
 def query_digest(name: str) -> str:
     """Content digest of a registered query: sha256 over the query
-    function's source text plus its oracle SQL.  Used to key witness
+    function's source text, its oracle SQL, AND the transitive source
+    closure of every package-local helper it references (functions,
+    classes, modules, module-level constants).  Used to key witness
     retirement on WHAT the driver actually ran, not just the name — a
     query whose plan or oracle changes after its last passing witness
-    must re-queue for a fresh driver witness (round-5 verdict item 5:
-    four queries changed post-witness and would otherwise never
-    resurface)."""
+    must re-queue for a fresh driver witness (round-5 verdict item 5).
+    The closure part closes the round-9 blind spot: a refactor in
+    operators/* executed by a query (the r9 PQ-ADC rewrite) now moves
+    the digest even though the query function's own text is unchanged."""
     import hashlib
-    import inspect
 
-    src = inspect.getsource(QUERIES[name])
-    oracle = ORACLES.get(name, "")
-    return hashlib.sha256((src + "\n##oracle##\n" + oracle).encode()).hexdigest()[:16]
+    parts: dict = {}
+    _closure_parts(QUERIES[name], set(), parts)
+    acc = hashlib.sha256()
+    for key in sorted(parts):
+        acc.update(f"##{key}##\n".encode())
+        acc.update(parts[key].encode())
+    acc.update(b"\n##oracle##\n")
+    acc.update(ORACLES.get(name, "").encode())
+    return acc.hexdigest()[:16]
 
 
 def registry_digest() -> str:

@@ -155,3 +155,46 @@ def test_manifest_covers_all_witnessed_names():
         f"witnessed names missing a manifest digest: {sorted(missing)}"
         " — run tools/witness_manifest.py"
     )
+
+
+def test_digest_covers_helper_closure():
+    """Round-9 blind spot (verdict item 2): query_digest must move when a
+    helper OUTSIDE the query function changes — the r9 PQ-ADC refactor
+    rewrote ~100 lines of operators/similarity.py executed by two
+    registered queries without shifting either digest.  The digest now
+    folds in the transitive helper-source closure, so (a) helper
+    functions from operators/* appear in the closure, and (b) an
+    in-memory edit to a referenced module-level constant moves the
+    digest."""
+    from odni_apache_beam_consumer_spark.plans import llm
+    from odni_apache_beam_consumer_spark.plans.registry import (
+        QUERIES,
+        _closure_parts,
+        all_queries,
+        query_digest,
+    )
+
+    all_queries()
+
+    # (a) structural: helper functions outside the query fn's own module
+    # are part of the digested closure.
+    parts: dict = {}
+    _closure_parts(QUERIES["ann_pq_adc_topk"], set(), parts)
+    helper_mods = {k[1] for k in parts if k[0] in ("fn", "mod", "cls")}
+    assert "odni_apache_beam_consumer_spark.operators.similarity" in helper_mods, (
+        "operators/similarity.py helpers missing from ann_pq_adc_topk's "
+        f"digest closure: {sorted(helper_mods)}"
+    )
+
+    # (b) behavioral: perturb a referenced helper constant in-memory and
+    # the digest must move (restored afterwards).
+    before = query_digest("text_lang_id")
+    orig = llm.LANG_MARKERS
+    try:
+        llm.LANG_MARKERS = {**orig, "__perturbed__": ["zz"]}
+        assert query_digest("text_lang_id") != before, (
+            "helper-constant edit did not move query_digest"
+        )
+    finally:
+        llm.LANG_MARKERS = orig
+    assert query_digest("text_lang_id") == before
