@@ -690,3 +690,113 @@ def stream_stream_outer_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(replay_root, ignore_errors=True)
+
+
+@query(
+    "stream_stream_full_outer_join_dual",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id AS c_event_id, user_id AS c_user_id, ts AS c_ts,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS c_value_scaled
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+)
+SELECT p.p_event_id, p.p_user_id, c.c_event_id, c.c_user_id,
+       c.c_value_scaled
+FROM p FULL OUTER JOIN c
+  ON c.c_user_id = p.p_user_id
+ AND c.c_ts > p.p_ts
+ AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_full_outer_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream FULL OUTER interval join driven through a REAL
+    micro-batch replay — the last member of the join family to get a
+    replay-backed driver hash (inner: stream_stream_join_dual; left:
+    stream_stream_outer_join_dual; full-outer previously had only the
+    batch dual purchase_click_full_outer plus an equivalence test, so
+    the RIGHT side's watermark-held null-emission path was never
+    hash-checked under replay — round-8 verdict item 2).
+
+    Both sides now hold state until the watermark proves their match
+    window closed: an unmatched purchase emits (p_*, NULL) once
+    watermark > p_ts + horizon, and an unmatched click emits (NULL, c_*)
+    once watermark > c_ts (no purchase can precede it within the horizon
+    anymore).  At test volume all three output classes are non-vacuous
+    (~29 matches, ~2k unmatched purchases, ~6k unmatched clicks at
+    sf0.01), so a premature/lost null emission on EITHER side shifts the
+    driver's value hash.
+
+    Replay discipline identical to the left-outer dual (documented
+    sentinel rules): the flush sentinels pass through BOTH event-type
+    filters so each side's watermark node sees them; n_sentinels=2
+    because outer-join eviction uses the watermark computed at the END
+    of the PREVIOUS batch; sentinel output rows are dropped after the
+    sink — on BOTH sides here, via coalesce(event_id, 0) >= 0, since a
+    sentinel can surface as a left row, a right row, or a
+    sentinel-sentinel match.
+
+    Scale shape: keyed state on user_id bounded by the range condition
+    on both stores — O(rate x (horizon + delay)) per key, never
+    O(stream); state partitions right-sized to 4 (saved/restored) for
+    replay-scale stores, exactly the left-outer dual's tuning."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        stream_stream_full_outer_join,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="ssfouter_dual_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        chunks = R.write_replay_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=3,
+            flush_sentinel=True,
+            n_sentinels=2,
+        )
+        stream = R.read_stream(spark, chunks).where(
+            F.col("user_id").isNotNull()
+        )
+        purchases = stream.where(
+            F.col("event_type").isin("purchase", "__flush__")
+        )
+        clicks = stream.where(
+            F.col("event_type").isin("click", "__flush__")
+        )
+        joined = stream_stream_full_outer_join(
+            purchases, clicks, horizon="1 hour"
+        )
+        out = joined.select(
+            "p_event_id",
+            "p_user_id",
+            "c_event_id",
+            "c_user_id",
+            F.floor(F.col("c_value") * 10000)
+            .cast("long")
+            .alias("c_value_scaled"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssfouter_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("ssfouter_dual_mem")
+            .where(
+                (F.coalesce(F.col("p_event_id"), F.lit(0)) >= 0)
+                & (F.coalesce(F.col("c_event_id"), F.lit(0)) >= 0)
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_root, ignore_errors=True)
