@@ -360,18 +360,23 @@ def test_ann_index_partition_pruned_probe(spark, sf_dir, tmp_path):
     qvec = [float(x) for x in qrow[0]]
     res = S.query_ann_index(spark, path, qvec, planes, k=6)
 
-    # The probe set (1 home + 8 Hamming-1 flips out of 256 buckets) must
-    # reach the scan as a PartitionFilters IN-list — that is what prunes
-    # the partition directory listing (inputFiles() reports the pre-prune
-    # listing, so the plan text is the ground truth here).
+    # Two-level pruning (round-10 layout): the probe's bucket GROUPS must
+    # reach the scan as a PartitionFilters IN-list (prunes the directory
+    # listing), and the exact bucket IN-list must be PUSHED into the
+    # parquet scan (row-group stats skip non-probed buckets inside each
+    # group file, which the write-time sort makes effective).
     plan = res._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [", 1)
     assert len(pf) == 2, plan
     in_list = pf[1].split("]", 1)[0]
-    assert "bucket" in in_list and " IN " in in_list, in_list
+    assert "grp" in in_list and " IN " in in_list, in_list
     probe = S.probe_buckets_py(qvec, planes)
-    assert "b" + probe[0] in in_list, (probe[0], in_list)
-    assert in_list.count(",") <= 10, in_list  # <= 9 literals + isnotnull
+    assert "g" + probe[0][: S._GRP_BITS] in in_list, (probe[0], in_list)
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2, plan
+    pushed_list = pushed[1].split("]", 1)[0]
+    assert "In(bucket" in pushed_list, pushed_list
+    assert "b" + probe[0] in pushed_list, (probe[0], pushed_list)
 
     got = {(r.neighbor_id, r.cosine) for r in res.collect() if r.neighbor_id != 7}
     q = emb.where(F.col("vec_id") == 7)
