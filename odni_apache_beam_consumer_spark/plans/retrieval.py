@@ -1068,3 +1068,338 @@ def dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lm_micro"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-family) tokenizer training
+# ---------------------------------------------------------------------------
+
+_UNI_ROUNDS = 3
+_UNI_MAX_PIECE = 4  # longest candidate piece (chars)
+_UNI_MAX_WLEN = 8  # longest trainable word (bounds the DP lattice depth)
+_UNI_SEED_MULTI = 40  # multi-char seed pieces kept (top by corpus count)
+_UNI_TARGET = 24  # multi-char pieces kept after the final prune
+
+
+def unigram_train_rounds(
+    words: DataFrame,
+    n_rounds: int = _UNI_ROUNDS,
+    max_piece: int = _UNI_MAX_PIECE,
+    max_wlen: int = _UNI_MAX_WLEN,
+    seed_multi: int = _UNI_SEED_MULTI,
+    target: int = _UNI_TARGET,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo '18, the SentencePiece model
+    family) as fixed-round Viterbi-EM over a (w, freq) vocabulary:
+
+    * **seed**: every substring of length 1..max_piece of every vocab
+      word, corpus-weighted; the top ``seed_multi`` multi-char pieces
+      (count desc, piece asc) plus ALL single characters (so every word
+      stays segmentable) form the piece inventory, which is then FIXED
+      for all rounds — EM re-estimates probabilities, the final prune
+      shrinks the inventory.
+    * **E-step (hard/Viterbi)**: each word's best segmentation under the
+      current piece costs, costs in integer MILLI-log-units
+      (cost = -floor(ln(cnt/total)*1000), the dirichlet_lm/bm25
+      portability discipline) with deterministic (cost, k) tie-breaks.
+      The whole lattice DP runs INSIDE one Catalyst expression per word:
+      the piece->cost table is collected into a 1-row map column
+      (metadata-sized, broadcast-crossed: the whitelisted 1-row NLJ
+      pattern) and ``aggregate(sequence(1, length(w)), ...)`` folds the
+      Viterbi frontier left to right, then a second fold backtracks the
+      chosen pieces — zero Python in the data path, zero shuffles, one
+      map-only pass.
+    * **M-step**: piece count = corpus-weighted uses in the best
+      segmentations + 1 (Laplace, keeps unused pieces alive), re-cost.
+    * **prune**: after the last round keep the ``target`` best
+      multi-char pieces (count desc, piece asc) plus all single chars.
+
+    Returns (piece, use_cnt, cost_milli): raw final-round uses and the
+    final M-step cost.
+
+    Scale shape — the unigram-at-scale property mirrors bpe_train's:
+    after the one corpus-wide word count, every round is vocab-sized.
+    Per round: one broadcast of the piece-cost map (|pieces| entries),
+    one map-only DP pass over vocab rows inside whole-stage codegen,
+    one explode + hash agg for piece uses (map-side partials; bounded
+    by |pieces|), one vocab-sized left join.  No lattice shuffles: the
+    per-word DP never leaves its row.  localCheckpoint per round cuts
+    the iterative lineage (the pagerank/kcore/bpe idiom)."""
+    # One corpus-derived materialization: every later pass (seed count +
+    # one DP pass per round) is vocab-sized and reads this checkpoint,
+    # never the corpus again (the bpe_train discipline).
+    w8 = words.where(F.length("w").between(2, max_wlen)).localCheckpoint(
+        eager=True
+    )
+    occ = (
+        w8
+        .select(
+            "w",
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({max_piece}, length(w) - i + 1)), "
+                    f"k -> substring(w, i, k))))"
+                )
+            ).alias("piece"),
+        )
+    )
+    seed = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    chars = seed.where(F.length("piece") == 1)
+    multi = (
+        seed.where(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_multi)
+    )
+    vocab = chars.unionByName(multi).localCheckpoint(eager=True)
+
+    dp_expr = (
+        "aggregate(sequence(1, length(w)), "
+        "array(struct(CAST(0 AS BIGINT) AS tot, CAST(0 AS INT) AS k)), "
+        "(acc, p) -> concat(acc, array(element_at(array_sort(filter("
+        f"transform(sequence(1, least({max_piece}, p)), "
+        "k -> struct(element_at(acc, p - k + 1).tot + "
+        "element_at(pm, substring(w, p - k + 1, k)) AS tot, "
+        "CAST(k AS INT) AS k)), c -> c.tot IS NOT NULL)), 1))))"
+    )
+    bt_expr = (
+        f"aggregate(sequence(1, {max_wlen}), "
+        "struct(CAST(length(w) AS INT) AS pos, "
+        "CAST(array() AS ARRAY<STRING>) AS ps), "
+        "(st, i) -> IF(st.pos > 0, "
+        "struct(CAST(st.pos - element_at(dp, st.pos + 1).k AS INT) AS pos, "
+        "concat(st.ps, array(substring(w, "
+        "st.pos - element_at(dp, st.pos + 1).k + 1, "
+        "element_at(dp, st.pos + 1).k))) AS ps), st), "
+        "st -> st.ps)"
+    )
+
+    def recost(v: DataFrame) -> DataFrame:
+        total = v.agg(F.sum("cnt").cast("long").alias("total"))
+        return v.crossJoin(F.broadcast(total)).select(
+            "piece",
+            (-F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * 1000.0
+            ))
+            .cast("long")
+            .alias("cost_milli"),
+        )
+
+    for _ in range(n_rounds):
+        cost = recost(vocab)
+        pm = cost.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost_milli"))
+            ).alias("pm")
+        )
+        seg = (
+            w8.crossJoin(F.broadcast(pm))
+            .withColumn("dp", F.expr(dp_expr))
+            .withColumn("ps", F.expr(bt_expr))
+        )
+        uses = (
+            seg.select("freq", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("use_cnt"))
+        )
+        vocab = (
+            vocab.select("piece")
+            .join(uses, "piece", "left")
+            .select(
+                "piece",
+                (F.coalesce(F.col("use_cnt"), F.lit(0)) + 1)
+                .cast("long")
+                .alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final_cost = recost(vocab)
+    multi_kept = (
+        vocab.where(F.length("piece") > 1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                # Unpartitioned window over the multi-char piece
+                # inventory only — bounded (seed_multi rows), the
+                # documented bounded-input exemption class.
+                Window.orderBy(F.desc("cnt"), F.asc("piece"))
+            ),
+        )
+        .where(F.col("rnk") <= target)
+        .drop("rnk")
+    )
+    kept = vocab.where(F.length("piece") == 1).unionByName(multi_kept)
+    return (
+        kept.join(final_cost, "piece")
+        .select(
+            "piece",
+            (F.col("cnt") - 1).cast("long").alias("use_cnt"),
+            "cost_milli",
+        )
+    )
+
+
+def _unigram_train_oracle(
+    n_rounds: int = _UNI_ROUNDS,
+    max_piece: int = _UNI_MAX_PIECE,
+    max_wlen: int = _UNI_MAX_WLEN,
+    seed_multi: int = _UNI_SEED_MULTI,
+    target: int = _UNI_TARGET,
+) -> str:
+    """Unrolled SQL replay of the Viterbi-EM rounds — the kcore/bpe
+    fixed-round-oracle pattern, but over the segmentation LATTICE: per
+    round, the DP unrolls into one CTE per lattice position (b{r}p{p}
+    selects each word's best arrival at position p via ROW_NUMBER over
+    (total cost, piece length) — the same tie-break as the Spark fold),
+    then a backtrack chain (t{r}s{i}) walks the chosen pieces and feeds
+    the M-step counts.  All CTEs MATERIALIZED (the r8 DuckDB
+    CTE-inlining OOM lesson)."""
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT w, freq FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    )
+    GROUP BY term
+  ) WHERE len(w) BETWEEN 2 AND {max_wlen}
+),
+lat AS MATERIALIZED (
+  SELECT w, freq, CAST(i + k - 1 AS BIGINT) AS p, CAST(k AS BIGINT) AS k,
+         substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece
+  FROM words,
+       UNNEST(generate_series(1, len(w))) AS gi(i),
+       UNNEST(generate_series(1, {max_piece})) AS gk(k)
+  WHERE i + k - 1 <= len(w)
+),
+seed AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM lat GROUP BY piece
+),
+v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM seed WHERE len(piece) > 1
+  ) WHERE rn <= {seed_multi}
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        pr = r - 1
+        ctes.append(
+            f"""c{pr} AS MATERIALIZED (
+  SELECT piece,
+         CAST(-FLOOR(LN(CAST(cnt AS DOUBLE) /
+              (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v{pr})) * 1000)
+              AS BIGINT) AS cost
+  FROM v{pr}
+),
+e{r} AS MATERIALIZED (
+  SELECT l.w, l.p, l.k, c.cost FROM lat l JOIN c{pr} c ON c.piece = l.piece
+),
+b{r}p0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS tot,
+         CAST(0 AS BIGINT) AS k
+  FROM words
+)"""
+        )
+        for p in range(1, max_wlen + 1):
+            prior = " UNION ALL ".join(
+                f"SELECT * FROM b{r}p{p - k}"
+                for k in range(1, min(max_piece, p) + 1)
+            )
+            ctes.append(
+                f"""b{r}p{p} AS MATERIALIZED (
+  SELECT w, CAST({p} AS BIGINT) AS pos, tot, k FROM (
+    SELECT e.w, b.tot + e.cost AS tot, e.k,
+           ROW_NUMBER() OVER (PARTITION BY e.w
+                              ORDER BY b.tot + e.cost, e.k) AS rn
+    FROM e{r} e JOIN ({prior}) b
+      ON b.w = e.w AND b.pos = {p} - e.k
+    WHERE e.p = {p}
+  ) WHERE rn = 1
+)"""
+            )
+        ball = " UNION ALL ".join(
+            f"SELECT * FROM b{r}p{p}" for p in range(max_wlen + 1)
+        )
+        ctes.append(f"b{r} AS MATERIALIZED ({ball})")
+        ctes.append(
+            f"""t{r}s0 AS MATERIALIZED (
+  SELECT b.w, wo.freq, b.pos, b.k
+  FROM b{r} b JOIN words wo ON wo.w = b.w AND b.pos = len(wo.w)
+  WHERE b.pos > 0
+)"""
+        )
+        for i in range(1, max_wlen):
+            ctes.append(
+                f"""t{r}s{i} AS MATERIALIZED (
+  SELECT t.w, t.freq, b.pos, b.k
+  FROM t{r}s{i - 1} t JOIN b{r} b ON b.w = t.w AND b.pos = t.pos - t.k
+  WHERE t.pos - t.k > 0
+)"""
+            )
+        tall = " UNION ALL ".join(
+            f"SELECT * FROM t{r}s{i}" for i in range(max_wlen)
+        )
+        ctes.append(
+            f"""use{r} AS MATERIALIZED (
+  SELECT substr(w, CAST(pos - k + 1 AS INT), CAST(k AS INT)) AS piece,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM ({tall})
+  GROUP BY piece
+),
+v{r} AS MATERIALIZED (
+  SELECT v.piece, CAST(COALESCE(u.cnt, 0) + 1 AS BIGINT) AS cnt
+  FROM v{pr} v LEFT JOIN use{r} u ON u.piece = v.piece
+)"""
+        )
+    n = n_rounds
+    ctes.append(
+        f"""cfin AS MATERIALIZED (
+  SELECT piece,
+         CAST(-FLOOR(LN(CAST(cnt AS DOUBLE) /
+              (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v{n})) * 1000)
+              AS BIGINT) AS cost
+  FROM v{n}
+),
+kept AS MATERIALIZED (
+  SELECT piece, cnt FROM v{n} WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM v{n} WHERE len(piece) > 1
+  ) WHERE rn <= {target}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT k.piece, CAST(k.cnt - 1 AS BIGINT) AS use_cnt, c.cost AS cost_milli
+FROM kept k JOIN cfin c ON c.piece = k.piece
+"""
+    )
+
+
+@query("unigram_lm_train", oracle=_unigram_train_oracle())
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer training over the
+    documents corpus — the OTHER production tokenizer family next to
+    bpe_train: fixed-round Viterbi-EM re-estimates piece probabilities
+    over the word-vocabulary segmentation lattice, then prunes to the
+    target inventory.  Full semantics, tie-breaks, and the scale shape
+    (map-only lattice DP inside one Catalyst expression, broadcast
+    piece-cost map, one vocab-sized hash agg per round) are documented
+    on :func:`unigram_train_rounds`; exact agreement with a plain-Python
+    EM reference is pinned by tests/test_unigram_lm.py."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return unigram_train_rounds(words)

@@ -473,6 +473,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "benford_digit_audit": "broadcast 1-row total scalar x digit stream",
         "cusum_changepoint": "broadcast 1-row mean + 1-row peak over the day series",
         "bpe_train": "broadcast 1-row argmax pair + 1-row vocab count per round",
+        "unigram_lm_train": "broadcast 1-row piece-cost map + 1-row total per round",
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",
