@@ -826,3 +826,188 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_filter_pairs(
         dedup_corpus(spark, sf_dir), shingle_words=5, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity quality filter (CCNet/KenLM-class)
+# ---------------------------------------------------------------------------
+
+_LM_TOPK_BIGRAMS = 500  # pruned model size (top bigrams by count)
+_LM_HELDOUT_MOD = 10  # doc_id % MOD = 0 trains the model
+
+
+@query(
+    "ngram_lm_perplexity_filter",
+    oracle=f"""
+WITH held AS MATERIALIZED (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts
+  FROM documents WHERE doc_id % {_LM_HELDOUT_MOD} = 0
+),
+hbig AS MATERIALIZED (
+  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+  FROM held, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+),
+ctx AS MATERIALIZED (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM hbig GROUP BY w1
+),
+vsz AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT term) + 1 AS BIGINT) AS v FROM (
+    SELECT unnest(ts) AS term FROM held
+  )
+),
+model AS MATERIALIZED (
+  SELECT w1, w2,
+         CAST(-FLOOR(LN(CAST(bc + 1 AS DOUBLE) / (cc + v)) * 1000)
+              AS BIGINT) AS nll
+  FROM (
+    SELECT b.w1, b.w2, b.bc, c.c AS cc,
+           ROW_NUMBER() OVER (ORDER BY b.bc DESC, b.w1, b.w2) AS rn
+    FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+          FROM hbig GROUP BY w1, w2) b
+    JOIN ctx c ON c.w1 = b.w1
+  ), vsz
+  WHERE rn <= {_LM_TOPK_BIGRAMS}
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+dbig AS MATERIALIZED (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+  FROM docs, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+scored AS MATERIALIZED (
+  SELECT d.doc_id,
+         COALESCE(m.nll,
+           CAST(-FLOOR(LN(1.0 / (COALESCE(c.c, 0) + vsz.v)) * 1000)
+                AS BIGINT)) AS nll
+  FROM dbig d
+  LEFT JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+  LEFT JOIN ctx c ON c.w1 = d.w1
+  CROSS JOIN vsz
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll) AS BIGINT) AS nll_milli,
+       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS avg_nll_milli,
+       CAST((SUM(nll) // COUNT(*)) // 500 AS BIGINT) AS ppl_bucket
+FROM scored
+GROUP BY doc_id
+""",
+)
+def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity scoring — the CCNet/KenLM-class quality
+    signal (Wenzek et al. '20): train a bigram LM on a held-out corpus
+    slice (doc_id % 10 = 0), prune it to the top-K bigrams, then score
+    EVERY document's per-token negative log-likelihood against the
+    broadcast model and bucket documents by average NLL (CCNet's
+    head/middle/tail split is a quantile cut over exactly this score;
+    the integer bucket here is the deterministic analogue).  Completes
+    the model-based quality family next to classifier_quality_filter
+    (supervised), token_entropy (self-statistics), and
+    repetition_filter (structure).
+
+    Laplace-smoothed conditional with pruning-as-unseen:
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) for kept bigrams, 1/(c(w1)+V)
+    for pruned/unseen pairs (c(w1)=0 when the context itself is new) —
+    one coalesce per bigram, no special cases.  NLL is floored to
+    integer MILLI-units per bigram before the per-doc sum (the
+    bm25/dirichlet portability discipline); the per-doc average uses
+    integer DIV.
+
+    Scale shape: the model pass is two hash aggs over the HELD-OUT
+    slice only (a predicate-pruned sliver of the corpus).  The scoring
+    pass is the part that must scale to 100 TB and it is MAP-ONLY:
+    the pruned model + context counts ship as two map columns in a
+    1-row broadcast (bounded by top-K + context vocab), each document's
+    bigram stream is built and folded INSIDE its own row
+    (transform + aggregate over the token array — no explode, no
+    per-bigram rows), so the scorer adds zero exchanges to the scan
+    (pinned by tests/test_plans.py).  Per-doc output needs no
+    aggregation because the fold already produced it."""
+    docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
+    held = docs.where(F.col("doc_id") % _LM_HELDOUT_MOD == 0)
+    hbig = held.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, "
+                "element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    ctx = hbig.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vsz = held.select(F.explode("tk").alias("term")).agg(
+        (F.countDistinct("term") + 1).cast("long").alias("v")
+    )
+    bc = hbig.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    model = (
+        bc.join(ctx, "w1")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                # Unpartitioned window over the bigram-count table only —
+                # bounded by the held-out vocabulary squared and cut to
+                # top-K immediately (the documented bounded-input class).
+                W.orderBy(F.desc("bc"), F.asc("w1"), F.asc("w2"))
+            ),
+        )
+        .where(F.col("rn") <= _LM_TOPK_BIGRAMS)
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bg"),
+            (-F.floor(
+                F.log(
+                    (F.col("bc") + 1).cast("double")
+                    / (F.col("c") + F.col("v")).cast("double")
+                )
+                * 1000.0
+            ))
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    packed = (
+        model.agg(
+            F.map_from_entries(F.collect_list(F.struct("bg", "nll"))).alias(
+                "bigmap"
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ctx.agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("w1", "c"))
+                    ).alias("ctxmap")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(vsz))
+    )
+    nll_item = (
+        "coalesce(element_at(bigmap, concat(element_at(tk, i), ' ', "
+        "element_at(tk, i + 1))), "
+        "CAST(-FLOOR(LN(1.0 / (coalesce(element_at(ctxmap, "
+        "element_at(tk, i)), 0) + v)) * 1000) AS BIGINT))"
+    )
+    scored = (
+        docs.where(F.size("tk") >= 2)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "doc_id",
+            (F.size("tk") - 1).cast("long").alias("n_bigrams"),
+            F.expr(
+                "aggregate(sequence(1, size(tk) - 1), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc + {nll_item})"
+            ).alias("nll_milli"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_milli",
+        F.expr("nll_milli DIV n_bigrams").alias("avg_nll_milli"),
+        F.expr("(nll_milli DIV n_bigrams) DIV 500").alias("ppl_bucket"),
+    )

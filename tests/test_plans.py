@@ -474,6 +474,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "cusum_changepoint": "broadcast 1-row mean + 1-row peak over the day series",
         "bpe_train": "broadcast 1-row argmax pair + 1-row vocab count per round",
         "unigram_lm_train": "broadcast 1-row piece-cost map + 1-row total per round",
+        "ngram_lm_perplexity_filter": "broadcast 1-row model maps + vocab scalar",
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",
@@ -708,3 +709,64 @@ def test_gram_matrix_map_side_fanout_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_ngram_lm_scoring_pass_map_only(spark, sf_dir):
+    """The perplexity SCORING pass must add zero exchanges to the
+    documents scan: the pruned model ships as a 1-row broadcast (the
+    whitelisted NLJ cross) and each document's bigram stream folds
+    inside its own row.  Walked on the physical tree (AQE off for a
+    stable tree): the streamed side of the outermost broadcast cross
+    must contain the parquet scan and NO shuffle exchange — every
+    shuffle in the query belongs to the held-out model build, which
+    sits on the broadcast side."""
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = all_queries()["ngram_lm_perplexity_filter"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def children(node):
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def walk(node):
+        yield node
+        for c in children(node):
+            yield from walk(c)
+
+    def name(node):
+        return node.getClass().getSimpleName()
+
+    bnlj = next(
+        (n for n in walk(plan) if "BroadcastNestedLoopJoin" in name(n)), None
+    )
+    assert bnlj is not None, plan.toString()
+    # Codegen wrappers (InputAdapter/WholeStageCodegen) hide the
+    # BroadcastExchange a level down — the broadcast side is the child
+    # whose SUBTREE contains one, the streamed side is the other.
+    streamed = [
+        c
+        for c in children(bnlj)
+        if not any("BroadcastExchange" in name(n) for n in walk(c))
+    ]
+    assert len(streamed) == 1, [name(c) for c in children(bnlj)]
+    sub = list(walk(streamed[0]))
+    assert any("FileSourceScan" in name(n) for n in sub), [name(n) for n in sub]
+    # spread()'s round-robin small-split guard (a no-op at scale) is the
+    # only exchange allowed; a hash/range shuffle would mean the scorer
+    # aggregates per-bigram rows instead of folding inside each row.
+    keyed = [
+        n
+        for n in sub
+        if "ShuffleExchange" in name(n)
+        and (
+            "hashpartitioning" in n.toString()
+            or "rangepartitioning" in n.toString()
+        )
+    ]
+    assert not keyed, [n.toString()[:200] for n in keyed]
