@@ -757,3 +757,134 @@ def protobuf_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("user_id").cast("long").alias("n_with_user"),
         F.sum("user_id").cast("long").alias("sum_user_id"),
     )
+
+
+@query(
+    "cdc_tombstone_gc",
+    oracle="""
+WITH m AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mx FROM orders)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END
+         AS price_cents,
+       CAST(1000 + o_orderkey * 10
+            + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END AS BIGINT)
+         AS ts_ms
+FROM orders, m
+WHERE o_orderkey % 7 != 0
+   OR (o_orderkey % 10 = 0 AND 10 * o_orderkey + 7 < 5 * m.mx)
+""",
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone retention GC on the LWW CDC store
+    (streaming/cdc.py::expire_tombstones) — bounded state for a table
+    that deletes forever, with the horizon contract made hash-visible
+    from BOTH sides:
+
+    * creates (ts base), updates for keys %10==0 (ts base+5), deletes
+      for keys %7==0 (ts base+7) merge as in cdc_debezium_apply;
+    * GC expires tombstones older than a cutoff that splits the deleted
+      keys in half (cutoff = 1000 + 5*max_key, so a delete at
+      1007 + 10*key expires iff 10*key + 7 < 5*max_key);
+    * the UPDATE batch is then re-delivered (fresh batch id — the
+      at-least-once producer replaying inside the horizon).
+
+    Expected final state: keys %7 != 0 unchanged by GC; deleted keys
+    with a SURVIVING (in-horizon) tombstone stay deleted — the replayed
+    older update still loses the LWW window, which is the guarantee GC
+    must not break; deleted keys whose tombstone EXPIRED and that carry
+    a replayed update RESURRECT with the update image — the documented
+    trade-off of every tombstone-retention design (Kafka
+    delete.retention.ms, Cassandra gc_grace_seconds): the horizon must
+    exceed the maximum replay lag, and this query's hash pins both
+    sides of that contract (a GC that keeps expired tombstones kills
+    the resurrected class; one that drops in-horizon tombstones revives
+    the deleted class).
+
+    The 1-row max-key collect is metadata-sized (the documented
+    sampling.py:137 class).  Scale shape: the merges are keyed
+    windows as in cdc_debezium_apply; the GC itself is one
+    filter-and-rewrite of the snapshot under the crash-safe
+    write-then-pointer-flip ordering (on a real table format, a
+    partition-pruned DELETE WHERE)."""
+    from odni_apache_beam_consumer_spark.streaming import cdc as C
+
+    payload = "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"
+    null_img = f"CAST(NULL AS STRUCT<{payload}>)"
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        (F.lit(1000) + F.col("o_orderkey") * 10).alias("base_ts"),
+    )
+    creates = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.col("base_ts").alias("ts_ms"),
+                F.expr(null_img).alias("before"),
+                F.struct("o_orderkey", "o_orderstatus", "price_cents").alias(
+                    "after"
+                ),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                (F.col("base_ts") + 5).alias("ts_ms"),
+                F.expr(null_img).alias("before"),
+                F.struct(
+                    "o_orderkey",
+                    F.lit("U").alias("o_orderstatus"),
+                    (F.col("price_cents") + 100000).alias("price_cents"),
+                ).alias("after"),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    deletes = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("op"),
+                (F.col("base_ts") + 7).alias("ts_ms"),
+                F.struct("o_orderkey", "o_orderstatus", "price_cents").alias(
+                    "before"
+                ),
+                F.expr(null_img).alias("after"),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    store = tempfile.mkdtemp(prefix="cdc_gc_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        merger = C.lww_upsert_merger(store, ["o_orderkey"])
+        b_c = C.parse_debezium(creates, payload).localCheckpoint(eager=True)
+        b_u = C.parse_debezium(updates, payload).localCheckpoint(eager=True)
+        b_d = C.parse_debezium(deletes, payload).localCheckpoint(eager=True)
+        merger(b_c, 0)
+        merger(b_u, 1)
+        merger(b_d, 2)
+        mx = int(o.agg(F.max("o_orderkey")).first()[0])  # 1-row metadata
+        now_ms = 1000 + 10 * mx + 1000
+        cutoff = 1000 + 5 * mx
+        C.expire_tombstones(
+            spark, store, horizon_ms=now_ms - cutoff, now_ms=now_ms
+        )
+        merger(b_u, 4)  # in-horizon replay of the pre-delete update
+        out = C.read_current(spark, store)
+        return out.select(
+            "o_orderkey", "o_orderstatus", "price_cents", "ts_ms"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(store, ignore_errors=True)

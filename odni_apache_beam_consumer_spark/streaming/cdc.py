@@ -202,3 +202,47 @@ def read_current(spark, store: str) -> DataFrame | None:
     if snap is None:
         return None
     return snap.where(~F.col("is_delete")).drop("is_delete")
+
+
+def expire_tombstones(
+    spark, store: str, horizon_ms: int, now_ms: int, ts_col: str = "ts_ms"
+) -> int:
+    """Tombstone retention GC: rewrite the current snapshot without
+    tombstones older than ``now_ms - horizon_ms``, as a new committed
+    version.  Without this, every key ever deleted lives in the LWW
+    store forever; with it, state is bounded by the live keys plus one
+    horizon's worth of deletes — the Kafka-compacted-topic
+    ``delete.retention.ms`` / Cassandra ``gc_grace_seconds`` contract,
+    with the same trade-off: a change REPLAYED from before the horizon
+    can resurrect a deleted row, so the horizon must exceed the
+    pipeline's maximum replay/out-of-order lag.
+
+    Crash-safe by the same ordering argument as the merger and
+    txtable.expire_versions: the pruned snapshot is fully written under
+    the NEXT version number first, then the pointer flips atomically
+    (os.replace) — a crash before the flip leaves the old state
+    current and the orphan directory is vacuum debris, never a
+    half-applied GC.  In-horizon tombstones survive verbatim, so
+    replays newer than the horizon still lose the LWW window exactly
+    as before.  Returns the new committed version.
+
+    Scale shape: one filter-and-rewrite pass over the snapshot (on a
+    real table format: a metadata-gated DELETE WHERE on the tombstone
+    partition); never touches the change stream."""
+    committed = latest_version(store)
+    if committed is None:
+        raise ValueError(f"no committed snapshot under {store}")
+    snap = read_view(spark, store)
+    cutoff = now_ms - horizon_ms
+    kept = snap.where(
+        ~(F.col("is_delete") & (F.col(ts_col) < F.lit(cutoff)))
+    ).localCheckpoint(eager=True)
+    v = committed + 1
+    kept.write.mode("overwrite").parquet(os.path.join(store, f"snapshot_{v}"))
+    tmp = os.path.join(store, f"._latest_{v}")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(store, _POINTER))
+    with open(os.path.join(store, f"_committed_{v}"), "w"):
+        pass
+    return v

@@ -278,3 +278,60 @@ def test_lww_replay_fast_path_skips_snapshot_write(spark):
         assert os.path.exists(os.path.join(store, "_committed_5"))
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_expire_tombstones_horizon_and_replay(spark):
+    """Tombstone GC contract at the raw-snapshot level: (a) tombstones
+    older than the horizon are physically gone from the new snapshot
+    while in-horizon ones survive verbatim; (b) GC commits as a NEW
+    version under the pointer protocol; (c) an in-horizon replay of a
+    pre-delete change still no-ops; (d) a pre-horizon replay resurrects
+    — the documented trade-off, visible so the horizon is sized to
+    replay lag."""
+    import os
+
+    from odni_apache_beam_consumer_spark.streaming.materialized import (
+        latest_version,
+        read_view,
+    )
+
+    store = tempfile.mkdtemp(prefix="cdc_gc_test_")
+    try:
+        m = C.lww_upsert_merger(store, ["k"])
+        creates = C.parse_debezium(
+            _envs(
+                spark,
+                [
+                    ('{"op":"c","ts_ms":10,"after":{"k":1,"v":"a"}}',),
+                    ('{"op":"c","ts_ms":10,"after":{"k":2,"v":"b"}}',),
+                ],
+            ),
+            SCHEMA,
+        ).localCheckpoint(eager=True)
+        deletes = C.parse_debezium(
+            _envs(
+                spark,
+                [
+                    ('{"op":"d","ts_ms":20,"before":{"k":1,"v":"a"}}',),
+                    ('{"op":"d","ts_ms":90,"before":{"k":2,"v":"b"}}',),
+                ],
+            ),
+            SCHEMA,
+        ).localCheckpoint(eager=True)
+        m(creates, 0)
+        m(deletes, 1)
+        # GC at now=100, horizon=50 -> cutoff 50: k=1's tombstone (ts 20)
+        # expires, k=2's (ts 90) survives.
+        v = C.expire_tombstones(spark, store, horizon_ms=50, now_ms=100)
+        assert v == 2 and latest_version(store) == 2
+        raw = {(r.k, r.is_delete) for r in read_view(spark, store).collect()}
+        assert raw == {(2, True)}, raw  # expired tombstone GONE, k2 held
+        # (c) in-horizon replay: k=2's create (ts 10 < tombstone ts 90)
+        # must still lose the LWW window.
+        m(creates, 3)
+        got = {r.k for r in C.read_current(spark, store).collect()}
+        # (d) k=1 resurrects (its tombstone expired; the replay is older
+        # than the horizon — out of contract, and visibly so).
+        assert got == {1}, got
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
