@@ -583,6 +583,8 @@ def pq_adc_topk(
     rerank: int = 50,
     scale: int = 10000,
     candidates: DataFrame | None = None,
+    emb: DataFrame | None = None,
+    qemb: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-ranking (ADC+R, Jégou et al. TPAMI'11): corpus vectors are
@@ -613,10 +615,15 @@ def pq_adc_topk(
     ADC scan to a precomputed candidate set — passing the IVF coarse
     quantizer's probed-cell pairs here IS IVFADC (ivfpq_adc_topk);
     keeping one shared body guarantees the two paths can never diverge
-    in scale/rounding/tie-break conventions."""
+    in scale/rounding/tie-break conventions.  ``emb``/``qemb`` let a
+    caller that already normalized the corpus/queries (ivfpq_adc_topk's
+    IVF stage) thread those frames in, so both stages share ONE lineage
+    instead of Catalyst re-deriving the normalization scans per subtree
+    (round-9 advice item 4)."""
     m_count = len(planes_by_sub)
     sub_dim = len(planes_by_sub[0][0])
-    emb = with_self_dot(with_vec(corpus))
+    if emb is None:
+        emb = with_self_dot(with_vec(corpus))
     codes = emb.select(
         "vec_id",
         F.explode(
@@ -657,7 +664,8 @@ def pq_adc_topk(
         .groupBy("m", "code", "d")
         .agg(F.expr("CAST(SUM(xs) DIV COUNT(*) AS BIGINT)").alias("c"))
     )
-    qemb = with_self_dot(with_vec(q_df))
+    if qemb is None:
+        qemb = with_self_dot(with_vec(q_df))
     lut = (
         _elems(qemb, "query_id")
         .withColumnRenamed("xs", "qs")
@@ -790,4 +798,6 @@ def ivfpq_adc_topk(
         rerank=rerank,
         scale=scale,
         candidates=cand_ids,
+        emb=emb,
+        qemb=qemb,
     )
