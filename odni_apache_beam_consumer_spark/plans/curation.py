@@ -917,28 +917,44 @@ def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the model pass is two hash aggs over the HELD-OUT
     slice only (a predicate-pruned sliver of the corpus).  The scoring
-    pass is the part that must scale to 100 TB and it is MAP-ONLY:
-    the pruned model + context counts ship as two map columns in a
-    1-row broadcast (bounded by top-K + context vocab), each document's
-    bigram stream is built and folded INSIDE its own row
-    (transform + aggregate over the token array — no explode, no
-    per-bigram rows), so the scorer adds zero exchanges to the scan
-    (pinned by tests/test_plans.py).  Per-doc output needs no
-    aggregation because the fold already produced it."""
+    pass is the part that must scale to 100 TB: the document bigram
+    stream (explode, pipelined inside the scan stage) probes the pruned
+    model and the context counts through BROADCAST HASH JOINS — O(1)
+    per probe — and the per-doc sum partial-aggregates map-side before
+    the single doc_id exchange, so only |docs| partial rows ever cross
+    the wire.  The first cut of this query folded the bigram stream
+    inside each row against 1-row MAP columns instead ("zero
+    shuffles"), which benchmarked at the LINEAR envelope at 300x
+    (852 s): Spark's GetMapValue on a map column is a linear scan, so
+    every probe cost O(|context vocab|) and the "shuffle-free" design
+    hid an O(corpus x vocab) term.  Broadcast hash joins are the
+    honest scale shape (pinned by tests/test_plans.py: no
+    BroadcastNestedLoopJoin anywhere, partial HashAggregate below the
+    one doc_id exchange).  The vocabulary-size scalar V crosses the
+    driver as one integer (the documented metadata-sized class).
+    """
     docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
     held = docs.where(F.col("doc_id") % _LM_HELDOUT_MOD == 0)
-    hbig = held.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(element_at(tk, i) AS w1, "
-                "element_at(tk, i + 1) AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+
+    def bigrams(df: DataFrame, *extra: str) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        ).select(*extra, "b.w1", "b.w2")
+
+    hbig = bigrams(held)
     ctx = hbig.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    vsz = held.select(F.explode("tk").alias("term")).agg(
-        (F.countDistinct("term") + 1).cast("long").alias("v")
+    # one integer across the driver: |held-out vocab| + 1 (metadata-sized)
+    v_lit = int(
+        held.select(F.explode("tk").alias("term"))
+        .agg((F.countDistinct("term") + 1).cast("long").alias("v"))
+        .first()[0]
     )
     bc = hbig.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("bc")
@@ -955,53 +971,42 @@ def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("rn") <= _LM_TOPK_BIGRAMS)
-        .crossJoin(F.broadcast(vsz))
         .select(
-            F.concat_ws(" ", "w1", "w2").alias("bg"),
+            "w1",
+            "w2",
             (-F.floor(
                 F.log(
                     (F.col("bc") + 1).cast("double")
-                    / (F.col("c") + F.col("v")).cast("double")
+                    / (F.col("c") + F.lit(v_lit)).cast("double")
                 )
                 * 1000.0
             ))
             .cast("long")
-            .alias("nll"),
+            .alias("mnll"),
         )
-    )
-    packed = (
-        model.agg(
-            F.map_from_entries(F.collect_list(F.struct("bg", "nll"))).alias(
-                "bigmap"
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                ctx.agg(
-                    F.map_from_entries(
-                        F.collect_list(F.struct("w1", "c"))
-                    ).alias("ctxmap")
-                )
-            )
-        )
-        .crossJoin(F.broadcast(vsz))
-    )
-    nll_item = (
-        "coalesce(element_at(bigmap, concat(element_at(tk, i), ' ', "
-        "element_at(tk, i + 1))), "
-        "CAST(-FLOOR(LN(1.0 / (coalesce(element_at(ctxmap, "
-        "element_at(tk, i)), 0) + v)) * 1000) AS BIGINT))"
     )
     scored = (
-        docs.where(F.size("tk") >= 2)
-        .crossJoin(F.broadcast(packed))
+        bigrams(docs.where(F.size("tk") >= 2), "doc_id")
+        .join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
         .select(
             "doc_id",
-            (F.size("tk") - 1).cast("long").alias("n_bigrams"),
-            F.expr(
-                "aggregate(sequence(1, size(tk) - 1), CAST(0 AS BIGINT), "
-                f"(acc, i) -> acc + {nll_item})"
-            ).alias("nll_milli"),
+            F.coalesce(
+                F.col("mnll"),
+                (-F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        / (F.coalesce(F.col("c"), F.lit(0)) + F.lit(v_lit))
+                        .cast("double")
+                    )
+                    * 1000.0
+                )).cast("long"),
+            ).alias("nll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll").cast("long").alias("nll_milli"),
         )
     )
     return scored.select(

@@ -1081,6 +1081,42 @@ _UNI_SEED_MULTI = 40  # multi-char seed pieces kept (top by corpus count)
 _UNI_TARGET = 24  # multi-char pieces kept after the final prune
 
 
+
+
+def _uni_dp_expr(max_piece: int) -> str:
+    """The Viterbi lattice DP as one Catalyst fold: frontier of
+    (total cost, chosen piece length) structs per position, candidates
+    sorted by (tot, k) so the argmin tie-break is deterministic; a
+    piece missing from the broadcast cost map ``pm`` yields a NULL tot
+    and is filtered out."""
+    return (
+        "aggregate(sequence(1, length(w)), "
+        "array(struct(CAST(0 AS BIGINT) AS tot, CAST(0 AS INT) AS k)), "
+        "(acc, p) -> concat(acc, array(element_at(array_sort(filter("
+        f"transform(sequence(1, least({max_piece}, p)), "
+        "k -> struct(element_at(acc, p - k + 1).tot + "
+        "element_at(pm, substring(w, p - k + 1, k)) AS tot, "
+        "CAST(k AS INT) AS k)), c -> c.tot IS NOT NULL)), 1))))"
+    )
+
+
+def _uni_bt_expr(max_wlen: int) -> str:
+    """Backtrack fold over the ``dp`` frontier: walks from the word's
+    end following the chosen piece lengths, collecting pieces
+    LAST-TO-FIRST (reverse before joining for reading order)."""
+    return (
+        f"aggregate(sequence(1, {max_wlen}), "
+        "struct(CAST(length(w) AS INT) AS pos, "
+        "CAST(array() AS ARRAY<STRING>) AS ps), "
+        "(st, i) -> IF(st.pos > 0, "
+        "struct(CAST(st.pos - element_at(dp, st.pos + 1).k AS INT) AS pos, "
+        "concat(st.ps, array(substring(w, "
+        "st.pos - element_at(dp, st.pos + 1).k + 1, "
+        "element_at(dp, st.pos + 1).k))) AS ps), st), "
+        "st -> st.ps)"
+    )
+
+
 def unigram_train_rounds(
     words: DataFrame,
     n_rounds: int = _UNI_ROUNDS,
@@ -1154,26 +1190,8 @@ def unigram_train_rounds(
     )
     vocab = chars.unionByName(multi).localCheckpoint(eager=True)
 
-    dp_expr = (
-        "aggregate(sequence(1, length(w)), "
-        "array(struct(CAST(0 AS BIGINT) AS tot, CAST(0 AS INT) AS k)), "
-        "(acc, p) -> concat(acc, array(element_at(array_sort(filter("
-        f"transform(sequence(1, least({max_piece}, p)), "
-        "k -> struct(element_at(acc, p - k + 1).tot + "
-        "element_at(pm, substring(w, p - k + 1, k)) AS tot, "
-        "CAST(k AS INT) AS k)), c -> c.tot IS NOT NULL)), 1))))"
-    )
-    bt_expr = (
-        f"aggregate(sequence(1, {max_wlen}), "
-        "struct(CAST(length(w) AS INT) AS pos, "
-        "CAST(array() AS ARRAY<STRING>) AS ps), "
-        "(st, i) -> IF(st.pos > 0, "
-        "struct(CAST(st.pos - element_at(dp, st.pos + 1).k AS INT) AS pos, "
-        "concat(st.ps, array(substring(w, "
-        "st.pos - element_at(dp, st.pos + 1).k + 1, "
-        "element_at(dp, st.pos + 1).k))) AS ps), st), "
-        "st -> st.ps)"
-    )
+    dp_expr = _uni_dp_expr(max_piece)
+    bt_expr = _uni_bt_expr(max_wlen)
 
     def recost(v: DataFrame) -> DataFrame:
         total = v.agg(F.sum("cnt").cast("long").alias("total"))
@@ -1242,13 +1260,13 @@ def unigram_train_rounds(
     )
 
 
-def _unigram_train_oracle(
+def _unigram_train_ctes(
     n_rounds: int = _UNI_ROUNDS,
     max_piece: int = _UNI_MAX_PIECE,
     max_wlen: int = _UNI_MAX_WLEN,
     seed_multi: int = _UNI_SEED_MULTI,
     target: int = _UNI_TARGET,
-) -> str:
+) -> list:
     """Unrolled SQL replay of the Viterbi-EM rounds — the kcore/bpe
     fixed-round-oracle pattern, but over the segmentation LATTICE: per
     round, the DP unrolls into one CTE per lattice position (b{r}p{p}
@@ -1375,12 +1393,85 @@ kept AS MATERIALIZED (
   ) WHERE rn <= {target}
 )"""
     )
+    return ctes
+
+
+def _unigram_train_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_unigram_train_ctes())
         + """
 SELECT k.piece, CAST(k.cnt - 1 AS BIGINT) AS use_cnt, c.cost AS cost_milli
 FROM kept k JOIN cfin c ON c.piece = k.piece
+"""
+    )
+
+
+def _unigram_apply_oracle(
+    max_piece: int = _UNI_MAX_PIECE, max_wlen: int = _UNI_MAX_WLEN
+) -> str:
+    """Train chain (same CTE text as _unigram_train_oracle) + an APPLY
+    chain: the pruned final model re-runs the lattice DP over the FULL
+    trainable vocabulary and each word's ordered best segmentation is
+    assembled with string_agg(ORDER BY pos)."""
+    ctes = list(_unigram_train_ctes())
+    ctes.append(
+        """capp AS MATERIALIZED (
+  SELECT k.piece, c.cost FROM kept k JOIN cfin c ON c.piece = k.piece
+),
+ea AS MATERIALIZED (
+  SELECT l.w, l.p, l.k, c.cost FROM lat l JOIN capp c ON c.piece = l.piece
+),
+bap0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS tot,
+         CAST(0 AS BIGINT) AS k
+  FROM words
+)"""
+    )
+    for p in range(1, max_wlen + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT * FROM bap{p - k}" for k in range(1, min(max_piece, p) + 1)
+        )
+        ctes.append(
+            f"""bap{p} AS MATERIALIZED (
+  SELECT w, CAST({p} AS BIGINT) AS pos, tot, k FROM (
+    SELECT e.w, b.tot + e.cost AS tot, e.k,
+           ROW_NUMBER() OVER (PARTITION BY e.w
+                              ORDER BY b.tot + e.cost, e.k) AS rn
+    FROM ea e JOIN ({prior}) b
+      ON b.w = e.w AND b.pos = {p} - e.k
+    WHERE e.p = {p}
+  ) WHERE rn = 1
+)"""
+        )
+    ball = " UNION ALL ".join(f"SELECT * FROM bap{p}" for p in range(max_wlen + 1))
+    ctes.append(f"ba AS MATERIALIZED ({ball})")
+    ctes.append(
+        """tas0 AS MATERIALIZED (
+  SELECT b.w, wo.freq, b.pos, b.k
+  FROM ba b JOIN words wo ON wo.w = b.w AND b.pos = len(wo.w)
+  WHERE b.pos > 0
+)"""
+    )
+    for i in range(1, max_wlen):
+        ctes.append(
+            f"""tas{i} AS MATERIALIZED (
+  SELECT t.w, t.freq, b.pos, b.k
+  FROM tas{i - 1} t JOIN ba b ON b.w = t.w AND b.pos = t.pos - t.k
+  WHERE t.pos - t.k > 0
+)"""
+        )
+    tall = " UNION ALL ".join(f"SELECT * FROM tas{i}" for i in range(max_wlen))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w, CAST(freq AS BIGINT) AS freq,
+       CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       string_agg(substr(w, CAST(pos - k + 1 AS INT), CAST(k AS INT)),
+                  ' ' ORDER BY pos) AS pieces
+FROM ({tall})
+GROUP BY w, freq
 """
     )
 
@@ -1403,3 +1494,45 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     return unigram_train_rounds(words)
+
+
+@query("unigram_lm_apply", oracle=_unigram_apply_oracle())
+def unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM INFERENCE — the other half of unigram_lm_train,
+    completing the tokenizer family symmetry (bpe_train / bpe_apply,
+    unigram train / apply): the pruned trained model re-segments the
+    full trainable vocabulary by the same Viterbi lattice DP, emitting
+    each word's piece count and ordered best segmentation.  Every word
+    stays segmentable because the prune keeps all single characters.
+
+    Scale shape: training as in unigram_lm_train; the apply pass is one
+    broadcast of the pruned piece-cost map plus a single map-only fold
+    per word (the DP and backtrack run inside the row — zero shuffles,
+    zero Python), then join the segmented vocab back to the corpus by
+    word, exactly the bpe_apply deployment note."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    model = unigram_train_rounds(words)
+    pm = model.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "cost_milli"))).alias(
+            "pm"
+        )
+    )
+    w8 = words.where(F.length("w").between(2, _UNI_MAX_WLEN))
+    seg = (
+        w8.crossJoin(F.broadcast(pm))
+        .withColumn("dp", F.expr(_uni_dp_expr(_UNI_MAX_PIECE)))
+        .withColumn("ps", F.expr(_uni_bt_expr(_UNI_MAX_WLEN)))
+    )
+    return seg.select(
+        "w",
+        "freq",
+        F.size("ps").cast("long").alias("n_pieces"),
+        # the backtrack collects pieces last-to-first; reverse for
+        # reading order (matches the oracle's ORDER BY pos)
+        F.array_join(F.reverse("ps"), " ").alias("pieces"),
+    )

@@ -475,6 +475,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "bpe_train": "broadcast 1-row argmax pair + 1-row vocab count per round",
         "unigram_lm_train": "broadcast 1-row piece-cost map + 1-row total per round",
         "ngram_lm_perplexity_filter": "broadcast 1-row model maps + vocab scalar",
+        "unigram_lm_apply": "broadcast 1-row piece-cost map (train + apply)",
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",
@@ -711,62 +712,19 @@ def test_gram_matrix_map_side_fanout_single_exchange(spark, sf_dir):
     assert "partial" in plan.lower(), plan
 
 
-def test_ngram_lm_scoring_pass_map_only(spark, sf_dir):
-    """The perplexity SCORING pass must add zero exchanges to the
-    documents scan: the pruned model ships as a 1-row broadcast (the
-    whitelisted NLJ cross) and each document's bigram stream folds
-    inside its own row.  Walked on the physical tree (AQE off for a
-    stable tree): the streamed side of the outermost broadcast cross
-    must contain the parquet scan and NO shuffle exchange — every
-    shuffle in the query belongs to the held-out model build, which
-    sits on the broadcast side."""
-    from odni_apache_beam_consumer_spark.plans.registry import all_queries
-
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        df = all_queries()["ngram_lm_perplexity_filter"](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-
-    def children(node):
-        ch = node.children()
-        return [ch.apply(i) for i in range(ch.size())]
-
-    def walk(node):
-        yield node
-        for c in children(node):
-            yield from walk(c)
-
-    def name(node):
-        return node.getClass().getSimpleName()
-
-    bnlj = next(
-        (n for n in walk(plan) if "BroadcastNestedLoopJoin" in name(n)), None
-    )
-    assert bnlj is not None, plan.toString()
-    # Codegen wrappers (InputAdapter/WholeStageCodegen) hide the
-    # BroadcastExchange a level down — the broadcast side is the child
-    # whose SUBTREE contains one, the streamed side is the other.
-    streamed = [
-        c
-        for c in children(bnlj)
-        if not any("BroadcastExchange" in name(n) for n in walk(c))
-    ]
-    assert len(streamed) == 1, [name(c) for c in children(bnlj)]
-    sub = list(walk(streamed[0]))
-    assert any("FileSourceScan" in name(n) for n in sub), [name(n) for n in sub]
-    # spread()'s round-robin small-split guard (a no-op at scale) is the
-    # only exchange allowed; a hash/range shuffle would mean the scorer
-    # aggregates per-bigram rows instead of folding inside each row.
-    keyed = [
-        n
-        for n in sub
-        if "ShuffleExchange" in name(n)
-        and (
-            "hashpartitioning" in n.toString()
-            or "rangepartitioning" in n.toString()
-        )
-    ]
-    assert not keyed, [n.toString()[:200] for n in keyed]
+def test_ngram_lm_scoring_pass_broadcast_hash_joins(spark, sf_dir):
+    """The perplexity SCORING pass must probe the model through
+    broadcast HASH joins and partial-aggregate map-side: (a) no
+    BroadcastNestedLoopJoin anywhere (the first cut probed 1-row map
+    columns — GetMapValue is a linear scan per lookup, which
+    benchmarked at the LINEAR envelope at 300x); (b) exactly one
+    doc_id hash exchange (the final per-doc sum), with a partial
+    HashAggregate below it so only per-doc rows cross the wire."""
+    plan = formatted_plan(spark, "ngram_lm_perplexity_filter", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    # partial agg directly over the joined bigram stream (map-side):
+    # a HashAggregate with partial_count/partial_sum must exist.
+    assert re.search(r"partial_(count|sum)", plan), plan

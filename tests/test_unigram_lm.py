@@ -121,3 +121,68 @@ def test_unigram_em_reduces_corpus_cost(spark):
         return total
 
     assert corpus_cost(3) <= corpus_cost(0)
+
+
+def py_unigram_apply(
+    vocab_words: dict[str, int],
+    max_piece: int = 4,
+    max_wlen: int = 8,
+) -> dict[str, tuple[int, str]]:
+    """Reference APPLY: segment each trainable word with the pruned
+    trained model (same DP, same tie-breaks)."""
+    model = {p: c for p, _, c in py_unigram(vocab_words)}
+    out = {}
+    for w in vocab_words:
+        if not (2 <= len(w) <= max_wlen):
+            continue
+        best: list[tuple[int, int]] = [(0, 0)]
+        for p in range(1, len(w) + 1):
+            cands = [
+                (best[p - k][0] + model[w[p - k : p]], k)
+                for k in range(1, min(max_piece, p) + 1)
+                if w[p - k : p] in model
+            ]
+            best.append(min(cands))
+        pieces = []
+        pos = len(w)
+        while pos > 0:
+            k = best[pos][1]
+            pieces.append(w[pos - k : pos])
+            pos -= k
+        out[w] = (len(pieces), " ".join(reversed(pieces)))
+    return out
+
+
+@pytest.mark.parametrize("vocab", VOCABS)
+def test_unigram_apply_matches_python_reference(spark, vocab):
+    from odni_apache_beam_consumer_spark.plans.retrieval import (
+        _UNI_MAX_PIECE,
+        _UNI_MAX_WLEN,
+        _uni_bt_expr,
+        _uni_dp_expr,
+        unigram_train_rounds,
+    )
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame(
+        [(w, f) for w, f in vocab.items()], "w STRING, freq BIGINT"
+    )
+    model = unigram_train_rounds(words)
+    pm = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost_milli"))
+        ).alias("pm")
+    )
+    seg = (
+        words.where(F.length("w").between(2, _UNI_MAX_WLEN))
+        .crossJoin(F.broadcast(pm))
+        .withColumn("dp", F.expr(_uni_dp_expr(_UNI_MAX_PIECE)))
+        .withColumn("ps", F.expr(_uni_bt_expr(_UNI_MAX_WLEN)))
+        .select(
+            "w",
+            F.size("ps").alias("n_pieces"),
+            F.array_join(F.reverse("ps"), " ").alias("pieces"),
+        )
+    )
+    got = {r.w: (r.n_pieces, r.pieces) for r in seg.collect()}
+    assert got == py_unigram_apply(vocab)

@@ -102,6 +102,21 @@ SLOW_FAMILY = [
     "dirichlet_lm_topk",
     "bpe_apply",
     "avro_binary_decode",
+    # round-10 additions (round-9 verdict item 7): the widening CDC merge,
+    # the protobuf tag-walk (map-side family, plan/codegen-constant risk
+    # flagged in the r9 verdict), tombstone GC (CDC merge + snapshot
+    # rewrite), and the two new LM trainers/scorers (vocab-sized rounds /
+    # map-only scoring — the word-prefix synthesis grows the VOCAB 300x,
+    # which is exactly the axis their scale claims are about).
+    # ann_ivfpq_topk stays deliberately absent for the reason documented
+    # above: its query set (vec_id % 100 == 0) grows with the corpus, so
+    # a cell would measure the |Q| x probe experiment artifact, not the
+    # per-query probe cost (also recorded in BASELINE.md).
+    "cdc_schema_evolution",
+    "protobuf_binary_decode",
+    "cdc_tombstone_gc",
+    "unigram_lm_train",
+    "ngram_lm_perplexity_filter",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
