@@ -1016,3 +1016,452 @@ def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("nll_milli DIV n_bigrams").alias("avg_nll_milli"),
         F.expr("(nll_milli DIV n_bigrams) DIV 500").alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. '23)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_model_ctes(tag: str, where: str, topk: int) -> str:
+    """Oracle CTE block for one Laplace bigram model over the docs
+    matching ``where`` — mirrors the ngram_lm_perplexity_filter model
+    build, parameterized so the DSIR oracle can instantiate it twice
+    (target slice + raw corpus)."""
+    return f"""h{tag} AS MATERIALIZED (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts
+  FROM documents WHERE {where}
+),
+b{tag} AS MATERIALIZED (
+  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+  FROM h{tag}, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+),
+c{tag} AS MATERIALIZED (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM b{tag} GROUP BY w1
+),
+v{tag} AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT term) + 1 AS BIGINT) AS v FROM (
+    SELECT unnest(ts) AS term FROM h{tag}
+  )
+),
+m{tag} AS MATERIALIZED (
+  SELECT w1, w2,
+         CAST(-FLOOR(LN(CAST(bc + 1 AS DOUBLE) / (cc + v)) * 1000)
+              AS BIGINT) AS nll
+  FROM (
+    SELECT b.w1, b.w2, b.bc, c.c AS cc,
+           ROW_NUMBER() OVER (ORDER BY b.bc DESC, b.w1, b.w2) AS rn
+    FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+          FROM b{tag} GROUP BY w1, w2) b
+    JOIN c{tag} c ON c.w1 = b.w1
+  ), v{tag}
+  WHERE rn <= {topk}
+)"""
+
+
+_DSIR_TARGET_WHERE = "lang <> 'en'"
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+WITH {_dsir_model_ctes('t', _DSIR_TARGET_WHERE, _LM_TOPK_BIGRAMS)},
+{_dsir_model_ctes('r', 'TRUE', _LM_TOPK_BIGRAMS)},
+docs AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(trim(text), ' ') AS ts FROM documents
+),
+dbig AS MATERIALIZED (
+  SELECT doc_id, lang, ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+  FROM docs, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+scored AS MATERIALIZED (
+  SELECT d.doc_id, d.lang,
+         COALESCE(mr.nll,
+           CAST(-FLOOR(LN(1.0 / (COALESCE(cr.c, 0) + vr.v)) * 1000)
+                AS BIGINT))
+         - COALESCE(mt.nll,
+           CAST(-FLOOR(LN(1.0 / (COALESCE(ct.c, 0) + vt.v)) * 1000)
+                AS BIGINT)) AS ratio
+  FROM dbig d
+  LEFT JOIN mt ON mt.w1 = d.w1 AND mt.w2 = d.w2
+  LEFT JOIN ct ON ct.w1 = d.w1
+  LEFT JOIN mr ON mr.w1 = d.w1 AND mr.w2 = d.w2
+  LEFT JOIN cr ON cr.w1 = d.w1
+  CROSS JOIN vt CROSS JOIN vr
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(ratio) AS BIGINT) AS ratio_milli,
+       CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS avg_ratio_milli,
+       CAST(CASE WHEN SUM(ratio) // COUNT(*) >= 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS selected
+FROM scored
+GROUP BY doc_id, lang
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. '23)
+    — THE standard recipe for tilting a raw crawl toward a target
+    domain: fit cheap n-gram LMs to the TARGET slice (here the
+    non-English documents — the rare domain to upsample) and to the
+    RAW corpus, weight every document by its log importance ratio
+    log p_target(x) - log p_raw(x) under those models, and keep the
+    documents whose average ratio clears the bar (the deterministic
+    analogue of DSIR's Gumbel top-k resample; a production run would
+    threshold on a quantile of the weight distribution).
+
+    Both models are the ngram_lm_perplexity_filter Laplace bigram
+    build (top-K pruned, pruned/unseen pairs falling back to
+    1/(c(w1)+V)); the per-bigram ratio is the difference of the two
+    integer milli-NLLs, so the per-doc sum stays an order-independent
+    integer aggregate and the selection bit is pure integer compare.
+
+    Scale shape: two model builds over predicate-pruned slices (the
+    target build scans only its slice; the raw build is two hash aggs
+    over the token stream), then ONE scoring pass over the corpus with
+    FOUR broadcast hash joins (target/raw model + context tables — the
+    852s->16s lesson from the perplexity filter applies doubly here)
+    and a map-side partial agg into the single doc_id exchange.  The
+    two vocabulary scalars cross the driver as integers (documented
+    metadata-sized class)."""
+    docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
+
+    def bigrams(df: DataFrame, *extra: str) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        ).select(*extra, "b.w1", "b.w2")
+
+    def model_of(held: DataFrame, nll_out: str, c_out: str):
+        hb = bigrams(held)
+        ctx = hb.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias(c_out))
+        v_lit = int(
+            held.select(F.explode("tk").alias("term"))
+            .agg((F.countDistinct("term") + 1).cast("long").alias("v"))
+            .first()[0]
+        )
+        bc = hb.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("bc")
+        )
+        model = (
+            bc.join(ctx, "w1")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    # bounded input: the bigram-count table, cut to top-K
+                    W.orderBy(F.desc("bc"), F.asc("w1"), F.asc("w2"))
+                ),
+            )
+            .where(F.col("rn") <= _LM_TOPK_BIGRAMS)
+            .select(
+                "w1",
+                "w2",
+                (-F.floor(
+                    F.log(
+                        (F.col("bc") + 1).cast("double")
+                        / (F.col(c_out) + F.lit(v_lit)).cast("double")
+                    )
+                    * 1000.0
+                ))
+                .cast("long")
+                .alias(nll_out),
+            )
+        )
+        return model, ctx, v_lit
+
+    m_t, c_t, v_t = model_of(docs.where(F.col("lang") != "en"), "tnll", "tc")
+    m_r, c_r, v_r = model_of(docs, "rnll", "rc")
+
+    def fallback(c_col: str, v_lit: int):
+        return (
+            -F.floor(
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce(F.col(c_col), F.lit(0)) + F.lit(v_lit))
+                    .cast("double")
+                )
+                * 1000.0
+            )
+        ).cast("long")
+
+    scored = (
+        bigrams(docs.where(F.size("tk") >= 2), "doc_id", "lang")
+        .join(F.broadcast(m_t), ["w1", "w2"], "left")
+        .join(F.broadcast(c_t), "w1", "left")
+        .join(F.broadcast(m_r), ["w1", "w2"], "left")
+        .join(F.broadcast(c_r), "w1", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.coalesce(F.col("rnll"), fallback("rc", v_r))
+                - F.coalesce(F.col("tnll"), fallback("tc", v_t))
+            ).alias("ratio"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ratio").cast("long").alias("ratio_milli"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "ratio_milli",
+        F.expr("ratio_milli DIV n_bigrams").alias("avg_ratio_milli"),
+        F.expr(
+            "CAST(IF(ratio_milli DIV n_bigrams >= 0, 1, 0) AS BIGINT)"
+        ).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style Group-DRO domain reweighting (Xie et al. '23b)
+# ---------------------------------------------------------------------------
+
+_DRO_SHARDS = 4  # one multiplicative-weights step per deterministic shard
+_DRO_TOPK_UNIGRAMS = 800  # pruned unigram model size (top terms by count)
+_DRO_ETA_DIV = 4  # step size: excess milli-nats are divided by this
+
+
+def _doremi_step_ctes(t: int) -> str:
+    """Oracle CTE block for one multiplicative-weights step: join the
+    incoming weights ``w{t}`` with shard ``t``'s per-domain losses
+    (missing cells fall back to the unseen-token NLL), tilt each weight
+    by the domain's excess loss over the cross-domain shard mean, clamp,
+    and renormalize back to ppm.  Pure BIGINT arithmetic — both engines
+    truncate integer division toward zero, so the trajectories agree
+    bit-for-bit."""
+    return f"""s{t} AS (
+  SELECT w.lang, w.w, COALESCE(ls.l, fb.fnll) AS l
+  FROM w{t} w LEFT JOIN (SELECT lang, l FROM loss WHERE shard = {t}) ls
+    ON ls.lang = w.lang, fb
+),
+u{t} AS (
+  SELECT s.lang,
+         s.w * GREATEST(1000 + (s.l - m.lbar) // {_DRO_ETA_DIV}, 1) AS u
+  FROM s{t} s,
+       (SELECT CAST(SUM(l) // COUNT(*) AS BIGINT) AS lbar FROM s{t}) m
+),
+w{t + 1} AS (
+  SELECT u.lang, CAST((u.u * 1000000) // su.s AS BIGINT) AS w
+  FROM u{t} u, (SELECT SUM(u) AS s FROM u{t}) su
+)"""
+
+
+_DRO_STEP_BLOCK = ",\n".join(_doremi_step_ctes(t) for t in range(_DRO_SHARDS))
+
+
+def _doremi_loss_frames(spark: SparkSession, sf_dir: str):
+    """Build the corpus-sized half of the DoReMi query: the per-(domain,
+    shard) average unigram milli-NLL table, the domain list, and the
+    unseen-token fallback NLL column.  Kept as a separate un-checkpointed
+    lineage so the plan test can pin the scoring-pass discipline
+    (broadcast HASH model probe, map-side partial agg, one keyed
+    exchange) that the checkpoint hides from the final query's plan."""
+    docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
+    tok = docs.select(
+        (F.col("doc_id") % _DRO_SHARDS).alias("shard"),
+        "lang",
+        F.explode("tk").alias("term"),
+    )
+
+    row = tok.agg(
+        (F.countDistinct("term") + 1).cast("long").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    v_lit, n_lit = int(row["v"]), int(row["n"])
+
+    model = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                # bounded input: the vocab-sized count table, cut to top-K
+                W.orderBy(F.desc("c"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rn") <= _DRO_TOPK_UNIGRAMS)
+        .select(
+            "term",
+            (-F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / F.lit(float(n_lit + v_lit))
+                )
+                * 1000.0
+            ))
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    fb = (
+        -F.floor(F.log(F.lit(1.0) / F.lit(float(n_lit + v_lit))) * 1000.0)
+    ).cast("long")
+
+    loss = (
+        tok.join(F.broadcast(model), "term", "left")
+        .groupBy("lang", "shard")
+        .agg(
+            F.sum(F.coalesce(F.col("nll"), fb)).alias("s"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .select("lang", "shard", F.expr("s DIV k").cast("long").alias("l"))
+    )
+    domains = docs.select("lang").distinct()
+    return loss, domains, fb
+
+
+@query(
+    "doremi_domain_reweight",
+    oracle=f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id % {_DRO_SHARDS} AS shard, lang,
+         string_split(trim(text), ' ') AS ts
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT shard, lang, unnest(ts) AS term FROM docs
+),
+st AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT term) + 1 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok
+),
+model AS MATERIALIZED (
+  SELECT term,
+         CAST(-FLOOR(LN(CAST(c + 1 AS DOUBLE) / (n + v)) * 1000)
+              AS BIGINT) AS nll
+  FROM (
+    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+    FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term)
+  ), st
+  WHERE rn <= {_DRO_TOPK_UNIGRAMS}
+),
+fb AS MATERIALIZED (
+  SELECT CAST(-FLOOR(LN(1.0 / (n + v)) * 1000) AS BIGINT) AS fnll FROM st
+),
+loss AS MATERIALIZED (
+  SELECT t.lang, t.shard,
+         CAST(SUM(COALESCE(m.nll, fb.fnll)) // COUNT(*) AS BIGINT) AS l
+  FROM tok t LEFT JOIN model m ON m.term = t.term, fb
+  GROUP BY t.lang, t.shard
+),
+w0 AS (
+  SELECT lang, CAST(1000000 AS BIGINT) AS w
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+{_DRO_STEP_BLOCK}
+SELECT p.lang, p.loss_s0, p.loss_s1, p.loss_s2, p.loss_s3,
+       wf.w AS weight_ppm
+FROM (
+  SELECT d.lang,
+         CAST(COALESCE(MAX(CASE WHEN l.shard = 0 THEN l.l END), fb.fnll)
+              AS BIGINT) AS loss_s0,
+         CAST(COALESCE(MAX(CASE WHEN l.shard = 1 THEN l.l END), fb.fnll)
+              AS BIGINT) AS loss_s1,
+         CAST(COALESCE(MAX(CASE WHEN l.shard = 2 THEN l.l END), fb.fnll)
+              AS BIGINT) AS loss_s2,
+         CAST(COALESCE(MAX(CASE WHEN l.shard = 3 THEN l.l END), fb.fnll)
+              AS BIGINT) AS loss_s3
+  FROM (SELECT DISTINCT lang FROM documents) d
+  LEFT JOIN loss l ON l.lang = d.lang, fb
+  GROUP BY d.lang, fb.fnll
+) p JOIN w{_DRO_SHARDS} wf ON wf.lang = p.lang
+""",
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style Group-DRO domain reweighting (Xie et al. '23b) — the
+    standard recipe for choosing pre-training MIXTURE weights: measure a
+    proxy loss per domain, then run exponentiated-gradient /
+    multiplicative-weights updates that upweight the domains with the
+    worst excess loss, renormalizing each step.  Domains here are the
+    document languages; the proxy loss is the average per-token milli-NLL
+    under a corpus-wide Laplace unigram LM (the cheap stand-in for the
+    proxy model's loss), measured independently on {_DRO_SHARDS}
+    deterministic hash shards so the weight trajectory is path-dependent
+    like the paper's per-minibatch updates rather than a closed-form
+    one-shot tilt.
+
+    Update rule per shard t: w ← w · max(1000 + (L_d,t − L̄_t) /
+    {_DRO_ETA_DIV}, 1) / Z, all in integer ppm / milli-nats — both
+    engines truncate BIGINT division toward zero, so Spark and the
+    oracle replay the identical trajectory.  Missing (domain, shard)
+    cells (a language with no tokens in a shard at tiny SF) fall back to
+    the unseen-token NLL on both sides.
+
+    Complements dsir_importance_resample (per-DOCUMENT selection) and
+    mixture_rebalance_plan (static policy targets): DoReMi OPTIMIZES the
+    per-domain sampling weights from measured losses.
+
+    Scale shape: the heavy passes are corpus-sized and shuffle-light —
+    one vocab hash-agg to build the pruned model, then ONE scoring pass
+    over the token stream with a broadcast HASH join (O(1) probes — the
+    852s→16s GetMapValue lesson) and a map-side partial agg into a
+    (domain × shard)-sized exchange.  Everything after that — the MW
+    iteration itself — runs on a domains-sized frame (5 rows here;
+    thousands at worst in production), localCheckpointed once so the
+    per-step broadcast-cross scalars (shard mean, weight sum: the
+    documented 1-row NLJ whitelist shape) never re-trigger the corpus
+    scan.  The two model scalars (vocab size, token count) cross the
+    driver as integers — metadata-sized, like the sibling LM queries.
+
+    Reference parity: /root/reference/main.py has no curation surface;
+    north-star row per SURVEY.md §2.2 (LLM-pipeline ops).
+    """
+    loss, domains, fb = _doremi_loss_frames(spark, sf_dir)
+    # (domains x shards)- and domains-sized; checkpoint so the per-step
+    # broadcast-cross scalars below never re-trigger the corpus scan.
+    loss = loss.localCheckpoint(eager=True)
+    domains = domains.localCheckpoint(eager=True)
+
+    w = domains.withColumn("w", F.lit(1000000).cast("long"))
+    for t in range(_DRO_SHARDS):
+        cur = (
+            w.join(
+                loss.where(F.col("shard") == t).select("lang", "l"),
+                "lang",
+                "left",
+            )
+            .select("lang", "w", F.coalesce("l", fb).alias("l"))
+        )
+        lbar = cur.agg(F.expr("SUM(l) DIV COUNT(*)").cast("long").alias("lbar"))
+        tilted = cur.crossJoin(F.broadcast(lbar)).select(
+            "lang",
+            F.expr(
+                f"w * GREATEST(1000 + (l - lbar) DIV {_DRO_ETA_DIV}, 1)"
+            ).alias("u"),
+        )
+        tot = tilted.agg(F.sum("u").alias("su"))
+        w = tilted.crossJoin(F.broadcast(tot)).select(
+            "lang", F.expr("(u * 1000000) DIV su").cast("long").alias("w")
+        )
+
+    pivoted = (
+        domains.join(loss, "lang", "left")
+        .groupBy("lang")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("shard") == t, F.col("l"))), fb
+                )
+                .cast("long")
+                .alias(f"loss_s{t}")
+                for t in range(_DRO_SHARDS)
+            ]
+        )
+    )
+    return pivoted.join(w, "lang").select(
+        "lang",
+        *[f"loss_s{t}" for t in range(_DRO_SHARDS)],
+        F.col("w").alias("weight_ppm"),
+    )

@@ -475,6 +475,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "bpe_train": "broadcast 1-row argmax pair + 1-row vocab count per round",
         "unigram_lm_train": "broadcast 1-row piece-cost map + 1-row total per round",
         "ngram_lm_perplexity_filter": "broadcast 1-row model maps + vocab scalar",
+        "doremi_domain_reweight": "broadcast 1-row shard-mean + weight-sum scalars per MW step (domains-sized frame)",
         "unigram_lm_apply": "broadcast 1-row piece-cost map (train + apply)",
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
@@ -727,4 +728,26 @@ def test_ngram_lm_scoring_pass_broadcast_hash_joins(spark, sf_dir):
     assert plan.count("hashpartitioning(doc_id") == 1, plan
     # partial agg directly over the joined bigram stream (map-side):
     # a HashAggregate with partial_count/partial_sum must exist.
+    assert re.search(r"partial_(count|sum)", plan), plan
+
+
+def test_doremi_loss_pass_broadcast_hash_join_single_exchange(spark, sf_dir):
+    """DoReMi's corpus-sized half (the per-(domain, shard) loss table)
+    must follow the same scoring-pass discipline as the perplexity
+    filter: the unigram model is probed through a broadcast HASH join
+    (no NLJ — GetMapValue map-column probes are linear scans), and the
+    token stream partial-aggregates map-side into exactly ONE
+    (lang, shard) hash exchange.  The final query's plan hides this
+    behind a localCheckpoint, so the un-checkpointed lineage is pinned
+    here directly."""
+    from odni_apache_beam_consumer_spark.plans.curation import (
+        _doremi_loss_frames,
+    )
+
+    loss, _, _ = _doremi_loss_frames(spark, sf_dir)
+    plan = _lazy_plan(spark, loss)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("hashpartitioning(lang") == 1, plan
     assert re.search(r"partial_(count|sum)", plan), plan
