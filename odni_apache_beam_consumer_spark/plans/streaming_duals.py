@@ -491,6 +491,104 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_dual",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_scaled
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (``dropDuplicatesWithinWatermark``) under
+    REAL at-least-once re-delivery, driven through a readStream
+    micro-batch replay and hash-checked against the plain batch
+    aggregate over the original table.
+
+    The replay (sources/replay.py::write_redelivery_chunks) is the
+    adversary: every chunk k >= 1 re-delivers ~1/5 of chunk k-1's rows
+    verbatim, always one micro-batch AFTER the original — exactly what
+    a Kafka consumer emits after a rebalance or producer retry.
+    Dropping those copies therefore requires dedup state RETAINED
+    ACROSS TRIGGERS; a within-batch distinct cannot pass.  The oracle
+    aggregates the pristine events table, so any duplicate that slips
+    through shifts n_events, sum_event_id, and sum_value_scaled for its
+    event_type and fails the driver's hash — as does any original row
+    the operator wrongly swallows.
+
+    The watermark delay (60 days) deliberately exceeds the corpus span
+    (30 days): zero rows are ever late, so every duplicate drop is
+    attributable to dedup state, never to the upstream late-record
+    filter.  In production the delay is sized to the source's
+    re-delivery horizon instead (consumer-rebalance window, producer
+    retry TTL) — that is precisely the knob that makes this operator
+    viable at 100 TB/day where an unbounded ``dropDuplicates`` is not:
+    state holds one compact key per event inside the horizon and the
+    watermark reaps it afterwards, keeping the store O(rate x delay)
+    rather than O(stream).
+
+    Dedup is not an aggregation: first arrivals emit immediately in
+    append mode (no watermark hold), so the replay needs no flush
+    sentinel.  State partitions right-sized to 8 for replay volume
+    (saved/restored), the join-dual deploy-time sizing note.
+
+    Runs the PRODUCTION operator (streaming/windows.py::
+    dedup_within_watermark), not a reimplementation — the existing
+    pytest equivalence test covers union-within-one-lineage duplicates;
+    this dual adds the cross-trigger re-delivery case under the
+    driver's independent hash."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="dedup_dual_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        chunks = R.write_redelivery_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=3,
+            redeliver_mod=5,
+        )
+        deduped = dedup_within_watermark(
+            R.read_stream(spark, chunks),
+            keys=["event_id"],
+            watermark="60 days",
+        ).select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("value_scaled"),
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("dedup_dual_mem")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.sum("value_scaled").cast("long").alias("sum_value_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_root, ignore_errors=True)
+
+
+@query(
     "stream_stream_join_dual",
     oracle="""
 WITH p AS (

@@ -119,6 +119,78 @@ def write_replay_chunks(
     return out_dir
 
 
+def write_redelivery_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 3,
+    redeliver_mod: int = 5,
+) -> str:
+    """Write events as ``n_chunks`` time-ordered chunk files where every
+    chunk k >= 1 ALSO re-delivers a deterministic subset of chunk k-1's
+    rows (``event_id % redeliver_mod == 0``) — the at-least-once
+    delivery pattern of a real Kafka consumer after a rebalance or a
+    producer retry, which a streaming dedup operator must absorb.
+
+    The duplicate copy always lands one micro-batch AFTER its original
+    (all of chunk k's files get earlier mtimes than chunk k+1's), so
+    dropping it requires dedup STATE retained across triggers — a
+    within-batch distinct cannot pass.
+
+    Chunk assignment is deterministic: cut points are exact ts
+    percentiles (a metadata-sized 1-row collect, same class as the
+    probe literals in streaming_duals.py), and chunk id is monotone in
+    ts, so replay order respects event time and no real row is ever
+    late.  The write is one distributed job partitioned by (chunk,
+    dup); the driver only renames part files into replay order."""
+    e = load_table(spark, sf_dir, "events")
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = e.select(
+        F.percentile_approx("ts", fracs, 10000).alias("cuts")
+    ).collect()[0]["cuts"]
+    chunk = sum(
+        (F.col("ts") >= F.lit(c)).cast("int") for c in cuts
+    ) if cuts else F.lit(0)
+    base = e.withColumn("chunk", chunk).withColumn("dup", F.lit(0))
+    redelivered = (
+        base.where(
+            (F.col("event_id") % redeliver_mod == 0)
+            & (F.col("chunk") < n_chunks - 1)
+        )
+        .withColumn("chunk", F.col("chunk") + 1)
+        .withColumn("dup", F.lit(1))
+    )
+    tmp_dir = out_dir.rstrip("/") + ".__tmp__"
+    (
+        # Hash-cluster each (chunk, dup) group into one task so partitionBy
+        # writes exactly ONE file per group — micro-batch count stays
+        # 2*n_chunks-1 regardless of how many input partitions the source
+        # table has (each replay file is its own trigger downstream).
+        base.unionByName(redelivered)
+        .repartition(2 * n_chunks, "chunk", "dup")
+        .write.mode("overwrite")
+        .partitionBy("chunk", "dup")
+        .parquet(tmp_dir)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    now = time.time()
+    seq = 0
+    for k in range(n_chunks):
+        for dup in (0, 1):
+            kdir = os.path.join(tmp_dir, f"chunk={k}", f"dup={dup}")
+            if not os.path.isdir(kdir):
+                continue
+            for part in sorted(
+                f for f in os.listdir(kdir) if f.endswith(".parquet")
+            ):
+                dst = os.path.join(out_dir, f"chunk_{seq:05d}.parquet")
+                shutil.move(os.path.join(kdir, part), dst)
+                os.utime(dst, (now + seq, now + seq))
+                seq += 1
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
 def read_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)

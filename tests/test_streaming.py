@@ -89,6 +89,39 @@ def test_dedup_within_watermark_equivalence(spark, sf_dir, replay_dir):
     assert n_got == n_want
 
 
+def test_redelivery_chunks_are_a_real_adversary(spark, sf_dir, tmp_path):
+    """write_redelivery_chunks must actually inject cross-file duplicates
+    (else streaming_dedup_dual proves nothing): the raw replay holds more
+    rows than events, every duplicated event_id appears in exactly 2
+    files, and the duplicate's file always sorts strictly AFTER the
+    original's — so dropping it requires state across triggers."""
+    out = str(tmp_path / "redeliver")
+    R.write_redelivery_chunks(spark, sf_dir, out, n_chunks=3, redeliver_mod=5)
+    raw = spark.read.parquet(out).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert raw.count() > n_events  # duplicates exist
+    per_id = raw.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("fname").alias("n_files"),
+        F.min("fname").alias("first_file"),
+        F.max("fname").alias("last_file"),
+    )
+    dups = per_id.where(F.col("n") > 1)
+    assert dups.count() > 0
+    # each duplicate: exactly 2 copies, in 2 DIFFERENT files, later file
+    # strictly after the earlier (chunk_%05d names sort lexicographically)
+    bad = dups.where(
+        (F.col("n") != 2)
+        | (F.col("n_files") != 2)
+        | (F.col("first_file") >= F.col("last_file"))
+    )
+    assert bad.count() == 0
+    # non-duplicated rows appear exactly once
+    assert per_id.where(F.col("n") == 1).count() + dups.count() == n_events
+
+
 def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir):
     purchases = R.read_stream(spark, replay_dir).where(F.col("event_type") == "purchase")
     clicks = R.read_stream(spark, replay_dir).where(F.col("event_type") == "click")
