@@ -1536,3 +1536,210 @@ def unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reading order (matches the oracle's ORDER BY pos)
         F.array_join(F.reverse("ps"), " ").alias("pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece apply (greedy longest-match-first inference, BERT family)
+# ---------------------------------------------------------------------------
+
+# Continuation pieces rarer than this corpus-weighted count are excluded
+# from the vocabulary's ##-form — the bounded-vocab property that makes
+# [UNK] reachable in real WordPiece (BERT ships ~30k pieces, not every
+# observed continuation).
+_WP_MIN_CONT = 3
+
+
+def _wp_greedy_expr(max_piece: int, max_wlen: int) -> str:
+    """Greedy longest-match-first segmentation as one Catalyst fold —
+    the WordPiece counterpart of _uni_dp_expr's Viterbi: the state
+    struct carries (next position, emitted pieces, failed); each step
+    scans candidate lengths LONGEST-FIRST (descending sequence) against
+    the position-appropriate vocabulary map (``mi`` word-initial,
+    ``mc`` continuation) and either consumes the first hit or marks the
+    word [UNK] — BERT's exact inference rule.  Each step advances >= 1
+    char, so max_wlen steps always terminate the fold."""
+    filt = (
+        f"filter(sequence(least({max_piece}, length(w) - s.pos + 1), 1, -1), "
+        "l -> map_contains_key(IF(s.pos = 1, mi, mc), "
+        "substring(w, s.pos, l)))"
+    )
+    piece = f"substring(w, s.pos, element_at({filt}, 1))"
+    return (
+        f"aggregate(sequence(1, {max_wlen}), "
+        "named_struct('pos', CAST(1 AS INT), "
+        "'ps', CAST(array() AS ARRAY<STRING>), 'fail', false), "
+        "(s, i) -> IF(s.fail OR s.pos > length(w), s, "
+        f"IF(size({filt}) = 0, "
+        "named_struct('pos', s.pos, 'ps', s.ps, 'fail', true), "
+        f"named_struct('pos', CAST(s.pos + element_at({filt}, 1) AS INT), "
+        f"'ps', concat(s.ps, array(IF(s.pos = 1, {piece}, "
+        f"concat('##', {piece})))), 'fail', false))))"
+    )
+
+
+def _wordpiece_apply_oracle(
+    max_piece: int = _UNI_MAX_PIECE,
+    max_wlen: int = _UNI_MAX_WLEN,
+    min_cont: int = _WP_MIN_CONT,
+) -> str:
+    """Train chain (identical CTE text to _unigram_train_oracle, so the
+    vocabulary is the same learned inventory) + a GREEDY chain: step t
+    extends every live word by its longest matching piece (position-
+    appropriate set), words with no match fall out as [UNK], and the
+    survivors' ordered pieces are assembled with string_agg."""
+    ctes = list(_unigram_train_ctes())
+    ctes.append(
+        f"""wpflags AS MATERIALIZED (
+  SELECT piece,
+         MAX(CASE WHEN p = k THEN 1 ELSE 0 END) AS init_seen,
+         SUM(CASE WHEN p > k THEN freq ELSE 0 END) AS cont_cnt
+  FROM lat GROUP BY piece
+),
+wpvocab AS MATERIALIZED (
+  SELECT k.piece, 1 AS ini FROM kept k
+    JOIN wpflags f ON f.piece = k.piece WHERE f.init_seen = 1
+  UNION ALL
+  SELECT k.piece, 0 AS ini FROM kept k
+    JOIN wpflags f ON f.piece = k.piece WHERE f.cont_cnt >= {min_cont}
+),
+wg0 AS MATERIALIZED (
+  SELECT w, freq, CAST(1 AS BIGINT) AS pos, 0 AS fail FROM words
+)"""
+    )
+    for t in range(1, max_wlen + 1):
+        ctes.append(
+            f"""wm{t} AS MATERIALIZED (
+  SELECT s.w, s.freq, s.pos, MAX(LENGTH(c.piece)) AS ml
+  FROM wg{t - 1} s LEFT JOIN wpvocab c
+    ON ((s.pos = 1) = (c.ini = 1))
+   AND LENGTH(c.piece) <= len(s.w) - s.pos + 1
+   AND c.piece = substr(s.w, CAST(s.pos AS INT), LENGTH(c.piece))
+  WHERE s.fail = 0 AND s.pos <= len(s.w)
+  GROUP BY s.w, s.freq, s.pos
+),
+wtok{t} AS MATERIALIZED (
+  SELECT w, freq, pos AS start, ml AS k FROM wm{t} WHERE ml IS NOT NULL
+),
+wg{t} AS MATERIALIZED (
+  SELECT w, freq, CAST(pos + COALESCE(ml, 0) AS BIGINT) AS pos,
+         CASE WHEN ml IS NULL THEN 1 ELSE 0 END AS fail
+  FROM wm{t}
+)"""
+        )
+    tall = " UNION ALL ".join(
+        f"SELECT * FROM wtok{t}" for t in range(1, max_wlen + 1)
+    )
+    fall = " UNION ALL ".join(
+        f"SELECT w, freq FROM wg{t} WHERE fail = 1"
+        for t in range(1, max_wlen + 1)
+    )
+    ctes.append(f"wtoks AS MATERIALIZED ({tall})")
+    ctes.append(f"wfails AS MATERIALIZED ({fall})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT w, CAST(freq AS BIGINT) AS freq,
+       CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       string_agg(CASE WHEN start > 1
+                       THEN '##' || substr(w, CAST(start AS INT), CAST(k AS INT))
+                       ELSE substr(w, CAST(start AS INT), CAST(k AS INT)) END,
+                  ' ' ORDER BY start) AS pieces
+FROM wtoks
+WHERE w NOT IN (SELECT w FROM wfails)
+GROUP BY w, freq
+UNION ALL
+SELECT w, CAST(freq AS BIGINT) AS freq, CAST(1 AS BIGINT) AS n_pieces,
+       '[UNK]' AS pieces
+FROM wfails
+"""
+    )
+
+
+@query("wordpiece_apply", oracle=_wordpiece_apply_oracle())
+def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece INFERENCE (greedy longest-match-first, the BERT
+    tokenizer's rule) — the THIRD production segmentation strategy next
+    to bpe_apply (merge replay) and unigram_lm_apply (Viterbi), run
+    over the SAME learned inventory as unigram_lm_apply so the three
+    families are directly comparable on one corpus: at each position
+    take the longest vocabulary piece (word-initial form at position 1,
+    '##'-continuation form after), and if none matches the whole word
+    degrades to [UNK].  The continuation vocabulary is bounded the way
+    a real shipped vocab is: continuations with corpus-weighted count
+    below _WP_MIN_CONT are excluded, which is exactly what makes [UNK]
+    reachable.
+
+    Scale shape: training as unigram_lm_train (vocab-sized rounds); the
+    position-classification pass is one vocab-sized explode + hash agg;
+    inference is ONE broadcast of the two piece maps plus a map-only
+    greedy fold per word inside whole-stage codegen — zero shuffles,
+    zero Python, the bpe_apply/unigram_lm_apply deployment shape.  At
+    100 TB the segmented vocabulary then broadcast-joins back to the
+    token stream by word, so corpus cost stays one scan.
+
+    Reference parity: extends the north-star LLM-pipeline surface
+    (BASELINE.json); the reference (/root/reference/main.py) has no
+    data-plane transforms."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    model = unigram_train_rounds(words)
+    w8 = words.where(
+        F.length("w").between(2, _UNI_MAX_WLEN)
+    ).localCheckpoint(eager=True)
+    # Position classification: where does each piece occur inside the
+    # trainable vocabulary? (word-initial vs continuation, the latter
+    # corpus-weighted for the min-count vocab bound)
+    occ = w8.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i -> "
+                f"transform(sequence(1, least({_UNI_MAX_PIECE}, "
+                f"length(w) - i + 1)), "
+                f"k -> struct(substring(w, i, k) AS piece, i AS i))))"
+            )
+        ).alias("s"),
+    ).select(F.col("s.piece").alias("piece"), F.col("s.i").alias("i"), "freq")
+    flags = occ.groupBy("piece").agg(
+        F.max((F.col("i") == 1).cast("int")).alias("init_seen"),
+        F.sum(F.when(F.col("i") > 1, F.col("freq")).otherwise(0)).alias(
+            "cont_cnt"
+        ),
+    )
+    pieces = model.join(flags, "piece")
+    maps = pieces.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("init_seen") == 1, F.struct("piece", F.lit(1))
+                )
+            )
+        ).alias("mi"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("cont_cnt") >= _WP_MIN_CONT,
+                    F.struct("piece", F.lit(1)),
+                )
+            )
+        ).alias("mc"),
+    )
+    seg = w8.crossJoin(F.broadcast(maps)).withColumn(
+        "st", F.expr(_wp_greedy_expr(_UNI_MAX_PIECE, _UNI_MAX_WLEN))
+    )
+    return seg.select(
+        "w",
+        "freq",
+        F.when(F.col("st.fail"), F.lit(1))
+        .otherwise(F.size("st.ps"))
+        .cast("long")
+        .alias("n_pieces"),
+        F.when(F.col("st.fail"), F.lit("[UNK]"))
+        .otherwise(F.array_join("st.ps", " "))
+        .alias("pieces"),
+    )
