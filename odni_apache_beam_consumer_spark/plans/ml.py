@@ -440,6 +440,169 @@ def kmeans(
     return out
 
 
+_KM_ROUNDS = 3
+_KM_DIM = 64
+_KM_EVERY = 50
+_KM_SCALE = 1000000
+
+
+def kmeans_lloyd_rounds(
+    corpus: DataFrame,
+    n_rounds: int = _KM_ROUNDS,
+    centroid_every: int = _KM_EVERY,
+    dim: int = _KM_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-round Lloyd k-means with INTEGER sufficient-statistic
+    centroid updates — the hash-portable form of :func:`kmeans`: each
+    round's new centroid component is S/(n*1e6) where S =
+    SUM(FLOOR(val*1e6)) is an exact BIGINT (order-independent — a float
+    AVG's partial-aggregation order is not), so the whole trajectory is
+    a pure integer function of the input and an unrolled SQL oracle can
+    replay it bit for bit (the bpe_train/doremi discipline applied to
+    the classic iterative-ML loop).
+
+    Returns the FINAL round's statistics long-form: (cid, pos,
+    sum_micro, n_members) — every output cell an exact integer.
+
+    Scale shape: per round, one broadcast of the k-row centroid table,
+    map-side argmin assignment (WindowGroupLimit over the per-vector
+    window), then ONE hash aggregation with k groups x (dim+1) integer
+    columns — the exchange is k-sized at any corpus size, and the
+    per-dim FLOOR/SUM partials combine map-side.  localCheckpoint per
+    round truncates the iterative lineage; the corpus persist is
+    released before return (test_ml_loops cache-hygiene discipline)."""
+    v = (
+        with_vec(corpus, vec_col)
+        .select(F.col(id_col).alias("vid"), "vec")
+        .persist()
+    )
+    cents = (
+        v.where(F.col("vid") % centroid_every == 0)
+        .select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    stats = None
+    for _ in range(n_rounds):
+        c = cents.select("cid", "cvec", dot("cvec", "cvec").alias("cdd"))
+        score = F.col("cdd") - 2 * dot("vec", "cvec")
+        w = W.partitionBy("vid").orderBy(score.asc(), F.col("cid").asc())
+        assigned = (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "cid", "vec")
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.sum(
+                        F.floor(F.element_at("vec", i + 1) * float(_KM_SCALE))
+                    )
+                    .cast("long")
+                    .alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cents = stats.select(
+            "cid",
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double")
+                    / (F.col("n_members").cast("double") * float(_KM_SCALE))
+                    for i in range(dim)
+                ]
+            ).alias("cvec"),
+        )
+    v.unpersist()
+    return stats.select(
+        "cid",
+        "n_members",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dim)])).alias(
+            "pos0", "sum_micro"
+        ),
+    ).select(
+        "cid",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "sum_micro",
+        "n_members",
+    )
+
+
+def _kmeans_lloyd_oracle(
+    n_rounds: int = _KM_ROUNDS,
+    centroid_every: int = _KM_EVERY,
+    dim: int = _KM_DIM,
+    scale: int = _KM_SCALE,
+) -> str:
+    """Unrolled replay of the integer-stat Lloyd trajectory: per round
+    an argmin-assignment CTE, an integer-stat CTE, and a rebuilt
+    centroid list — identical IEEE expression trees to the Spark side
+    (exact integer inputs + one divide), so argmin ties resolve the
+    same way and every round's centroids agree bit for bit."""
+    ctes = [
+        """v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id % """
+        + str(centroid_every)
+        + """ = 0
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(c.cvec, c.cvec)
+               - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
+    FROM v CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (
+  SELECT a.cid, CAST(g.i AS INT) AS pos,
+         CAST(SUM(CAST(FLOOR(v.vec[CAST(g.i AS INT)] * {scale}.0)
+                       AS BIGINT)) AS BIGINT) AS sum_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM a{r} a JOIN v USING (vec_id),
+       UNNEST(generate_series(1, {dim})) g(i)
+  GROUP BY a.cid, g.i
+),
+c{r} AS MATERIALIZED (
+  SELECT cid, LIST(CAST(sum_micro AS DOUBLE)
+                   / (CAST(n_members AS DOUBLE) * {scale}.0)
+                   ORDER BY pos) AS cvec
+  FROM s{r} GROUP BY cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cid, pos, sum_micro, n_members FROM s{n_rounds}
+"""
+    )
+
+
+@query("kmeans_lloyd", oracle=_kmeans_lloyd_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd k-means training loop over the embedding corpus —
+    the iterative completion of kmeans_one_step: {_KM_ROUNDS} rounds of
+    broadcast-argmin assignment + integer-stat centroid rebuild, final
+    round's per-dimension statistics emitted as exact integers.  The
+    oracle replays the entire trajectory (assignment churn between
+    rounds and all), so a single vector flipping clusters in any round
+    fails the hash."""
+    return kmeans_lloyd_rounds(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # label propagation (community detection)
 # ---------------------------------------------------------------------------

@@ -91,6 +91,91 @@ def test_kmeans_partition_is_total(spark, sf_dir):
     assert out.agg(F.sum("n_members")).first()[0] == emb.count()
 
 
+def py_kmeans_lloyd(rows, n_rounds=3, centroid_every=50, scale=10**6):
+    """Reference: integer-sufficient-statistic Lloyd (the exact
+    arithmetic of ml.kmeans_lloyd_rounds — FLOOR(v*1e6) BIGINT sums,
+    one IEEE divide per centroid component, (score, cid) argmin)."""
+    import math
+
+    vecs = dict(rows)
+    cents = {i: list(v) for i, v in vecs.items() if i % centroid_every == 0}
+    stats = None
+    for _ in range(n_rounds):
+        cdd = {c: sum(x * x for x in cv) for c, cv in cents.items()}
+        assign = {}
+        for i, v in vecs.items():
+            assign[i] = min(
+                cents,
+                key=lambda c: (
+                    cdd[c] - 2 * sum(a * b for a, b in zip(v, cents[c])),
+                    c,
+                ),
+            )
+        stats = {}
+        for i, c in assign.items():
+            s, n = stats.get(c, ([0] * len(vecs[i]), 0))
+            stats[c] = (
+                [
+                    acc + math.floor(x * scale)
+                    for acc, x in zip(s, vecs[i])
+                ],
+                n + 1,
+            )
+        cents = {
+            c: [x / (n * scale) for x in s] for c, (s, n) in stats.items()
+        }
+    return {
+        (c, pos + 1): (s[pos], n)
+        for c, (s, n) in stats.items()
+        for pos in range(len(s))
+    }
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    """The integer-stat Lloyd trajectory must agree with an independent
+    Python replay — including a vector that CHURNS clusters between
+    rounds (seed 0 starts nearer, round-2 centroids pull it over), the
+    case a one-round-only implementation gets wrong."""
+    # Seed 50 sits at 0.3; the far mass at 1.0-1.2 drags its round-1
+    # centroid to 0.9, so in round 2 the 0.3 vector (seed 50 itself)
+    # flips to cluster 0 — membership counts change 1/4 -> 2/3.
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.1, 0.0, 0.0, 0.0]),
+        (3, [1.2, 0.0, 0.0, 0.0]),
+        (50, [0.3, 0.0, 0.0, 0.0]),
+    ]
+    corpus = _vec_corpus(spark, rows, 4)
+    out = ml.kmeans_lloyd_rounds(corpus, centroid_every=50, dim=4)
+    got = {(r.cid, r.pos): (r.sum_micro, r.n_members) for r in out.collect()}
+    assert got == py_kmeans_lloyd(rows)
+    # non-vacuity: the 3-round result differs from 1 round on this input
+    one = ml.kmeans_lloyd_rounds(corpus, n_rounds=1, centroid_every=50, dim=4)
+    got1 = {(r.cid, r.pos): (r.sum_micro, r.n_members) for r in one.collect()}
+    assert got1 == py_kmeans_lloyd(rows, n_rounds=1)
+    assert got != got1
+
+
+def test_kmeans_lloyd_rounds_churn_on_fixture(spark, sf_dir):
+    """On the real embeddings table the 3-round result must differ from
+    the 1-round result (iteration is doing work), and membership must
+    stay a total partition of the corpus every round."""
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r3 = ml.kmeans_lloyd_rounds(emb)
+    r1 = ml.kmeans_lloyd_rounds(emb, n_rounds=1)
+    per_dim = emb.count()
+    assert (
+        r3.where(F.col("pos") == 1).agg(F.sum("n_members")).first()[0]
+        == per_dim
+    )
+    a = {(r.cid, r.pos): r.sum_micro for r in r3.collect()}
+    b = {(r.cid, r.pos): r.sum_micro for r in r1.collect()}
+    assert a != b
+
+
 def test_orientation_caps_hub_outdegree(spark):
     # Hub 1 touches all of 2..21 (degree 20); rim vertices have degree
     # <= 3.  Id-orientation would give the hub out-degree 20; degree
