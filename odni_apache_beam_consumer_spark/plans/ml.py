@@ -278,13 +278,128 @@ def pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ROUNDS = 3
+_PR_EDGE_CTES = """pl AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+n AS MATERIALIZED (SELECT COUNT(*) AS nv FROM deg)"""
+
+
+def _pagerank_rounds_oracle(n_rounds: int = _PR_ROUNDS) -> str:
+    """Unrolled integer power iteration: every round is pure BIGINT
+    arithmetic (// is floor division on positive BIGINTs, identical to
+    Spark's DIV), so the trajectory replays exactly."""
+    ctes = [
+        _PR_EDGE_CTES,
+        """r0 AS MATERIALIZED (
+  SELECT u AS node, CAST(1000000000 // (SELECT nv FROM n) AS BIGINT)
+         AS rank_n
+  FROM deg
+)""",
+    ]
+    for t in range(1, n_rounds + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node,
+         CAST(150000000 // (SELECT nv FROM n)
+              + (85 * inflow) // 100 AS BIGINT) AS rank_n,
+         n_in
+  FROM (
+    SELECT e.v AS node, SUM(r.rank_n // d.outdeg) AS inflow,
+           COUNT(*) AS n_in
+    FROM e JOIN deg d USING (u) JOIN r{t - 1} r ON r.node = e.u
+    GROUP BY e.v
+  )
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank_n AS rank_nano, CAST(n_in AS BIGINT) AS n_in_edges
+FROM r{n_rounds}
+"""
+    )
+
+
+@query("pagerank_rounds", oracle=_pagerank_rounds_oracle())
+def pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL fixed-round PageRank (d=0.85) over the symmetrized
+    co-purchase graph — the iterative completion of pagerank_one_step,
+    in exact INTEGER nano-rank arithmetic so the whole trajectory is
+    hash-portable: rank flows as ``rank_n DIV outdeg`` (order-
+    independent BIGINT sums — a float rank's partial-agg order is not)
+    and the damping update is ``150000000 DIV N + (85*inflow) DIV 100``.
+    The truncation the integer divisions introduce is deterministic and
+    identical in both engines; the float library driver (:func:`pagerank`)
+    keeps exact mass conservation for production use, and its one-step
+    float form is driver-verified separately (pagerank_one_step).
+
+    Scale shape: per round, one equi-join of the k-column rank table
+    into the persisted degree-annotated edges + ONE dst-keyed hash
+    aggregation (map-side partial sums absorb hub skew), exactly the
+    one-step plan looped under localCheckpoint; the symmetric graph has
+    no dangling nodes, so no dangling-mass term.  3 rounds = 3 keyed
+    exchanges over the edge list, each lineage-truncated."""
+    e0 = copurchase_edges(spark, sf_dir).persist()
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    nv = deg.count()
+    ranks = deg.select(
+        F.col("u").alias("node"),
+        F.lit(1000000000 // nv).cast("long").alias("rank_n"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for _ in range(_PR_ROUNDS):
+        inflow = (
+            e.join(deg, "u")
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_n DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("c").alias("inflow"),
+                F.count(F.lit(1)).cast("long").alias("n_in_edges"),
+            )
+        )
+        out = inflow.select(
+            "node",
+            (
+                F.lit(150000000 // nv)
+                + F.expr("(85 * inflow) DIV 100")
+            )
+            .cast("long")
+            .alias("rank_nano"),
+            "n_in_edges",
+        ).localCheckpoint(eager=True)
+        ranks = out.select("node", F.col("rank_nano").alias("rank_n"))
+    for cached in (e0, e):
+        cached.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Full iterative drivers: loop the driver-verified one-step bodies under
 # localCheckpoint (the lineage-truncation pattern proven in
-# operators/dedup.py::connected_components).  Not registered as oracle
-# queries — DuckDB has no natural dual for a data-dependent iteration
-# count; correctness comes from the one-step oracles plus the convergence
-# property tests in tests/test_ml_loops.py.
+# operators/dedup.py::connected_components).  The float drivers below are
+# not registered as oracle queries — DuckDB has no natural dual for a
+# data-dependent iteration count; correctness comes from the one-step
+# oracles plus the convergence property tests in tests/test_ml_loops.py.
+# The FIXED-round integer forms (pagerank_rounds, kmeans_lloyd) are the
+# oracle-checked companions.
 # ---------------------------------------------------------------------------
 
 

@@ -1012,3 +1012,73 @@ def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 256  # exactly two md5 hex digits — no modulo bias
+_FH_HEX = "0123456789abcdef"
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, md5(concat('fh:', term)) AS m
+  FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+    FROM documents WHERE doc_id % 5 = 0
+  )
+)
+SELECT doc_id,
+       CAST((strpos('{_FH_HEX}', substr(m, 1, 1)) - 1) * 16
+            + (strpos('{_FH_HEX}', substr(m, 2, 1)) - 1) AS INT) AS bucket,
+       CAST(SUM(CASE WHEN strpos('02468ace', substr(m, 3, 1)) > 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS feat,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM toks
+GROUP BY 1, 2
+""",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. ICML'09) — the
+    fixed-dimension, vocabulary-free text features every large-scale
+    linear/logistic trainer consumes: each token hashes to one of
+    256 buckets (two md5 hex digits — the countmin idiom, and with
+    16x16 = 256 there is NO modulo bias) and contributes a +/-1
+    sign from an independent hash digit (the unbiased-inner-product
+    variant), summed per (doc, bucket).  Long-format output over a
+    deterministic doc sample; the collision behavior IS the semantics,
+    so the oracle replays the identical hash construction.
+
+    Scale shape: map-side md5 + sign inside whole-stage codegen, then
+    ONE (doc_id, bucket) hash aggregation with map-side partials —
+    no vocabulary table, no join, no skew (md5 spreads buckets
+    uniformly); the natural 100 TB featurizer shape.  Zero Python.
+
+    Reference parity: extends the north-star LLM-pipeline surface
+    (BASELINE.json); the reference (/root/reference/main.py) has no
+    data-plane transforms."""
+    toks = (
+        with_tokens(load_table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode("tk").alias("term"))
+        .withColumn("m", F.md5(F.concat(F.lit("fh:"), F.col("term"))))
+    )
+    bucket = (
+        (F.instr(F.lit(_FH_HEX), F.substring("m", 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_FH_HEX), F.substring("m", 2, 1)) - 1)
+    ).cast("int")
+    sign = F.when(
+        F.instr(F.lit("02468ace"), F.substring("m", 3, 1)) > 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("feat"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )

@@ -176,6 +176,38 @@ def test_kmeans_lloyd_rounds_churn_on_fixture(spark, sf_dir):
     assert a != b
 
 
+def test_pagerank_rounds_iterates_and_ranks_hubs(spark, sf_dir):
+    """The fixed-round integer PageRank must (a) actually iterate —
+    3-round nano-ranks differ from the 1-round result — and (b) agree
+    with the float library driver on WHO is on top: the argmax node of
+    pagerank_rounds must sit in the float pagerank()'s top 5."""
+    import odni_apache_beam_consumer_spark.plans.ml as M
+
+    r3 = {r.node: r.rank_nano for r in M.pagerank_rounds(spark, sf_dir).collect()}
+    # one-round trajectory = one-step applied to the uniform start;
+    # rebuild it through the same query body with _PR_ROUNDS monkeyed
+    import unittest.mock as mock
+
+    with mock.patch.object(M, "_PR_ROUNDS", 1):
+        r1 = {
+            r.node: r.rank_nano
+            for r in M.pagerank_rounds(spark, sf_dir).collect()
+        }
+    assert set(r3) == set(r1)
+    assert r3 != r1
+    top3 = max(r3, key=lambda n: (r3[n], -n))
+    e0 = M.copurchase_edges(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    fl = M.pagerank(edges, n_iters=10, tol=None)
+    top_float = [
+        r.node
+        for r in fl.orderBy(F.desc("rank"), "node").limit(5).collect()
+    ]
+    assert top3 in top_float
+
+
 def test_orientation_caps_hub_outdegree(spark):
     # Hub 1 touches all of 2..21 (degree 20); rim vertices have degree
     # <= 3.  Id-orientation would give the hub out-degree 20; degree

@@ -751,3 +751,23 @@ def test_doremi_loss_pass_broadcast_hash_join_single_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("hashpartitioning(lang") == 1, plan
     assert re.search(r"partial_(count|sum)", plan), plan
+
+
+def test_feature_hashing_single_exchange_and_invariants(spark, sf_dir):
+    """The hashing trick is one map-side hash pass + one (doc, bucket)
+    aggregation: exactly one Exchange, no Join, scan pruned to
+    (doc_id, text).  Value invariants: buckets in [0, 256), |feat| <=
+    n_terms with matching parity (each term contributes exactly +/-1),
+    and at least one real collision (n_terms > 1) — collisions ARE the
+    semantics the oracle replays."""
+    plan = formatted_plan(spark, "feature_hashing", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "struct<doc_id:bigint,text:string>" in plan, plan
+    rows = all_queries()["feature_hashing"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_terms > 1 for r in rows)
+    for r in rows:
+        assert 0 <= r.bucket < 256
+        assert abs(r.feat) <= r.n_terms
+        assert (r.feat - r.n_terms) % 2 == 0
