@@ -66,6 +66,16 @@ HEADLINE = [
     ("substring_span_dedup", "content-defined anchors inside one higher-order projection; text never shuffles"),
     ("link_prediction_common_neighbors", "degree-capped wedge equi-join; candidates only from wedges; anti-join vs edges"),
     ("jaccard_prefix_filter_join", "prefix join concentrates on RARE shingles; verify touches only candidates"),
+    # round-9/10 additions
+    ("protobuf_binary_decode", "pure-JVM tag-walk decode, zero shuffles before the 5-group final agg"),
+    ("unigram_lm_train", "lattice DP folds inside ONE Catalyst expression; vocab-sized rounds, broadcast cost map"),
+    ("ngram_lm_perplexity_filter", "model as 1-row broadcast maps; scoring pass is map-only on the streamed side"),
+    ("dsir_importance_resample", "twin LM broadcast-hash probes; ONE doc_id exchange after map-side partials"),
+    ("doremi_domain_reweight", "broadcast-hash model probe; single (lang, shard) exchange feeds 4 integer MW steps"),
+    ("wordpiece_apply", "greedy fold map-only over the vocab; two broadcast piece maps; zero shuffles"),
+    ("kmeans_lloyd", "k-row centroid broadcast per round; k-sized integer-stat exchange at any corpus size"),
+    ("pagerank_rounds", "persisted symmetric edges; per round ONE dst-keyed hash agg with map-side partials"),
+    ("feature_hashing", "md5 bucket+sign map-side; single (doc, bucket) exchange; no vocabulary join"),
 ]
 
 
