@@ -491,6 +491,106 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join_dual",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort,
+         CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_epoch
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT COALESCE(d.cohort, '__none__') AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(FLOOR(e.value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value_scaled,
+       CAST(SUM(COALESCE(d.first_epoch, 0)) AS BIGINT) AS sum_first_epoch
+FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+GROUP BY 1
+""",
+)
+def stream_static_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the production
+    streaming/windows.py::enrich_with_dim operator) through a REAL
+    readStream micro-batch replay, hash-checked against the batch left
+    join — the dimension-lookup shape every streaming pipeline has
+    (rules tables, user cohorts, feature stores).  Each micro-batch
+    joins against the batch-side cohort dimension; the drained result
+    must equal the one-shot batch join row for row, which pins the two
+    properties that matter: the static side is re-resolved per trigger
+    (no stale/partial snapshot) and left-join NULLs pass through for
+    keyless events exactly once.
+
+    No watermark, no state, no flush sentinel: enrichment emits every
+    row in the micro-batch it arrives (this dual is the stateless
+    baseline of the dual family — the join/dedup duals prove the
+    stateful contracts on top of it).
+
+    Scale shape: the dimension broadcasts under the per-micro-batch
+    join when small (the standard enrichment deployment; a big dim
+    becomes a shuffled join per batch and belongs in a stream-stream
+    design instead); the stream side never shuffles.  The memory-sink
+    drain then aggregates batch-side, one cohort-keyed exchange."""
+    from odni_apache_beam_consumer_spark.sources import replay as R
+    from odni_apache_beam_consumer_spark.streaming.windows import (
+        enrich_with_dim,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="ssdim_dual_")
+    try:
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_seen"))
+            .select(
+                "user_id",
+                F.date_format("first_seen", "yyyy-MM-dd").alias("cohort"),
+                # user-SPECIFIC enrichment value: a misjoin that lands a
+                # row on the wrong user (same cohort) still shifts the
+                # per-cohort epoch sum and fails the hash
+                F.unix_timestamp("first_seen").cast("long").alias(
+                    "first_epoch"
+                ),
+            )
+        )
+        chunks = R.write_replay_chunks(
+            spark,
+            sf_dir,
+            os.path.join(replay_root, "chunks"),
+            n_chunks=3,
+        )
+        enriched = enrich_with_dim(R.read_stream(spark, chunks), dim).select(
+            F.coalesce("cohort", F.lit("__none__")).alias("cohort"),
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("value_scaled"),
+            F.coalesce("first_epoch", F.lit(0)).cast("long").alias(
+                "first_epoch"
+            ),
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("ssdim_dual_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("ssdim_dual_mem")
+            .groupBy("cohort")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.sum("value_scaled").cast("long").alias("sum_value_scaled"),
+                F.sum("first_epoch").cast("long").alias("sum_first_epoch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(replay_root, ignore_errors=True)
+
+
+@query(
     "streaming_dedup_dual",
     oracle="""
 SELECT event_type,
