@@ -117,6 +117,17 @@ SLOW_FAMILY = [
     "cdc_tombstone_gc",
     "unigram_lm_train",
     "ngram_lm_perplexity_filter",
+    # round-10 session-2 additions: the greedy tokenizer apply (vocab
+    # grows 300x under the word-prefix synthesis), the fixed-round
+    # integer PageRank (graph becomes 300 disjoint copies — the linear
+    # keyed-join family), and the hashing-trick featurizer (map-side
+    # family).  kmeans_lloyd is deliberately absent for the ann_ivfpq
+    # reason: its centroid seed rule (vec_id % 50 == 0) grows k with the
+    # corpus, so a cell would measure the |corpus| x k experiment
+    # artifact, not the fixed-k production shape.
+    "wordpiece_apply",
+    "pagerank_rounds",
+    "feature_hashing",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
