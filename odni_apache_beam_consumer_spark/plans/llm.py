@@ -2035,3 +2035,186 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 from odni_apache_beam_consumer_spark.plans.registry import ORACLES as _OR2  # noqa: E402
 
 _OR2["dedup_method_comparison"] = _dedup_method_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LSH banding trade-off audit
+# ---------------------------------------------------------------------------
+
+_LSH_AUDIT_CONFIGS = (1, 2, 3, 4)  # rows-per-band over the 12-hash signature
+_LSH_TRUTH_T_PPM = 500000  # ground-truth Jaccard threshold (0.5)
+
+
+def _lsh_tradeoff_oracle() -> str:
+    """Replays the full audit: 12-slot minhash signatures, one banding
+    CTE per (rows-per-band) config, candidate sets, and the brute-force
+    exact-Jaccard truth set (the same integer-ppm inequality the
+    prefix-filter operator applies, proven lossless elsewhere)."""
+    ctes = [
+        _CORPUS_CTE.strip().rstrip(),
+        """audit_corpus AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM audit_corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+mh AS (
+  SELECT doc_id, h, MIN(md5(shingle || '#' || CAST(h AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS hu(h)
+  GROUP BY doc_id, h
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE c * 1000000 >= """
+        + str(_LSH_TRUTH_T_PPM)
+        + """ * (sa.nsh + sb.nsh - c)
+),
+ttot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_total FROM truth)""",
+    ]
+    stats = []
+    for r in _LSH_AUDIT_CONFIGS:
+        ctes.append(
+            f"""bands{r} AS (
+  SELECT doc_id, h // {r} AS band,
+         STRING_AGG(minhash, '|' ORDER BY h) AS sig
+  FROM mh GROUP BY doc_id, h // {r}
+),
+cand{r} AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands{r} a JOIN bands{r} b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+stat{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rows_per_band,
+         CAST({12 // r} AS BIGINT) AS n_bands,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_found
+  FROM cand{r} c LEFT JOIN truth t ON t.da = c.da AND t.db = c.db
+)"""
+        )
+        stats.append(f"SELECT * FROM stat{r}")
+    union = " UNION ALL ".join(stats)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT rows_per_band, n_bands, n_candidates, n_true_found, n_true_total,
+       CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_true_found * 1000000 // n_candidates AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN n_true_total = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_true_found * 1000000 // n_true_total AS BIGINT) END
+         AS recall_ppm
+FROM ({union}) s CROSS JOIN ttot
+"""
+    )
+
+
+@query("lsh_band_tradeoff_audit", oracle=_lsh_tradeoff_oracle())
+def lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding TUNING TABLE — the measurement a 100 TB dedup
+    deployment runs before committing to a (bands x rows) config: for
+    every rows-per-band r over the SAME 12-hash MinHash signature,
+    candidate volume, recall and precision against the exact-Jaccard
+    ground truth (J >= 0.5 over the same 3-word shingles, computed by
+    the LOSSLESS prefix-filter operator — machine-proven equal to brute
+    force by jaccard_prefix_filter_join's oracle).  The S-curve
+    trade-off becomes data: r=1 fires on any shared slot (recall ~1,
+    precision floor), r=4 needs 4 consecutive slot agreements
+    (precision ~1, recall droops below the threshold knee) — integer
+    ppm on both axes.
+
+    Scale shape: signature build is the dedup_minhash shape (map-side
+    partial min-agg, one doc-keyed exchange), persisted ONCE and
+    re-banded column-side per config (posexplode of slices — zero new
+    scans); each config is a band-keyed equi-self-join (never
+    all-pairs) plus a pair-keyed left join against the truth set; the
+    truth set itself is prefix-filter-pruned, not brute force.  At
+    production scale the audit runs on a sampled corpus slice with
+    the hot-bucket guard (max_bucket) applied to BOTH sides — at
+    fixture scale the unguarded form is exact and the oracle replays
+    it verbatim."""
+    from pyspark import StorageLevel
+
+    # Deterministic half-sample: the audit measures RATES (precision /
+    # recall / volume ratios), which are corpus-size-invariant under
+    # uniform sampling — exactly how a production deployment tunes
+    # banding without paying a full-corpus pair job.  doc_id % 2 keeps
+    # each perturbed near-dup WITH its original (both ids are even or
+    # both odd by construction: +1000000 preserves parity), so truth
+    # pairs survive sampling intact.
+    corpus = dedup_corpus(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    caches: list = []
+    mh = D.minhash_signatures(D.shingle_table(corpus, 3), 12).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    caches.append(mh)
+    truth = (
+        D.jaccard_prefix_filter_pairs(
+            corpus, shingle_words=3, threshold=0.5, cache_registry=caches
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    caches.append(truth)
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
+    # ALL configs in ONE pass: tag each config's band rows with r and
+    # self-join once on (r, band, sig) — 4 separate config joins cost 4
+    # shuffles of the same signature table for no information gain.
+    bands = None
+    for r in _LSH_AUDIT_CONFIGS:
+        b = D.lsh_band_signatures(mh, r).withColumn(
+            "r", F.lit(r).cast("long")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "r", "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "r", "band", "sig")
+    cand = (
+        a.join(b, ["r", "band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("r", "doc_a", "doc_b")
+        .distinct()
+    )
+    res = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+            .cast("long")
+            .alias("n_true_found"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("rows_per_band"),
+            F.expr("CAST(12 DIV r AS BIGINT)").alias("n_bands"),
+            "n_candidates",
+            "n_true_found",
+            "n_true_total",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(n_true_found * 1000000 DIV n_candidates "
+                "AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_true_total = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(n_true_found * 1000000 DIV n_true_total "
+                "AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    return res

@@ -772,3 +772,26 @@ def test_feature_hashing_single_exchange_and_invariants(spark, sf_dir):
         assert 0 <= r.bucket < 256
         assert abs(r.feat) <= r.n_terms
         assert (r.feat - r.n_terms) % 2 == 0
+
+
+def test_lsh_band_tradeoff_monotone(spark, sf_dir):
+    """The banding audit must exhibit the S-curve monotonicity that
+    makes it a tuning table: candidate volume strictly shrinks as
+    rows-per-band grows (stricter collision requirement), precision is
+    non-decreasing, the truth set is non-empty, and every config's
+    candidates contain at most the r=1 volume (any-slot collision is
+    the weakest gate)."""
+    rows = {
+        r.rows_per_band: r
+        for r in all_queries()["lsh_band_tradeoff_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_true_total > 0
+    for r in (2, 3, 4):
+        assert rows[r].n_candidates <= rows[r - 1].n_candidates
+        assert rows[r].precision_ppm >= rows[r - 1].precision_ppm
+    # the weakest gate must be STRICTLY noisier than the strictest
+    assert rows[4].n_candidates < rows[1].n_candidates
+    assert rows[4].precision_ppm > rows[1].precision_ppm
