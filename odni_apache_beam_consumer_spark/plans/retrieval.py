@@ -1743,3 +1743,181 @@ def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join("st.ps", " "))
         .alias("pieces"),
     )
+
+
+def _fertility_oracle() -> str:
+    """Both applies re-derived from their registered oracle chains,
+    embedded as subqueries (identical training CTE text — the shared
+    inventory is what isolates the segmentation STRATEGY in the
+    comparison), aggregated to the standard corpus metrics."""
+    return f"""
+WITH uni AS (
+  SELECT w, freq, n_pieces, pieces, 0 AS is_unk
+  FROM ( {_unigram_apply_oracle()} ) u
+),
+wp AS (
+  SELECT w, freq, n_pieces, pieces,
+         CASE WHEN pieces = '[UNK]' THEN 1 ELSE 0 END AS is_unk
+  FROM ( {_wordpiece_apply_oracle()} ) v
+),
+fam AS (
+  SELECT 'unigram_viterbi' AS family, w, freq, n_pieces, is_unk FROM uni
+  UNION ALL
+  SELECT 'wordpiece_greedy' AS family, w, freq, n_pieces, is_unk FROM wp
+),
+div AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_diverging_words
+  FROM uni u JOIN wp v ON v.w = u.w
+  WHERE replace(v.pieces, '##', '') <> u.pieces
+)
+SELECT family,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(SUM(freq * n_pieces) AS BIGINT) AS weighted_tokens,
+       CAST(SUM(freq * len(w)) AS BIGINT) AS weighted_chars,
+       CAST(SUM(freq * n_pieces) * 1000 // SUM(freq) AS BIGINT)
+         AS fertility_milli,
+       CAST(SUM(freq * len(w)) * 1000 // SUM(freq * n_pieces) AS BIGINT)
+         AS chars_per_token_milli,
+       CAST(SUM(is_unk) AS BIGINT) AS n_unk_words,
+       (SELECT n_diverging_words FROM div) AS n_diverging_words
+FROM fam
+GROUP BY family
+"""
+
+
+@query("tokenizer_fertility_audit", oracle=_fertility_oracle())
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY comparison — the metric that actually decides
+    which segmentation strategy ships (tokens-per-word drives context
+    usage and training cost): Viterbi (unigram-LM) vs greedy
+    longest-match-first (WordPiece) over the SAME learned inventory, so
+    the numbers isolate the inference strategy from vocabulary quality.
+    Corpus-weighted tokens, chars-per-token compression, and the
+    greedy-only [UNK] casualty count, all in exact integers (milli
+    units via DIV).  Viterbi's fertility lower-bounds greedy's on a
+    shared vocabulary by construction — pinned by test.
+
+    Scale shape: ONE training pass (vocab-sized rounds, see
+    unigram_train_rounds), the two map-only apply folds over the
+    trainable vocabulary, and a 2-group final aggregate.  At 100 TB the
+    corpus never re-scans: fertility is freq-weighted from the one
+    word-count table every tokenizer stage already shares."""
+    words = (
+        with_tokens(spread(load_table(spark, sf_dir, "documents")))
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    model = unigram_train_rounds(words).localCheckpoint(eager=True)
+    w8 = words.where(
+        F.length("w").between(2, _UNI_MAX_WLEN)
+    ).localCheckpoint(eager=True)
+
+    # Viterbi apply (the unigram_lm_apply body over the shared model)
+    pm = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost_milli"))
+        ).alias("pm")
+    )
+    uni = (
+        w8.crossJoin(F.broadcast(pm))
+        .withColumn("dp", F.expr(_uni_dp_expr(_UNI_MAX_PIECE)))
+        .withColumn("ps", F.expr(_uni_bt_expr(_UNI_MAX_WLEN)))
+        .select(
+            F.lit("unigram_viterbi").alias("family"),
+            "w",
+            "freq",
+            F.size("ps").cast("long").alias("n_pieces"),
+            F.array_join(F.reverse("ps"), " ").alias("pieces"),
+            F.lit(0).alias("is_unk"),
+        )
+    )
+
+    # Greedy apply (the wordpiece_apply body over the same model)
+    occ = w8.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i -> "
+                f"transform(sequence(1, least({_UNI_MAX_PIECE}, "
+                f"length(w) - i + 1)), "
+                f"k -> struct(substring(w, i, k) AS piece, i AS i))))"
+            )
+        ).alias("s"),
+    ).select(F.col("s.piece").alias("piece"), F.col("s.i").alias("i"), "freq")
+    flags = occ.groupBy("piece").agg(
+        F.max((F.col("i") == 1).cast("int")).alias("init_seen"),
+        F.sum(F.when(F.col("i") > 1, F.col("freq")).otherwise(0)).alias(
+            "cont_cnt"
+        ),
+    )
+    maps = model.join(flags, "piece").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("init_seen") == 1, F.struct("piece", F.lit(1)))
+            )
+        ).alias("mi"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("cont_cnt") >= _WP_MIN_CONT,
+                    F.struct("piece", F.lit(1)),
+                )
+            )
+        ).alias("mc"),
+    )
+    wp = (
+        w8.crossJoin(F.broadcast(maps))
+        .withColumn("st", F.expr(_wp_greedy_expr(_UNI_MAX_PIECE, _UNI_MAX_WLEN)))
+        .select(
+            F.lit("wordpiece_greedy").alias("family"),
+            "w",
+            "freq",
+            F.when(F.col("st.fail"), F.lit(1))
+            .otherwise(F.size("st.ps"))
+            .cast("long")
+            .alias("n_pieces"),
+            F.when(F.col("st.fail"), F.lit("[UNK]"))
+            .otherwise(F.array_join("st.ps", " "))
+            .alias("pieces"),
+            F.when(F.col("st.fail"), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_unk"
+            ),
+        )
+    )
+
+    # Pairwise non-vacuity column: strategies can tie on COUNTS while
+    # choosing different segmentations (Viterbi optimizes cost, greedy
+    # takes longest-first) — the divergence count is what shows the
+    # audit is comparing two genuinely different algorithms.
+    div = (
+        uni.select("w", F.col("pieces").alias("up"))
+        .join(wp.select("w", F.col("pieces").alias("gp")), "w")
+        .where(F.regexp_replace("gp", "##", "") != F.col("up"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_diverging_words"))
+    )
+
+    return (
+        uni.unionByName(wp)
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.sum(F.col("freq") * F.col("n_pieces"))
+            .cast("long")
+            .alias("weighted_tokens"),
+            F.sum(F.col("freq") * F.length("w"))
+            .cast("long")
+            .alias("weighted_chars"),
+            F.expr(
+                "CAST(SUM(freq * n_pieces) * 1000 DIV SUM(freq) AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CAST(SUM(freq * length(w)) * 1000 "
+                "DIV SUM(freq * n_pieces) AS BIGINT)"
+            ).alias("chars_per_token_milli"),
+            F.sum("is_unk").cast("long").alias("n_unk_words"),
+        )
+        .crossJoin(F.broadcast(div))
+    )

@@ -478,6 +478,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "doremi_domain_reweight": "broadcast 1-row shard-mean + weight-sum scalars per MW step (domains-sized frame)",
         "unigram_lm_apply": "broadcast 1-row piece-cost map (train + apply)",
         "wordpiece_apply": "broadcast 1-row init/cont piece maps (train + greedy apply)",
+        "tokenizer_fertility_audit": "broadcast 1-row piece maps + 1-row divergence scalar",
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",

@@ -151,3 +151,28 @@ def test_wordpiece_greedy_is_longest_match_first(spark):
     want = py_wordpiece_apply(vocab)
     assert got == want
     assert got["ababab"] == (2, "abab ##ab")
+
+
+def test_fertility_audit_shape_and_bounds(spark, sf_dir):
+    """The fertility audit must compare both strategies over the SAME
+    word set (counts identical), report divergence > 0 on the fixture
+    corpus (the strategies really differ), and on THIS corpus Viterbi's
+    weighted token count lower-bounds greedy's (an empirical fixture
+    property, not a theorem — Viterbi minimizes cost, not count; the
+    assertion documents the observed relationship, ties allowed)."""
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    rows = {
+        r.family: r
+        for r in all_queries()["tokenizer_fertility_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"unigram_viterbi", "wordpiece_greedy"}
+    u, g = rows["unigram_viterbi"], rows["wordpiece_greedy"]
+    assert u.n_words == g.n_words
+    assert u.n_occurrences == g.n_occurrences
+    assert u.weighted_chars == g.weighted_chars
+    assert u.n_diverging_words == g.n_diverging_words > 0
+    assert u.weighted_tokens <= g.weighted_tokens
+    assert u.n_unk_words == 0
