@@ -606,7 +606,12 @@ def _pb_string_hex(field_no: int, v_expr: str) -> str:
     )
 
 
-def _pb_tag_walk(wire: DataFrame, n_slots: int, fields: dict) -> DataFrame:
+def _pb_tag_walk(
+    wire: DataFrame,
+    n_slots: int,
+    fields: dict,
+    keep: tuple = (),
+) -> DataFrame:
     """Schema-driven Protobuf tag-walk over a BINARY ``value`` column.
 
     ``fields`` maps output column name -> (field_no, flavor) where
@@ -688,6 +693,7 @@ def _pb_tag_walk(wire: DataFrame, n_slots: int, fields: dict) -> DataFrame:
         )
 
     return d.select(
+        *(F.col(c) for c in keep),
         *(
             F.expr(_pick(fno, flavor)).alias(name)
             for name, (fno, flavor) in fields.items()
@@ -924,3 +930,93 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query(
+    "confluent_protobuf_decode",
+    oracle="""
+SELECT CAST(42 + event_id % 3 AS BIGINT) AS schema_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) - 5000) AS BIGINT)
+         AS total_delta_cents,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(SUM(CASE WHEN user_id % 7 != 0 THEN user_id END) AS BIGINT)
+         AS sum_user_id
+FROM events
+GROUP BY 1, 2
+""",
+)
+def confluent_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production decode composition the round-9 verdict's
+    watch item asked about: Confluent wire framing (magic byte +
+    4-byte BE schema id) wrapped around the Protobuf tag-walk body —
+    i.e. strip_confluent_header feeding _pb_tag_walk, which is exactly
+    what a Schema-Registry Protobuf consumer executes per record.  The
+    frame build, header strip, and tag walk are all one map-side
+    expression pipeline; since the r10 fold rewrite the walk's
+    expression size is linear in slots, so composing it under the strip
+    adds one substring layer, not a multiplicative inlining blow-up
+    (the original watch-item risk).  Aggregating by the RECOVERED
+    schema id x a DECODED body field proves both layers land on the
+    right byte boundaries: an off-by-one in the frame slice corrupts
+    the first varint tag and every group shifts.
+
+    Same adversarial body as protobuf_binary_decode (field order flips
+    per row, field 200 omitted on user_id % 7 = 0, zigzag vs plain
+    varint dispatch); the oracle re-derives everything from raw
+    columns, so the hash proves the double round trip lossless.
+
+    Scale shape: zero shuffles before the final small hash agg; per
+    micro-batch map work at consumer partition parallelism, spread()
+    on the under-split fixture scan."""
+    from odni_apache_beam_consumer_spark.sources.kafka import (
+        strip_confluent_header,
+    )
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 5000).alias(
+            "delta_cents"
+        ),
+        "event_type",
+        "user_id",
+    )
+    f1 = _pb_sint64_hex(1, "delta_cents")
+    f2 = _pb_sint64_hex(2, "event_id")
+    f3 = _pb_string_hex(3, "event_type")
+    f200 = (
+        "IF(user_id IS NULL OR user_id % 7 = 0, '', "
+        f"{_pb_uint64_hex(200, 'user_id')})"
+    )
+    framed = e.select(
+        F.concat(
+            F.unhex(F.lit("00")),
+            F.unhex(F.lpad(F.hex(F.lit(42) + F.col("event_id") % 3), 8, "0")),
+            F.expr(
+                f"unhex(IF(event_id % 2 = 0, "
+                f"concat({f1}, {f2}, {f3}, {f200}), "
+                f"concat({f200}, {f3}, {f2}, {f1})))"
+            ),
+        ).alias("value")
+    )
+    body = strip_confluent_header(framed)
+    dec = _pb_tag_walk(
+        body,
+        n_slots=4,
+        fields={
+            "delta_cents": (1, "sint64"),
+            "event_id": (2, "sint64"),
+            "event_type": (3, "string"),
+            "user_id": (200, "uint64"),
+        },
+        keep=("schema_id",),
+    )
+    return dec.groupBy(
+        F.col("schema_id").cast("long").alias("schema_id"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("delta_cents").cast("long").alias("total_delta_cents"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+    )
