@@ -76,6 +76,9 @@ HEADLINE = [
     ("kmeans_lloyd", "k-row centroid broadcast per round; k-sized integer-stat exchange at any corpus size"),
     ("pagerank_rounds", "persisted symmetric edges; per round ONE dst-keyed hash agg with map-side partials"),
     ("feature_hashing", "md5 bucket+sign map-side; single (doc, bucket) exchange; no vocabulary join"),
+    ("lsh_band_tradeoff_audit", "all 4 band configs in ONE tagged equi-self-join; prefix-filter truth, never brute force"),
+    ("tokenizer_fertility_audit", "one training pass shared by both apply folds; 2-group final agg"),
+    ("confluent_protobuf_decode", "frame strip + folded tag-walk compose map-side; zero shuffles before the small agg"),
 ]
 
 
