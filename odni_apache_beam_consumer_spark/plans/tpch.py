@@ -500,3 +500,50 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the canonical
+    filter-and-aggregate: the q6 predicates over lineitem collapsed to
+    ONE global sum.  scan_filter_project drives the same predicate
+    pushdown per row; this is the missing single-aggregate form, the
+    benchmark's purest scan-throughput probe.  Revenue carried as
+    FLOOR(price*discount*1e4) integer e4 units so the one-row sum is
+    bit-identical across engines (the registry's float-sum discipline).
+
+    Scale shape: PushedFilters prune the scan (at 100 TB, shipdate
+    partition pruning does most of the work), map-side partial
+    aggregation collapses each task to one row, and the final exchange
+    carries n_tasks rows — the cheapest possible distributed query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
