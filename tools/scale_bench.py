@@ -128,6 +128,18 @@ SLOW_FAMILY = [
     "wordpiece_apply",
     "pagerank_rounds",
     "feature_hashing",
+    # round-10 session-2 batch-2: the fertility audit (vocab grows
+    # 300x), the framed tag-walk composition and the canonical Q6 scan
+    # probe (both map-side family).  lsh_band_tradeoff_audit is
+    # deliberately absent: it composes jaccard_prefix_filter (whose own
+    # 300x cell exists and whose verify join is documented to spill
+    # ~78 GB at 300x) with the dedup_minhash banding (also celled) —
+    # a composite 300x cell double-pays that spill for no new scale
+    # information and exhausted /tmp when attempted; the audit's own
+    # numbers are sampling-rate-invariant by design (BASELINE.md).
+    "tokenizer_fertility_audit",
+    "confluent_protobuf_decode",
+    "q6_forecast_revenue",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
