@@ -1795,8 +1795,10 @@ def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numbers isolate the inference strategy from vocabulary quality.
     Corpus-weighted tokens, chars-per-token compression, and the
     greedy-only [UNK] casualty count, all in exact integers (milli
-    units via DIV).  Viterbi's fertility lower-bounds greedy's on a
-    shared vocabulary by construction — pinned by test.
+    units via DIV).  Viterbi's fertility lower-bounds greedy's on this
+    corpus — an observed fixture property, NOT a theorem: greedy's
+    [UNK] degradation counts a whole OOV word as 1 piece, so a long
+    OOV tail can invert the inequality (the shape test documents this).
 
     Scale shape: ONE training pass (vocab-sized rounds, see
     unigram_train_rounds), the two map-only apply folds over the

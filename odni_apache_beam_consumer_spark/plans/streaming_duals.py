@@ -326,7 +326,7 @@ def session_window_stream_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return (
             spark.table("session_dual_mem")
             .where(F.col("user_id") >= 0)  # drop the flush sentinel's row
@@ -465,7 +465,7 @@ def ann_stream_ingest_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .start()
         )
-        sq.awaitTermination(300)
+        assert sq.awaitTermination(300), "replay drain timed out (300 s)"
         # At-least-once restart: re-deliver batch 1 (chunks 2+3); the
         # marker must no-op it or those vectors index twice.
         ingest(emb.where(F.pmod(F.col("vec_id"), F.lit(4)).isin(2, 3)), 1)
@@ -574,7 +574,7 @@ def stream_static_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return (
             spark.table("ssdim_dual_mem")
             .groupBy("cohort")
@@ -672,7 +672,7 @@ def streaming_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return (
             spark.table("dedup_dual_mem")
             .groupBy("event_type")
@@ -774,7 +774,7 @@ def stream_stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return spark.table("ssjoin_dual_mem").localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -879,7 +879,7 @@ def stream_stream_outer_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return (
             spark.table("ssouter_dual_mem")
             .where(F.col("p_event_id") >= 0)  # drop sentinel null-rows
@@ -986,7 +986,7 @@ def stream_stream_full_outer_join_dual(spark: SparkSession, sf_dir: str) -> Data
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "replay drain timed out (300 s)"
         return (
             spark.table("ssfouter_dual_mem")
             .where(

@@ -172,6 +172,30 @@ def write_redelivery_chunks(
         .partitionBy("chunk", "dup")
         .parquet(tmp_dir)
     )
+    # Non-vacuity guard, in the writer itself (not just the fixture
+    # test): with heavily skewed or constant ts the approximate
+    # percentile cuts can collapse so every row lands in one chunk, or
+    # the redelivered subset comes out empty — either silently weakens
+    # the adversary and lets a stateless dedup pass vacuously.
+    # partitionBy only materializes directories for non-empty groups,
+    # so directory presence is an exact emptiness signal.
+    live_chunks = {
+        k for k in range(n_chunks)
+        if os.path.isdir(os.path.join(tmp_dir, f"chunk={k}", "dup=0"))
+    }
+    dup_chunks = {
+        k for k in range(n_chunks)
+        if os.path.isdir(os.path.join(tmp_dir, f"chunk={k}", "dup=1"))
+    }
+    if len(live_chunks) < 2 or not dup_chunks:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise ValueError(
+            "write_redelivery_chunks produced a vacuous replay: "
+            f"{len(live_chunks)} non-empty chunk(s), "
+            f"{len(dup_chunks)} chunk(s) with re-delivered rows "
+            f"(need >=2 and >=1) — ts distribution too skewed for "
+            f"n_chunks={n_chunks} / redeliver_mod={redeliver_mod}"
+        )
     os.makedirs(out_dir, exist_ok=True)
     now = time.time()
     seq = 0
