@@ -14,8 +14,10 @@ pipelines can be exercised end-to-end without a broker (FIXTURES.md §B).
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,3 +251,77 @@ def as_kafka_records(df: DataFrame, topic: str = "test-topic") -> DataFrame:
             "CAST(array() AS array<struct<key:string,value:binary>>)"
         ).alias("headers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-cached fixtures.  Several streaming duals replay the SAME
+# deterministic chunk layout of the same events table (e.g. the session
+# and inner-join duals both use (n_chunks=4, flush_sentinel=True); the
+# two outer-join duals both use (3, True, 2)).  The chunk files are
+# pure functions of (sf_dir, params) and read-only once written, so one
+# process-wide build serves every consumer — each readStream keeps its
+# own checkpoint, so sharing the source directory is safe.  This is the
+# dual-family fixed-overhead trim: at sf0.1 each redundant build costs
+# ~1.3 s of bench time for identical bytes.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CACHE: dict[tuple, str] = {}
+_FIXTURE_ROOT: str | None = None
+
+
+def _fixture_root() -> str:
+    global _FIXTURE_ROOT
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = tempfile.mkdtemp(prefix="replay_fixtures_")
+        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+    return _FIXTURE_ROOT
+
+
+def replay_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+    flush_sentinel: bool = False,
+    n_sentinels: int = 1,
+) -> str:
+    """Cached :func:`write_replay_chunks`: returns the chunk dir for the
+    given (sf_dir, layout) params, building it at most once per process."""
+    key = ("replay", os.path.abspath(sf_dir), n_chunks, flush_sentinel, n_sentinels)
+    path = _FIXTURE_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tempfile.mkdtemp(prefix="replay_", dir=_fixture_root())
+    write_replay_chunks(
+        spark,
+        sf_dir,
+        os.path.join(out, "chunks"),
+        n_chunks=n_chunks,
+        flush_sentinel=flush_sentinel,
+        n_sentinels=n_sentinels,
+    )
+    _FIXTURE_CACHE[key] = os.path.join(out, "chunks")
+    return _FIXTURE_CACHE[key]
+
+
+def redelivery_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    redeliver_mod: int = 5,
+) -> str:
+    """Cached :func:`write_redelivery_chunks` (same contract as
+    :func:`replay_fixture`)."""
+    key = ("redelivery", os.path.abspath(sf_dir), n_chunks, redeliver_mod)
+    path = _FIXTURE_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tempfile.mkdtemp(prefix="redeliver_", dir=_fixture_root())
+    write_redelivery_chunks(
+        spark,
+        sf_dir,
+        os.path.join(out, "chunks"),
+        n_chunks=n_chunks,
+        redeliver_mod=redeliver_mod,
+    )
+    _FIXTURE_CACHE[key] = os.path.join(out, "chunks")
+    return _FIXTURE_CACHE[key]
