@@ -1465,3 +1465,104 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"loss_s{t}" for t in range(_DRO_SHARDS)],
         F.col("w").alias("weight_ppm"),
     )
+
+
+@query(
+    "exact_substring_spans",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(substr(text, CAST(i AS INT), 64)) AS h
+  FROM documents, UNNEST(generate_series(1, len(text)-63)) AS u(i)
+  WHERE len(text) >= 64
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+dpos AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 64 - MIN(pos) AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, grp
+ORDER BY span_len DESC, doc_id, span_start
+LIMIT 200
+""",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup, suffix-array grade (Lee et al.
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every maximal span of length >= 64 whose every
+    64-char window recurs somewhere in the corpus (>= 2 total
+    occurrences, within- OR cross-document — the ExactSubstr counting
+    rule), with EXACT span boundaries.  This completes the family next
+    to substring_span_dedup: the anchor method detects a duplicated
+    region only with probability 1 - (15/16)^(L-63) (a region of
+    length exactly 64 is missed 15/16 of the time — pinned by test);
+    this operator is deterministic — EVERY position is tabulated, so
+    no duplicated span of length >= 64 can escape, and run-length
+    merging recovers the same maximal-match boundaries a suffix array
+    yields without constructing one.
+
+    The Spark-shaped construction replaces the suffix array with its
+    relational equivalent: the sorted k-gram table.  (1) tabulate all
+    64-gram hashes with their (doc, pos); (2) one hash-partitioned
+    window count marks every k-gram that occurs >= 2 times (this IS
+    the "sort the suffixes, read equal runs" step — equality of
+    64-grams needs no lexicographic neighbors); (3) per-doc
+    gaps-and-islands over the surviving positions merges consecutive
+    duplicated windows into maximal spans with exact [start, start +
+    len) boundaries.  Top-200 by (span_len, doc_id, span_start) — a
+    deterministic total order, (doc_id, span_start) is unique per run.
+
+    Scale shape: the exploded stream is (doc_id, pos, 16-byte hash) —
+    ~1 row per corpus character, linear, raw text never shuffles.
+    Exactly TWO exchanges, both linear: hash-partition by h for the
+    occurrence count (map-side nothing to combine — window, not join:
+    the group-then-join-back form would shuffle the table twice and
+    build a hash table of dup keys; the window reads the count off the
+    sorted run it already has), then by doc_id for the island merge.
+    At 100 TB this is the documented Lee-et-al distributed shape (their
+    suffix-array shards ARE sorted k-gram ranges); the 64-byte window
+    can widen to the tokenizer's 50-token span without changing the
+    plan.  The top-k heap is TakeOrderedAndProject; a removal pass
+    would instead keep every span and anti-join against training text.
+
+    spread(): the documents fixture scans as one split; the per-row
+    transform computes ~len(text) md5s (the dominant map cost), see
+    catalog.spread."""
+    pos = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .where(F.length("text") >= 64)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 63),"
+                    " i -> struct(CAST(i AS BIGINT) AS pos,"
+                    "             md5(substring(text, i, 64)) AS h))"
+                )
+            ).alias("ph"),
+        )
+        .select("doc_id", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    )
+    dup_pos = pos.withColumn(
+        "n_occ", F.count(F.lit(1)).over(W.partitionBy("h"))
+    ).where(F.col("n_occ") >= 2)
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    spans = (
+        dup_pos.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + 64 - F.min("pos")).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+    return spans.orderBy(
+        F.desc("span_len"), F.asc("doc_id"), F.asc("span_start")
+    ).limit(200)

@@ -122,3 +122,64 @@ def test_link_prediction_no_cartesian_and_caps_hubs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "64" in plan  # the degree-cap literal survives into the plan
+
+
+def test_exact_substring_finds_anchor_blind_span(spark, tmp_path):
+    """The separation the exact (suffix-array-grade) method buys over
+    content-defined anchoring: a duplicated region of length EXACTLY 64
+    has a single full window, so the anchor method sees it only if that
+    one position anchors (probability 1/16 for random content).  The
+    planted region's leading 4-gram is chosen so its md5 does NOT start
+    with '0' — the anchor method is deterministically blind to it —
+    while exact_substring_spans, which tabulates EVERY position, must
+    report the span with exact boundaries in both documents."""
+    import hashlib
+
+    region = None
+    for seed in range(4096):
+        cand = f"Z{seed:04d}" + "the rain in spain falls mainly on the plain".ljust(59, ".")
+        cand = cand[:64]
+        assert len(cand) == 64
+        if not hashlib.md5(cand[:4].encode()).hexdigest().startswith("0"):
+            region = cand
+            break
+    assert region is not None
+    # no anchor fires at the region's only full-window position
+    assert not list(_python_spans(region))
+    filler_a = "alpha filler entirely unlike the planted content " * 2
+    filler_b = "bravo padding with no repeated material inside it " * 2
+    rows = [
+        (1, region + filler_a),
+        (2, filler_b + region),
+        # aperiodic: a repeated ("... " * 4) body would itself contain
+        # within-doc duplicated 64-grams, which ExactSubstr correctly
+        # reports — this test wants ONLY the planted cross-doc region
+        (
+            3,
+            "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen",
+        ),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    anchor_rows = all_queries()["substring_span_dedup"](
+        spark, str(tmp_path)
+    ).collect()
+    assert not any(
+        {r.min_doc, r.max_doc} == {1, 2} for r in anchor_rows
+    ), "anchor method unexpectedly saw the anchor-free region"
+
+    exact_rows = all_queries()["exact_substring_spans"](
+        spark, str(tmp_path)
+    ).collect()
+    spans = {(r.doc_id, r.span_start, r.span_len) for r in exact_rows}
+    assert (1, 1, 64) in spans, spans
+    assert (2, len(filler_b) + 1, 64) in spans, spans
+    # and nothing else is reported: the fillers are duplicate-free
+    assert len(spans) == 2, spans
