@@ -1566,3 +1566,245 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.orderBy(
         F.desc("span_len"), F.asc("doc_id"), F.asc("span_start")
     ).limit(200)
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query(
+    "gopher_quality_rules",
+    oracle="""
+WITH d AS (
+  SELECT lang, string_split(trim(text), ' ') AS tk, text
+  FROM documents
+),
+f AS (
+  SELECT lang,
+         len(tk) AS n_words,
+         list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS sum_len,
+         len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         (len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) // 3 AS n_sym,
+         len(list_intersect(list_distinct(tk),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM d
+),
+r AS (
+  SELECT lang,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+         CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+              THEN 0 ELSE 1 END AS f_mwl,
+         CASE WHEN 10 * n_sym <= n_words THEN 0 ELSE 1 END AS f_sym,
+         CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 1 END AS f_alpha,
+         CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_stop
+  FROM f
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_fraction,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM r GROUP BY lang
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-set audit (Rae et al. 2021, Appendix A — the
+    rule family FineWeb/RefinedWeb/MassiveText-style pipelines run
+    before any model-based filter): per language, how many documents
+    fail each structural rule and how many survive all five.
+
+    Rules, in their integer-exact cross-engine form (every threshold is
+    a cross-multiplied integer comparison — no float division anywhere,
+    the registry's hash-portability discipline):
+      * word count in [50, 100000]
+      * mean word length in [3, 10]  (3n <= L <= 10n)
+      * symbol-to-word ratio <= 0.1  ('#' + '...' occurrences)
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct Gopher stop words present
+
+    This differs from text_quality_score (a composite score) and
+    classifier_quality_filter (a learned threshold): it is the
+    RULE-LEVEL audit table an operator reads to see WHICH rule is
+    biting a corpus before tuning it.
+
+    Scale shape: strictly map-side per-document flag computation (one
+    higher-order-function projection over the token array — no explode,
+    the token stream never becomes rows) followed by ONE lang-keyed
+    hash aggregation with map-side partials.  At 100 TB this is a scan
+    whose cost is tokenization, which the pipeline pays anyway."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_sym = (
+        (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+        + F.floor(
+            (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", "")))
+            / 3
+        )
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+        )
+    ).cast("long")
+    flags = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        F.when(n_words.between(50, 100000), 0).otherwise(1).alias("f_wc"),
+        F.when((3 * n_words <= sum_len) & (sum_len <= 10 * n_words), 0)
+        .otherwise(1)
+        .alias("f_mwl"),
+        F.when(10 * n_sym <= n_words, 0).otherwise(1).alias("f_sym"),
+        F.when(5 * n_alpha >= 4 * n_words, 0).otherwise(1).alias("f_alpha"),
+        F.when(n_stop >= 2, 0).otherwise(1).alias("f_stop"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_word_count"),
+        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_fraction"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_sym")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pass_all"),
+    )
+
+
+@query(
+    "exact_substring_removal_stats",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(substr(text, CAST(i AS INT), 64)) AS h
+  FROM documents, UNNEST(generate_series(1, len(text)-63)) AS u(i)
+  WHERE len(text) >= 64
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+dpos AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 63 THEN 0 ELSE 1 END AS new_grp
+  FROM dpos
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MAX(pos) + 63 - MIN(pos) + 1 AS cut_len
+  FROM grp GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(cut_len) AS BIGINT) AS chars_cut,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS docs_affected,
+       CAST(SUM(len(d.text)) AS BIGINT) AS chars_total,
+       CAST(COALESCE(SUM(p.chars_cut), 0) AS BIGINT) AS chars_removed,
+       CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(p.chars_cut), 0) * 1000000
+            // SUM(len(d.text)) AS BIGINT) AS removed_ppm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+def exact_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee et al. ExactSubstr (exact_substring_spans
+    is the detection half): per language, how many characters a cut
+    pass would delete, over how many spans and documents — the budget
+    number a training-data owner reads before approving the cut.
+
+    Differs from the detection query in one load-bearing way: islands
+    merge on CHARACTER overlap (gap <= 63 between consecutive
+    duplicated window positions), not position adjacency — two
+    duplicated windows whose 64-char extents overlap must count their
+    union once, or chars_removed double-counts and the reported budget
+    lies.  With the 63-gap rule the merged spans are provably disjoint
+    in character space, so SUM(span length) IS the exact removal size
+    (removed_ppm is an exact integer division, hash-portable).
+
+    Scale shape: identical linear two-exchange tabulation as
+    exact_substring_spans (hash-window count, per-doc islands), plus
+    one doc-keyed join of per-doc cut totals back to the (lang,
+    n_chars) projection and a lang-keyed final agg.  Raw text still
+    never shuffles; the join carries two integers per affected doc."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pos = (
+        docs.where(F.length("text") >= 64)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 63),"
+                    " i -> struct(CAST(i AS BIGINT) AS pos,"
+                    "             md5(substring(text, i, 64)) AS h))"
+                )
+            ).alias("ph"),
+        )
+        .select("doc_id", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    )
+    dup_pos = pos.withColumn(
+        "n_occ", F.count(F.lit(1)).over(W.partitionBy("h"))
+    ).where(F.col("n_occ") >= 2)
+    ow = W.partitionBy("doc_id").orderBy("pos")
+    marked = dup_pos.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(ow) <= 63, 0)
+        .otherwise(1)
+        .alias("new_grp"),
+    )
+    grp = marked.withColumn(
+        "g",
+        F.sum("new_grp").over(ow.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        (F.max("pos") + 63 - F.min("pos") + 1).alias("cut_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("cut_len").cast("long").alias("chars_cut"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    joined = docs.select("doc_id", "lang", F.length("text").alias("nc")).join(
+        per_doc, "doc_id", "left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("chars_cut").cast("long").alias("docs_affected"),
+        F.sum("nc").cast("long").alias("chars_total"),
+        F.coalesce(F.sum("chars_cut"), F.lit(0)).cast("long").alias(
+            "chars_removed"
+        ),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.floor(
+            F.coalesce(F.sum("chars_cut"), F.lit(0)) * 1000000 / F.sum("nc")
+        )
+        .cast("long")
+        .alias("removed_ppm"),
+    )

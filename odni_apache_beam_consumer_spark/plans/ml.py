@@ -568,6 +568,7 @@ def kmeans_lloyd_rounds(
     dim: int = _KM_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_ids: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-round Lloyd k-means with INTEGER sufficient-statistic
     centroid updates — the hash-portable form of :func:`kmeans`: each
@@ -581,33 +582,76 @@ def kmeans_lloyd_rounds(
     Returns the FINAL round's statistics long-form: (cid, pos,
     sum_micro, n_members) — every output cell an exact integer.
 
-    Scale shape: per round, one broadcast of the k-row centroid table,
-    map-side argmin assignment (WindowGroupLimit over the per-vector
-    window), then ONE hash aggregation with k groups x (dim+1) integer
+    Scale shape: per round, the k centroids broadcast as ONE 1-row
+    array and the argmin folds inside a Catalyst aggregate() per vector
+    — assignment is genuinely map-only (zero exchanges; the earlier
+    window-ranked crossJoin shuffled k copies of every vector per
+    round), then ONE hash aggregation with k groups x (dim+1) integer
     columns — the exchange is k-sized at any corpus size, and the
     per-dim FLOOR/SUM partials combine map-side.  localCheckpoint per
     round truncates the iterative lineage; the corpus persist is
-    released before return (test_ml_loops cache-hygiene discipline)."""
+    released before return (test_ml_loops cache-hygiene discipline).
+
+    ``seed_ids``: explicit literal centroid seeds — the FIXED-K
+    production shape (k chosen by the deployment, not derived from the
+    corpus).  The default ``vid % centroid_every`` rule grows k with
+    the corpus, which is the documented reason the registered query's
+    300x scale cell would time a |corpus| x k experiment artifact;
+    tools/scale_bench.py passes sf0.1's literal seed set here so the
+    fixed-k cell times the operator itself."""
+    seed_pred = (
+        F.col("vid") % centroid_every == 0
+        if seed_ids is None
+        else F.col("vid").isin([int(i) for i in seed_ids])
+    )
     v = (
         with_vec(corpus, vec_col)
         .select(F.col(id_col).alias("vid"), "vec")
         .persist()
     )
     cents = (
-        v.where(F.col("vid") % centroid_every == 0)
+        v.where(seed_pred)
         .select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
         .localCheckpoint(eager=True)
     )
     stats = None
     for _ in range(n_rounds):
+        # Assignment is MAP-ONLY: the k centroids collapse to a single
+        # 1-row array column (collect_list of (cid, cvec, |c|^2)),
+        # broadcast-crossed into the corpus scan, and the argmin folds
+        # inside ONE Catalyst aggregate() per vector — score =
+        # |c|^2 - 2<v,c> exactly as before (same expressions, same
+        # left-to-right dot fold, so the trajectory is bit-identical),
+        # ties to the smallest cid, which makes the fold independent of
+        # collect_list's order.  The earlier form ranked a corpus x k
+        # crossJoin through a per-vector window — a shuffle of k copies
+        # of every vector per round; this shuffles nothing at all until
+        # the k-group stats aggregation.
         c = cents.select("cid", "cvec", dot("cvec", "cvec").alias("cdd"))
-        score = F.col("cdd") - 2 * dot("vec", "cvec")
-        w = W.partitionBy("vid").orderBy(score.asc(), F.col("cid").asc())
-        assigned = (
-            v.crossJoin(F.broadcast(c))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "cid", "vec")
+        carr = c.agg(F.collect_list(F.struct("cid", "cvec", "cdd")).alias("cs"))
+
+        def _fold(acc, cand):
+            sc = cand["cdd"] - 2 * dot(F.col("vec"), cand["cvec"])
+            better = (
+                acc["cid"].isNull()
+                | (sc < acc["s"])
+                | ((sc == acc["s"]) & (cand["cid"] < acc["cid"]))
+            )
+            return F.when(
+                better,
+                F.struct(sc.alias("s"), cand["cid"].alias("cid")),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("cs"),
+            F.struct(
+                F.lit(None).cast("double").alias("s"),
+                F.lit(None).cast("long").alias("cid"),
+            ),
+            _fold,
+        )
+        assigned = v.crossJoin(F.broadcast(carr)).select(
+            "vid", best.getField("cid").alias("cid"), "vec"
         )
         stats = (
             assigned.groupBy("cid")

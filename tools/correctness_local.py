@@ -10,6 +10,10 @@ driver's cap.
 
 Usage:
     python tools/correctness_local.py [sf_dir]   # default /root/testdata/sf0.01
+
+The output filename is scale-suffixed for non-default dirs (sf0.1 ->
+CORRECTNESS_local_sf0.1.json), so the committed sf0.01 and sf0.1 sweeps
+coexist, each digest-gated by tests/test_artifacts.py.
 """
 
 from __future__ import annotations
@@ -77,8 +81,14 @@ def main() -> int:
 
     # Stamp the registry digest so test_artifacts.py fails loudly when a
     # query/oracle changes without regenerating this sweep.
-    out["__meta__"] = {"registry_digest": registry_digest()}
-    path = os.path.join(REPO, "CORRECTNESS_local.json")
+    out["__meta__"] = {"registry_digest": registry_digest(), "sf_dir": sf_dir}
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fname = (
+        "CORRECTNESS_local.json"
+        if base == "sf0.01"
+        else f"CORRECTNESS_local_{base}.json"
+    )
+    path = os.path.join(REPO, fname)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     recs = {n: r for n, r in out.items() if n != "__meta__"}
