@@ -1020,3 +1020,86 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     return open_pairs.orderBy(
         F.desc("common_neighbors"), F.asc("a"), F.asc("b")
     ).limit(50)
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle="""
+WITH RECURSIVE pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+reach(pk, hop) AS (
+  SELECT (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1) AS pk, 0 AS hop
+  UNION ALL
+  SELECT e.v AS pk, r.hop + 1
+  FROM reach r JOIN e ON e.u = r.pk
+  WHERE r.hop < 3
+)
+SELECT CAST(pk AS BIGINT) AS part_key,
+       CAST(MIN(hop) AS BIGINT) AS min_hop
+FROM reach
+GROUP BY pk
+""",
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability through the SQL front door's RECURSIVE
+    CTE (Spark 4's WITH RECURSIVE — the last major ANSI surface the
+    registry had no row for): shortest hop distance (<= 3) from the
+    smallest co-purchase vertex, over the same support >= 2 edge list
+    every graph query shares.  The oracle is the identical WITH
+    RECURSIVE in DuckDB, so the hash pins Spark's recursion semantics
+    (anchor + UNION ALL step + termination predicate) against an
+    independent implementation — not just the final set but the
+    hop-minimum per vertex, which a missed or duplicated frontier
+    expansion shifts.  Seeded at the highest-degree vertex (ties to the
+    smallest id) so the frontier is non-trivial at every scale factor.
+
+    The seed is collected as a 1-row literal (metadata-sized, the
+    documented probe-literal class) because the recursive ANCHOR is
+    where Spark 4.1 still rejects scalar subqueries; DuckDB's oracle
+    inlines the same MIN(u) as a scalar subquery — both engines
+    compute the identical seed from the identical edge definition.
+
+    Scale shape: each recursion level is one equi-join of the current
+    frontier against the (persisted) edge list + the final MIN/GROUP BY
+    — exactly the iterative-DataFrame BFS shape (pagerank_rounds)
+    expressed declaratively; hop-bounded UNION ALL is the demo form,
+    and the docstring-pinned production form dedups each frontier
+    against the visited set (UNION-distinct recursion / the
+    pagerank_rounds loop) so path multiplicity never materializes."""
+    e0 = copurchase_edges(spark, sf_dir)
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seed = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("u"))
+        .limit(1)
+        .collect()[0][0]
+    )  # 1-row probe literal (documented metadata-sized collect class)
+    e.createOrReplaceTempView("copurchase_sym_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(pk, hop) AS (
+          SELECT CAST({int(seed)} AS BIGINT) AS pk, 0 AS hop
+          UNION ALL
+          SELECT e.v AS pk, r.hop + 1
+          FROM reach r JOIN copurchase_sym_edges e ON e.u = r.pk
+          WHERE r.hop < 3
+        )
+        SELECT CAST(pk AS BIGINT) AS part_key,
+               CAST(MIN(hop) AS BIGINT) AS min_hop
+        FROM reach
+        GROUP BY pk
+        """
+    )
