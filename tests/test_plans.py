@@ -796,3 +796,46 @@ def test_lsh_band_tradeoff_monotone(spark, sf_dir):
     # the weakest gate must be STRICTLY noisier than the strictest
     assert rows[4].n_candidates < rows[1].n_candidates
     assert rows[4].precision_ppm > rows[1].precision_ppm
+
+
+def test_exact_substring_spans_two_linear_exchanges(spark, sf_dir):
+    """The suffix-array-grade tabulation must stay at exactly its two
+    designed exchanges (hash-partition by k-gram hash for the occurrence
+    window, by doc for the island merge) plus the top-k heap — a
+    group-then-join-back rewrite would add a third full-table exchange,
+    and any pairwise form would show a join of the exploded stream
+    against itself."""
+    plan = formatted_plan(spark, "exact_substring_spans", sf_dir)
+    # spread()'s round-robin guard on the single-split fixture adds one
+    # non-keyed exchange (a no-op at real scale); the KEYED exchanges —
+    # the ones that move data by content — must be exactly the two.
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_gopher_rules_map_only_no_explode(spark, sf_dir):
+    """The rule flags must fold inside one higher-order-function
+    projection: no Generate (explode) node — the token stream never
+    becomes rows — and exactly ONE exchange (the lang-keyed agg with
+    map-side partials)."""
+    plan = formatted_plan(spark, "gopher_quality_rules", sf_dir)
+    assert "Generate" not in plan, plan
+    # one keyed exchange (lang agg); spread()'s fixture round-robin is
+    # the only other, and it is a no-op at real scale
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, plan
+
+
+def test_exact_substring_removal_bounded_exchanges(spark, sf_dir):
+    """Detection tabulation (2 linear exchanges) + the doc-keyed
+    budget join + lang agg: the whole removal-budget plan stays within
+    4 exchanges and the join back to documents carries per-doc integer
+    totals, never the exploded position stream (no second Generate
+    consumer past the window)."""
+    plan = formatted_plan(spark, "exact_substring_removal_stats", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 5, plan
+    assert "CartesianProduct" not in plan, plan
