@@ -702,3 +702,114 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_ppm"),
         )
     )
+
+
+def _pass_fail_prod_sql(k: int) -> str:
+    """DuckDB-side fail probability C(n-c,k)/C(n,k) as the explicit
+    left-to-right product of k small-integer ratios."""
+    terms = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return f"CASE WHEN n - c < {k} THEN CAST(0.0 AS DOUBLE) ELSE {terms} END"
+
+
+def _pass_fail_prod_col(k: int):
+    """Spark-side twin of :func:`_pass_fail_prod_sql` — the SAME
+    multiplication chain, left to right, so the IEEE double is
+    bit-identical on both engines."""
+    prod = None
+    for i in range(k):
+        term = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+            F.col("n") - F.lit(i)
+        ).cast("double")
+        prod = term if prod is None else prod * term
+    return F.when(F.col("n") - F.col("c") < k, F.lit(0.0)).otherwise(prod)
+
+
+_PASS_AT_KS = [1, 5, 10]
+
+
+@query(
+    "pass_at_k_estimate",
+    oracle="""
+WITH tasks AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(SUM(CAST(FLOOR(1000000 * ({_pass_fail_prod_sql(k)}))
+                AS BIGINT)) AS BIGINT) AS sum_fail_ppm,
+       CAST((COUNT(*) * 1000000
+             - SUM(CAST(FLOOR(1000000 * ({_pass_fail_prod_sql(k)}))
+                   AS BIGINT))) // COUNT(*) AS BIGINT) AS pass_at_k_ppm
+FROM tasks WHERE n >= {k}
+"""
+        for k in _PASS_AT_KS
+    ),
+)
+def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, the Codex
+    paper's Eq. 1 — THE standard LLM code/eval metric): per task with n
+    samples and c successes, pass@k = 1 - C(n-c,k)/C(n,k), averaged
+    over tasks, for k in {1, 5, 10}.  Fixture mapping: a user's events
+    are the task's samples, purchases its successes — the estimator's
+    arithmetic is what the hash pins, per task and in aggregate.
+
+    The combinatorial ratio is computed as the explicit left-to-right
+    product of k small-integer ratios (never factorials — C(n,k)
+    overflows BIGINT by n ~ 60), floored to ppm PER TASK before the
+    SUM, so the aggregate is an order-independent BIGINT: the registry
+    float discipline (fixed IEEE expression tree over small integers,
+    floor, then exact integer aggregation).  Tasks with n < k are
+    excluded for that k (the estimator is undefined); n - c < k means
+    failure is impossible and the fail term is exactly 0.
+
+    Scale shape: ONE user-keyed hash agg over events (map-side
+    partials), localCheckpointed task stats (|users| rows), then three
+    k-branches each a map-only projection + single-row aggregate —
+    cost is the one events scan; the k fan-out touches only the tiny
+    task table."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    tasks = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in _PASS_AT_KS:
+        fail_ppm = F.floor(F.lit(1000000) * _pass_fail_prod_col(k)).cast(
+            "long"
+        )
+        branch = (
+            tasks.where(F.col("n") >= k)
+            .select(fail_ppm.alias("fp"))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.sum("fp").cast("long").alias("sum_fail_ppm"),
+                F.floor(
+                    (F.count(F.lit(1)) * 1000000 - F.sum("fp"))
+                    / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("pass_at_k_ppm"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

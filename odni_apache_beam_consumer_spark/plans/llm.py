@@ -2218,3 +2218,103 @@ def lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist()
     return res
+
+
+@query(
+    "mrl_truncation_audit",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pairs AS (
+  SELECT a.vec AS va, b.vec AS vb
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+),
+deltas AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"""    CAST(FLOOR(1000000 * ABS(
+      list_dot_product(va[1:{d}], vb[1:{d}])
+        / (SQRT(list_dot_product(va[1:{d}], va[1:{d}]))
+           * SQRT(list_dot_product(vb[1:{d}], vb[1:{d}])))
+      - list_dot_product(va, vb)
+        / (SQRT(list_dot_product(va, va))
+           * SQRT(list_dot_product(vb, vb)))
+    )) AS BIGINT) AS d{d}"""
+        for d in (8, 16, 32)
+    )
+    + """
+  FROM pairs
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(delta_ppm) AS BIGINT) AS sum_abs_delta_ppm,
+       CAST(SUM(delta_ppm) // COUNT(*) AS BIGINT) AS mean_delta_ppm
+FROM (
+  SELECT 8 AS dim, d8 AS delta_ppm FROM deltas
+  UNION ALL SELECT 16, d16 FROM deltas
+  UNION ALL SELECT 32, d32 FROM deltas
+)
+GROUP BY dim
+""",
+)
+def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit — the measurement behind the
+    'store 8/16/32-dim prefixes of your embeddings' deployment decision
+    every modern vector pipeline faces: how much does COSINE move when
+    the vector is truncated to its first d dimensions?  Per prefix
+    length d in {8, 16, 32}: the pair count and the exact-integer sum /
+    mean of |cos_d - cos_64| in ppm over consecutive-id vector pairs (a
+    deterministic pair set with no sampling artifact).
+
+    Float discipline: both cosines are ratios of left-to-right dot
+    folds (the proven dot()/list_dot_product parity every ANN oracle
+    uses), ABS'd and floored to ppm PER PAIR before the BIGINT sum —
+    order-independent aggregation, no float ever crosses an exchange.
+
+    Scale shape: one self-join on the adjacent id (sort-merge or
+    bucketed at scale — the id is the natural sort key), then a
+    map-only 3-way delta projection exploded to (dim, delta) rows and
+    ONE 3-group hash agg.  The 64-dim arrays never leave their join
+    task; what shuffles afterwards is one integer per (pair, dim)."""
+    v = S.with_vec(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "vec"
+    )
+    a = v.select(F.col("vec_id").alias("ida"), F.col("vec").alias("va"))
+    b = v.select((F.col("vec_id") - 1).alias("ida"), F.col("vec").alias("vb"))
+    pairs = a.join(b, "ida")
+
+    def cos(x: str, y: str, d: int | None):
+        xa = F.slice(F.col(x), 1, d) if d else F.col(x)
+        ya = F.slice(F.col(y), 1, d) if d else F.col(y)
+        return S.dot(xa, ya) / (
+            F.sqrt(S.dot(xa, xa)) * F.sqrt(S.dot(ya, ya))
+        )
+
+    full = cos("va", "vb", None)
+    deltas = pairs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("dim"),
+                        F.floor(
+                            F.lit(1000000)
+                            * F.abs(cos("va", "vb", d) - full)
+                        )
+                        .cast("long")
+                        .alias("delta_ppm"),
+                    )
+                    for d in (8, 16, 32)
+                ]
+            )
+        ).alias("s")
+    ).select("s.dim", "s.delta_ppm")
+    return deltas.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("delta_ppm").cast("long").alias("sum_abs_delta_ppm"),
+        F.floor(F.sum("delta_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_delta_ppm"),
+    )
