@@ -1808,3 +1808,72 @@ def exact_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("removed_ppm"),
     )
+
+
+@query(
+    "distinct_ngram_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(trim(text), ' ') AS tk FROM documents
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT lang, CAST({n} AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT g) * 1000000 // COUNT(*) AS BIGINT)
+         AS distinct_ppm
+FROM (
+  SELECT lang, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+  WHERE len(tk) >= {n}
+)
+GROUP BY lang
+"""
+        for n in (1, 2, 3)
+    ),
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016 — the standard text-corpus /
+    generation-diversity metric, and the degenerate-repetition canary a
+    curation pipeline tracks release over release): per language and n
+    in {1, 2, 3}, the distinct n-gram count, total n-gram count, and
+    their ratio in exact ppm.  Collapsing distinct-2/3 is how template
+    spam and decoding loops show up at corpus level before any model
+    sees the data.
+
+    Scale shape: one explode of the token stream per n (the n-gram
+    stream is the data — ~|tokens| rows of short strings), each
+    aggregated by (lang) with COUNT(DISTINCT g) — Spark plans the
+    distinct as a two-phase partial/final expand over the (lang, g)
+    exchange, map-side-combining duplicate grams before the shuffle.
+    At 100 TB the exact distinct can swap for approx_count_distinct
+    with a documented rsd (the approx_distinct_users pattern); the
+    exact form here is what the hash can pin."""
+    toks = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang", F.split(F.trim(F.col("text")), " ").alias("tk")
+    )
+    out = None
+    for n in (1, 2, 3):
+        grams = toks.where(F.size("tk") >= n).select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {n - 1}),"
+                    f" i -> array_join(slice(tk, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        branch = grams.groupBy("lang").agg(
+            F.lit(n).cast("long").alias("n"),
+            F.count_distinct("g").cast("long").alias("n_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.floor(
+                F.count_distinct("g") * 1000000 / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("distinct_ppm"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.select("lang", "n", "n_distinct", "n_total", "distinct_ppm")
