@@ -79,6 +79,14 @@ HEADLINE = [
     ("lsh_band_tradeoff_audit", "all 4 band configs in ONE tagged equi-self-join; prefix-filter truth, never brute force"),
     ("tokenizer_fertility_audit", "one training pass shared by both apply folds; 2-group final agg"),
     ("confluent_protobuf_decode", "frame strip + folded tag-walk compose map-side; zero shuffles before the small agg"),
+    # round-11 additions
+    ("exact_substring_spans", "all-position 64-gram table; exactly 2 keyed exchanges (hash window + doc islands); top-k heap"),
+    ("exact_substring_removal_stats", "char-overlap island merge; doc-keyed budget join carries 2 ints per affected doc"),
+    ("gopher_quality_rules", "rule flags in one HOF projection — no Generate; single lang-keyed agg"),
+    ("recursive_cte_reachability", "WITH RECURSIVE: per level one frontier-edge equi-join; hop-bounded"),
+    ("pass_at_k_estimate", "one user-keyed agg over events; k-branches touch only the tiny task table"),
+    ("mrl_truncation_audit", "adjacent-id pair join; map-only 3-way delta projection; 3-group agg"),
+    ("distinct_ngram_diversity", "per-n gram explode; two-phase exact distinct on the (lang, gram) exchange"),
 ]
 
 
