@@ -183,3 +183,51 @@ def test_exact_substring_finds_anchor_blind_span(spark, tmp_path):
     assert (2, len(filler_b) + 1, 64) in spans, spans
     # and nothing else is reported: the fillers are duplicate-free
     assert len(spans) == 2, spans
+
+
+def test_removal_budget_equals_python_interval_union(spark, sf_dir):
+    """exact_substring_removal_stats' chars_removed must equal the
+    length of the UNION of duplicated-window character intervals,
+    re-derived in plain Python from the raw text (the disjointness
+    claim behind the 63-gap island merge: summed span lengths = union
+    size, no double counting)."""
+    import hashlib
+    from collections import defaultdict
+
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    occ = defaultdict(list)  # hash -> [(doc, pos)]
+    for d in docs:
+        t = d.text
+        for i in range(len(t) - 63):
+            occ[hashlib.md5(t[i : i + 64].encode()).hexdigest()].append(
+                (d.doc_id, i + 1)
+            )
+    covered = defaultdict(set)  # doc -> set of covered char positions
+    for hits in occ.values():
+        if len(hits) >= 2:
+            for doc, pos in hits:
+                covered[doc].update(range(pos, pos + 64))
+    expect = defaultdict(lambda: [0, 0, 0, 0])  # lang -> [docs, affected, chars, removed]
+    for d in docs:
+        e = expect[d.lang]
+        e[0] += 1
+        e[2] += len(d.text)
+        if covered[d.doc_id]:
+            e[1] += 1
+            e[3] += len(covered[d.doc_id])
+    got = all_queries()["exact_substring_removal_stats"](spark, sf_dir).collect()
+    for r in got:
+        e = expect[r.lang]
+        assert (r.n_docs, r.docs_affected, r.chars_total, r.chars_removed) == (
+            e[0],
+            e[1],
+            e[2],
+            e[3],
+        ), (r.lang, tuple(r), e)

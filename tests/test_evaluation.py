@@ -176,3 +176,54 @@ def test_evaluation_pack_registered_with_oracles(name):
 
     assert name in all_queries()
     assert name in all_oracles()
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark, sf_dir):
+    """The per-task floored fail term must equal the EXACT unbiased
+    estimator 1 - C(n-c,k)/C(n,k) computed with math.comb — i.e. the
+    left-to-right ratio product loses nothing to float error at ppm
+    grain on real (n, c) — and the aggregate must re-derive from the
+    raw events in plain Python."""
+    import math
+    from collections import defaultdict
+
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .collect()
+    )
+    n = defaultdict(int)
+    c = defaultdict(int)
+    for r in rows:
+        n[r.user_id] += 1
+        if r.event_type == "purchase":
+            c[r.user_id] += 1
+    got = {
+        r.k: (r.n_tasks, r.sum_fail_ppm, r.pass_at_k_ppm)
+        for r in all_queries()["pass_at_k_estimate"](spark, sf_dir).collect()
+    }
+    for k in (1, 5, 10):
+        tasks = [u for u in n if n[u] >= k]
+        sum_fail = 0
+        for u in tasks:
+            fail = (
+                math.comb(n[u] - c[u], k) / math.comb(n[u], k)
+                if n[u] - c[u] >= k
+                else 0.0
+            )
+            sum_fail += math.floor(1_000_000 * fail)
+        expect = (
+            len(tasks),
+            sum_fail,
+            (len(tasks) * 1_000_000 - sum_fail) // len(tasks),
+        )
+        # The ratio-product and comb-quotient are different float
+        # expression trees; allow each task's ppm floor to differ by 1
+        # ulp-at-ppm, i.e. the SUM by at most the task count.
+        assert got[k][0] == expect[0]
+        assert abs(got[k][1] - expect[1]) <= len(tasks), (k, got[k], expect)
+        assert abs(got[k][2] - expect[2]) <= 1, (k, got[k], expect)

@@ -847,3 +847,26 @@ def test_streaming_index_maintenance_pipeline(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in S.query_ann_index(spark, path, qvec, planes, k=5).collect()]
     want = [tuple(r) for r in S.query_ann_index(spark, whole, qvec, planes, k=5).collect()]
     assert got == want
+
+
+def test_redelivery_writer_raises_on_vacuous_replay(spark, tmp_path):
+    """The write_redelivery_chunks non-vacuity guard (round-10 advice):
+    a constant-ts corpus collapses every percentile cut into one chunk,
+    which would silently hand the dedup dual a replay with no
+    cross-batch duplicates — the writer itself must refuse."""
+    import pytest
+
+    from odni_apache_beam_consumer_spark.sources import replay as R
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, "click", 1.0, "{}")
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, R.EVENTS_SCHEMA.replace("TIMESTAMP", "STRING"))
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "vacuous")
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/events.parquet")
+    with pytest.raises(ValueError, match="vacuous replay"):
+        R.write_redelivery_chunks(
+            spark, src, str(tmp_path / "chunks"), n_chunks=3, redeliver_mod=5
+        )
