@@ -148,6 +148,18 @@ SLOW_FAMILY = [
     "doremi_domain_reweight",
     "dsir_importance_resample",
     "exact_substring_spans",
+    # round-11 session-2: the new measurement surfaces — Gopher rules
+    # and pass@k (map-side flag/ratio families), distinct-n (the exact
+    # two-phase COUNT DISTINCT over a 300x gram stream — the documented
+    # approx_count_distinct swap-in threshold is what this cell
+    # motivates), MRL truncation (adjacent-id join family), and the
+    # recursive CTE (frontier joins against a 300x edge table; the
+    # frontier itself stays copy-local by construction).
+    "gopher_quality_rules",
+    "pass_at_k_estimate",
+    "distinct_ngram_diversity",
+    "mrl_truncation_audit",
+    "recursive_cte_reachability",
 ]
 
 
