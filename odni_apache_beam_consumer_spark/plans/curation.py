@@ -1802,8 +1802,10 @@ def exact_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "chars_removed"
         ),
         F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-        F.floor(
-            F.coalesce(F.sum("chars_cut"), F.lit(0)) * 1000000 / F.sum("nc")
+        F.call_function(
+            "div",
+            F.coalesce(F.sum("chars_cut"), F.lit(0)) * 1000000,
+            F.sum("nc"),
         )
         .cast("long")
         .alias("removed_ppm"),
@@ -1869,8 +1871,8 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n).cast("long").alias("n"),
             F.count_distinct("g").cast("long").alias("n_distinct"),
             F.count(F.lit(1)).cast("long").alias("n_total"),
-            F.floor(
-                F.count_distinct("g") * 1000000 / F.count(F.lit(1))
+            F.call_function(
+                "div", F.count_distinct("g") * 1000000, F.count(F.lit(1))
             )
             .cast("long")
             .alias("distinct_ppm"),

@@ -803,9 +803,10 @@ def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).cast("long").alias("k"),
                 F.count(F.lit(1)).cast("long").alias("n_tasks"),
                 F.sum("fp").cast("long").alias("sum_fail_ppm"),
-                F.floor(
-                    (F.count(F.lit(1)) * 1000000 - F.sum("fp"))
-                    / F.count(F.lit(1))
+                F.call_function(
+                    "div",
+                    F.count(F.lit(1)) * 1000000 - F.sum("fp"),
+                    F.count(F.lit(1)),
                 )
                 .cast("long")
                 .alias("pass_at_k_ppm"),

@@ -2314,7 +2314,7 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("delta_ppm").cast("long").alias("sum_abs_delta_ppm"),
-        F.floor(F.sum("delta_ppm") / F.count(F.lit(1)))
+        F.call_function("div", F.sum("delta_ppm"), F.count(F.lit(1)))
         .cast("long")
         .alias("mean_delta_ppm"),
     )

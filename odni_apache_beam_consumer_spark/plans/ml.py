@@ -1054,7 +1054,7 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BFS reachability through the SQL front door's RECURSIVE
     CTE (Spark 4's WITH RECURSIVE — the last major ANSI surface the
     registry had no row for): shortest hop distance (<= 3) from the
-    smallest co-purchase vertex, over the same support >= 2 edge list
+    highest-degree co-purchase vertex, over the same support >= 2 edge list
     every graph query shares.  The oracle is the identical WITH
     RECURSIVE in DuckDB, so the hash pins Spark's recursion semantics
     (anchor + UNION ALL step + termination predicate) against an
