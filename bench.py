@@ -28,6 +28,20 @@ if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
 
+# Canary normalization: three pinned queries whose code has been untouched
+# since round 10, with their quiet-window times from the round-10 bench
+# (bench_out.json as committed at 8f4f5c2, sf0.1, local[32]).  A shared box
+# running slow inflates all three together; ``canary_factor`` (median of
+# min(pre,post)/base) tells a reader how much of a bench delta is machine
+# state rather than code — round 11's 437 s vs 240 s total was a 1.9-2.7x
+# canary slowdown, not a regression.  Only meaningful at sf0.1.
+CANARY_BASE_SF01 = {
+    "q6_forecast_revenue": 0.212,
+    "pricing_summary": 0.359,
+    "triangle_count": 3.035,
+}
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -47,7 +61,7 @@ def main(argv: list[str]) -> int:
     from odni_apache_beam_consumer_spark.session import get_spark
     from odni_apache_beam_consumer_spark.plans.registry import all_queries
 
-    spark = get_spark(app_name="odni-spark-bench")
+    holder = {"spark": get_spark(app_name="odni-spark-bench")}
     queries = all_queries()
     names = argv or list(queries)
     unknown = [n for n in names if n not in queries]
@@ -56,6 +70,7 @@ def main(argv: list[str]) -> int:
         return 2
 
     def run_plan(name: str) -> float:
+        spark = holder["spark"]
         t0 = time.monotonic()
         df = queries[name](spark, sf_dir)
         # noop sink: executes every stage of the plan, discards rows JVM-side.
@@ -71,8 +86,37 @@ def main(argv: list[str]) -> int:
     _log(f"warmup: {warm}")
     run_plan(warm)
 
+    def run_canaries(tag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname, base in CANARY_BASE_SF01.items():
+            if cname not in queries:
+                continue
+            sec = round(min(run_plan(cname), run_plan(cname)), 3)
+            out[cname] = sec
+            _log(f"canary[{tag}] {cname}: {sec:.3f}s (base {base:.3f}s)")
+        return out
+
+    canaries_apply = abs(_sf_from_dir(sf_dir) - 0.1) < 1e-9
+    canary_pre = run_canaries("pre") if canaries_apply else {}
+
+    def restart_session() -> None:
+        # Long bench sessions accumulate JVM state (codegen cache, shuffle
+        # files, state-store dirs, GC heap history) — the aged-JVM stall
+        # class that produced 5x-outlier cells in rounds 3-11.  Stopping the
+        # SparkContext mid-run and re-warming resets that accumulation; the
+        # py4j JVM itself persists, which is why SPARK_GRAFT_GC_LOG in
+        # session.py exists for the deeper forensics.
+        _log("mid-run session restart")
+        holder["spark"].stop()
+        holder["spark"] = get_spark(app_name="odni-spark-bench")
+        run_plan(warm)
+
+    restart_at = len(names) // 2 if len(names) > 100 else -1
+
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i == restart_at:
+            restart_session()
         try:
             sec = run_plan(name)
         except Exception as exc:  # keep benching; a broken query reports -1
@@ -94,6 +138,8 @@ def main(argv: list[str]) -> int:
             except Exception as exc:
                 _log(f"rerun FAIL {name}: {exc}")
 
+    canary_post = run_canaries("post") if canaries_apply else {}
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     result = {
         "metric": "total_query_sec",
@@ -104,6 +150,18 @@ def main(argv: list[str]) -> int:
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
+    if canary_pre and canary_post:
+        ratios = sorted(
+            min(canary_pre[c], canary_post[c]) / base
+            for c, base in CANARY_BASE_SF01.items()
+            if c in canary_pre and c in canary_post
+        )
+        factor = ratios[len(ratios) // 2]
+        result["canary_pre"] = canary_pre
+        result["canary_post"] = canary_post
+        result["canary_base"] = CANARY_BASE_SF01
+        result["canary_factor"] = round(factor, 3)
+        _log(f"canary_factor: {factor:.3f}")
 
     def _fit_stdout_line(full: dict, budget: int = 1900) -> str:
         """Last stdout line must stay parseable under the driver's capture.

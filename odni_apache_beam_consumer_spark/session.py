@@ -88,6 +88,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    # Stall forensics (opt-in): SPARK_GRAFT_GC_LOG=<path> writes a unified
+    # JVM GC log so the aged-JVM stall class seen in long bench sessions
+    # (BASELINE.md) can be attributed (GC pressure vs codegen/shuffle-file
+    # accumulation) instead of re-rolled.  Only effective when this call
+    # launches the JVM; a getOrCreate reuse cannot add JVM flags.
+    gc_log = os.environ.get("SPARK_GRAFT_GC_LOG")
+    if gc_log and creating:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xlog:gc*,safepoint:file={gc_log}:time,uptime,level,tags",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     try:
