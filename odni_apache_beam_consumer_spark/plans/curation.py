@@ -1879,3 +1879,83 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.select("lang", "n", "n_distinct", "n_total", "distinct_ppm")
+
+
+@query(
+    "distinct_ngram_diversity_approx",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(trim(text), ' ') AS tk FROM documents
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT lang, CAST({n} AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS within_5pct
+FROM (
+  SELECT lang, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+  WHERE len(tk) >= {n}
+)
+GROUP BY lang
+"""
+        for n in (1, 2, 3)
+    ),
+)
+def distinct_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of distinct_ngram_diversity: the
+    distinct-gram count comes from HyperLogLog++
+    (``approx_count_distinct``, rsd=0.02) instead of the exact
+    two-phase COUNT DISTINCT.  The exact form's 300x scale cell is
+    ~44x (the (lang, g) exchange carries every distinct gram); the
+    sketch version partially aggregates map-side into a constant-size
+    register set per (lang, n), so the exchange is one sketch per
+    partition per group regardless of vocabulary size — the swap the
+    exact query's docstring names.
+
+    The raw HLL estimate is engine-specific and cannot be
+    hash-compared, so the driver hash pins the sketch's CONTRACT
+    instead (the approx_distinct_users pattern): ``within_5pct``
+    audits the estimate against the exact count in-query and the
+    oracle pins it to literal TRUE — a 2.5x-rsd envelope, pinned
+    empirically for the committed fixtures (see the sketch-envelope
+    NOTE in plans/advanced.py).  The exact column rides along here
+    only for the audit; the production job drops it and keeps the
+    sketch path alone."""
+    toks = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang", F.split(F.trim(F.col("text")), " ").alias("tk")
+    )
+    out = None
+    for n in (1, 2, 3):
+        grams = toks.where(F.size("tk") >= n).select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {n - 1}),"
+                    f" i -> array_join(slice(tk, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        branch = (
+            grams.groupBy("lang")
+            .agg(
+                F.lit(n).cast("long").alias("n"),
+                F.approx_count_distinct("g", rsd=0.02).alias("approx_distinct"),
+                F.count_distinct("g").cast("long").alias("n_distinct"),
+                F.count(F.lit(1)).cast("long").alias("n_total"),
+            )
+            .select(
+                "lang",
+                "n",
+                "n_distinct",
+                "n_total",
+                (
+                    F.abs(F.col("approx_distinct") - F.col("n_distinct")) * 100
+                    <= F.col("n_distinct") * 5
+                ).alias("within_5pct"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.select("lang", "n", "n_distinct", "n_total", "within_5pct")

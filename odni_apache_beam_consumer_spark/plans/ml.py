@@ -1103,3 +1103,93 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY pk
         """
     )
+
+
+@query(
+    "reachability_frontier_bfs",
+    oracle="""
+WITH RECURSIVE pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+reach(pk, hop) AS (
+  SELECT (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1) AS pk, 0 AS hop
+  UNION
+  SELECT e.v AS pk, r.hop + 1
+  FROM reach r JOIN e ON e.u = r.pk
+  WHERE r.hop < 6
+)
+SELECT CAST(pk AS BIGINT) AS part_key,
+       CAST(MIN(hop) AS BIGINT) AS min_hop
+FROM reach
+GROUP BY pk
+""",
+)
+def reachability_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of recursive reachability (the demo form is
+    recursive_cte_reachability, which pins Spark's WITH RECURSIVE
+    semantics): an explicit frontier-dedup BFS loop with a visited-set
+    anti-join, to hop 6 — twice the demo's depth, affordable precisely
+    because no path multiplicity ever materializes.  The hop-bounded
+    UNION ALL demo carries one row per PATH, which explodes
+    combinatorially on a denser graph (its 300x cell is
+    edge-derivation-dominated only at fixture density); here each round
+    is frontier JOIN edges -> distinct -> anti-join visited, so every
+    round's working set is bounded by |V| regardless of density or
+    depth — the pagerank_rounds iterative shape applied to reachability.
+
+    The DuckDB oracle is the UNION-distinct (not UNION ALL) recursive
+    CTE — DuckDB's recurring union dedups each step against all rows
+    produced so far, which is exactly the visited-set semantics, so the
+    hash pins the loop against an independent engine's native
+    frontier-dedup recursion (distinct (pk, hop) pairs; MIN collapses
+    revisits at later hops).
+
+    Per-round localCheckpoint truncates the growing lineage (the
+    iterative-loop discipline every *_rounds query shares); the seed
+    collect and the per-round emptiness probe are metadata-sized (1 row
+    / 1 long).  Scale shape per round: one (u)-keyed equi-join of a
+    <=|V|-row frontier against the edge list + one |V|-bounded
+    anti-join — at 100 TB the frontier/visited sides broadcast and the
+    edge list never re-shuffles."""
+    e0 = copurchase_edges(spark, sf_dir)
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("u"))
+        .limit(1)
+        .collect()[0][0]
+    )  # 1-row probe literal (documented metadata-sized collect class)
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "pk long, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, 7):
+        nxt = (
+            frontier.join(e, frontier["pk"] == e["u"])
+            .select(F.col("v").alias("pk"))
+            .distinct()
+            .join(visited.select("pk"), "pk", "left_anti")
+            .select("pk", F.lit(hop).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):  # frontier drained — BFS complete
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("pk").cast("long").alias("part_key"),
+        F.col("hop").cast("long").alias("min_hop"),
+    )
