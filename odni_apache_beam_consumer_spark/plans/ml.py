@@ -1193,3 +1193,196 @@ def reachability_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pk").cast("long").alias("part_key"),
         F.col("hop").cast("long").alias("min_hop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression training (full-batch GD, integer gradient statistics)
+# ---------------------------------------------------------------------------
+
+_LR_ROUNDS = 4
+_LR_DIM = 8  # embedding dims used as features; +1 intercept = 9 weights
+_LR_SCALE = 1000000
+_LR_STEP = 0.5  # power of two: scaling by it is IEEE-exact
+
+
+def _logreg_sigmoid(z):
+    """Algebraic sigmoid 0.5*(1 + z/(1+|z|)) (Elliott 1993's fast
+    sigmoid).  Chosen over exp-based logistic deliberately: +,-,*,/ and
+    abs are correctly-rounded under IEEE 754 in every engine, while
+    ``exp`` is NOT required to be correctly rounded — Java's intrinsic
+    and DuckDB's libm can differ in the last ulp, which a FLOOR
+    quantization then amplifies into a hash mismatch.  The trajectory
+    stays a pure IEEE-arithmetic function of the input, replayable bit
+    for bit by the SQL oracle."""
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def _logreg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_vec(load_table(spark, sf_dir, "embeddings")).select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.concat(
+            F.array(F.lit(1.0)), F.slice(F.col("vec"), 1, _LR_DIM)
+        ).alias("x"),
+    )
+
+
+def _logreg_grad_cols(w: list[float], dim: int = _LR_DIM) -> list:
+    """Per-feature integer gradient statistics at weight vector ``w``:
+    SUM(FLOOR(((p - y) * x_j) * 1e6)) as exact BIGINT — order-independent
+    partials that combine map-side (the kmeans_lloyd integer-stat
+    discipline applied to GD)."""
+    w_arr = F.array(*[F.lit(float(wj)) for wj in w])
+    z = dot(F.col("x"), w_arr)
+    p = _logreg_sigmoid(z)
+    resid = p - F.col("y").cast("double")
+    return [
+        F.sum(
+            F.floor((resid * F.element_at("x", j + 1)) * float(_LR_SCALE))
+        )
+        .cast("long")
+        .alias(f"g{j}")
+        for j in range(dim + 1)
+    ]
+
+
+def _logreg_oracle(n_rounds: int = _LR_ROUNDS) -> str:
+    """Unrolled replay of the GD trajectory: per round a gradient CTE
+    (integer sums at the previous round's weights) and a weight CTE
+    (one division + one exact halving per component) — identical IEEE
+    expression trees to the Spark side, so every round's weights agree
+    bit for bit (the _kmeans_lloyd_oracle discipline)."""
+    k = _LR_DIM + 1
+    ctes = [
+        f"""v AS MATERIALIZED (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         [CAST(1.0 AS DOUBLE)] || CAST(embedding AS DOUBLE[])[1:{_LR_DIM}] AS x
+  FROM embeddings
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+w0 AS (
+  SELECT CAST(g.i AS INT) AS pos, CAST(0.0 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(1, {k})) g(i)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT CAST(g.i AS INT) AS pos,
+         CAST(SUM(CAST(FLOOR(((p - CAST(y AS DOUBLE)) * x[CAST(g.i AS INT)])
+                             * {_LR_SCALE}.0) AS BIGINT)) AS BIGINT) AS grad
+  FROM (
+    SELECT y, x, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+    FROM (
+      SELECT y, x,
+             list_dot_product(
+               x, (SELECT LIST(w ORDER BY pos) FROM w{r - 1})) AS z
+      FROM v
+    )
+  ), UNNEST(generate_series(1, {k})) g(i)
+  GROUP BY 1
+),
+w{r} AS (
+  SELECT p.pos,
+         p.w - {_LR_STEP} * (CAST(g.grad AS DOUBLE)
+                             / (CAST(nn.n AS DOUBLE) * {_LR_SCALE}.0)) AS w
+  FROM w{r - 1} p JOIN g{r} g USING (pos) CROSS JOIN nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(g.pos AS BIGINT) AS pos,
+       g.grad AS grad_micro,
+       CAST(FLOOR(w.w * 1000000000.0) AS BIGINT) AS w_nano,
+       nn.n AS n_rows
+FROM g{n_rounds} g JOIN w{n_rounds} w USING (pos) CROSS JOIN nn
+"""
+    )
+
+
+def logreg_gd_rounds(
+    rows: DataFrame, n_rounds: int = _LR_ROUNDS, dim: int = _LR_DIM
+) -> DataFrame:
+    """The GD loop body over a prepared (y: long, x: array<double>[dim+1])
+    DataFrame — separated from the fixture loader so tests can replay it
+    on synthetic corpora against the plain-Python reference
+    (tests/test_ml_loops.py::py_logreg_gd)."""
+    rows = rows.persist()
+    k = dim + 1
+    w = [0.0] * k
+    for _ in range(n_rounds - 1):
+        rec = rows.agg(
+            *_logreg_grad_cols(w, dim=dim),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ).collect()[0]  # 1 row x k+1 longs: parameter-server weight sync
+        n = rec["n"]
+        w = [
+            w[j] - _LR_STEP * (float(rec[f"g{j}"]) / (float(n) * float(_LR_SCALE)))
+            for j in range(k)
+        ]
+    g_final = rows.agg(
+        *_logreg_grad_cols(w, dim=dim),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    rows.unpersist()
+    per_pos = g_final.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j + 1).cast("long").alias("pos"),
+                        F.col(f"g{j}").alias("grad_micro"),
+                        (
+                            F.lit(float(w[j]))
+                            - F.lit(_LR_STEP)
+                            * (
+                                F.col(f"g{j}").cast("double")
+                                / (F.col("n").cast("double") * float(_LR_SCALE))
+                            )
+                        ).alias("w_final"),
+                        F.col("n").alias("n_rows"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        )
+    )
+    return per_pos.select(
+        "pos",
+        "grad_micro",
+        F.floor(F.col("w_final") * 1000000000.0).cast("long").alias("w_nano"),
+        "n_rows",
+    )
+
+
+@query("logreg_train_gd", oracle=_logreg_oracle())
+def logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL logistic-regression training loop — the classifier-family
+    member that closes the ML-loop gap (classifier_quality_filter only
+    SCORES with fixed weights; kmeans/pagerank/kcore/LPA/BPE/unigram
+    all train): {_LR_ROUNDS} rounds of full-batch gradient descent on
+    y = (label % 2) over the first {_LR_DIM} embedding dims plus
+    intercept, with the Elliott algebraic sigmoid as the link (see
+    _logreg_sigmoid for why not exp) and INTEGER gradient sufficient
+    statistics (SUM of FLOOR-microquantized per-row contributions —
+    exact BIGINT, order-independent) so the whole trajectory is
+    hash-replayable by the unrolled DuckDB oracle, round weights and
+    all.  Output: per weight position, the final round's integer
+    gradient sum, the trained weight (nano-quantized), and n.
+
+    Scale shape (the parameter-server pattern): weights live on the
+    driver — each round broadcasts {_LR_DIM + 1} literals into a
+    map-only scoring pass and reduces to ONE row of {_LR_DIM + 1}
+    BIGINTs (metadata-sized collect, the documented probe class); the
+    corpus never shuffles at all — gradient partials combine map-side,
+    so the per-round exchange is k-sized at any corpus size, the same
+    guarantee as kmeans_lloyd's stats aggregation.  The integer sums
+    stay exact below 2^53 / 1e6 rows-x-features; beyond that, drop
+    _LR_SCALE or shard the sum — documented, not silent.
+
+    The final round runs entirely inside the returned plan (gradient
+    agg + weight arithmetic as columns), so the driver's noop-sink
+    execution exercises the real aggregation; only the first
+    {_LR_ROUNDS - 1} weight syncs collect."""
+    return logreg_gd_rounds(_logreg_rows(spark, sf_dir))
