@@ -1,0 +1,133 @@
+"""Streaming throughput + state-bound surface (round-12 verdict task 6).
+
+The exactly-once duals verify WHAT a stateful stream computes; this file
+verifies that it could keep computing it forever: over a 20+-micro-batch
+replay, per-batch state-store rows must stay bounded by the watermark
+horizon (eviction actually runs) instead of growing with batch count,
+and trigger throughput is measured and floor-asserted.  A watermark that
+silently fails to evict keeps every correctness test green while state
+grows without bound — the failure mode that kills a 100 TB streaming job
+weeks after it passed CI.
+
+Metrics come from the production monitoring surface
+(observability.StateMetricsListener — a StreamingQueryListener), not
+from test-only instrumentation, so the same wiring feeds an on-call
+dashboard unchanged.  The measured numbers for the committed fixtures
+are recorded in BASELINE.md ("streaming throughput surface").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.observability import StateMetricsListener
+from odni_apache_beam_consumer_spark.sources import replay as R
+from odni_apache_beam_consumer_spark.streaming import sinks
+from odni_apache_beam_consumer_spark.streaming.windows import tumbling_counts
+
+pytestmark = pytest.mark.streaming
+
+N_CHUNKS = 24
+
+
+@pytest.fixture(scope="module")
+def long_replay_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("replay24") / "chunks")
+    return R.write_replay_chunks(
+        spark, sf_dir, out, n_chunks=N_CHUNKS, flush_sentinel=True
+    )
+
+
+def test_state_bounded_over_many_batches(spark, sf_dir, long_replay_dir):
+    listener = StateMetricsListener().attach(spark)
+    try:
+        stream = tumbling_counts(R.read_stream(spark, long_replay_dir))
+        q = sinks.to_memory(stream, "tp_tumbling", available_now=True)
+        q.awaitTermination(600)
+        assert listener.settled(), "listener bus did not drain"
+    finally:
+        listener.detach(spark)
+
+    data_batches = listener.data_batches()
+    assert len(data_batches) >= 20, (
+        f"replay produced only {len(data_batches)} data batches"
+    )
+
+    # The unbounded-growth yardstick: with NO eviction, final state holds
+    # every (window, event_type) group the whole table produces.
+    events = R.read_stream(spark, long_replay_dir)  # same schema/rows
+    total_groups = (
+        spark.read.schema(events.schema)
+        .parquet(long_replay_dir)
+        .where(F.col("event_id") >= 0)  # drop flush sentinels
+        .select(F.window("ts", "6 hours"), "event_type")
+        .distinct()
+        .count()
+    )
+    peak = listener.max_state_rows()
+    assert peak > 0, "state operator reported no rows — wrong query shape?"
+    assert peak < 0.5 * total_groups, (
+        f"peak state {peak} rows is not bounded: an evicting watermark "
+        f"must hold well under the {total_groups} total groups"
+    )
+    # Eviction visibly ran: most groups were emitted and removed from the
+    # store before the stream ended (not just dropped with the final
+    # sentinel flush).
+    assert listener.total_removed() >= 0.5 * total_groups, (
+        f"only {listener.total_removed()} state rows evicted over "
+        f"{total_groups} groups — watermark eviction is not keeping up"
+    )
+    # Late-run batches must not trend above the early peak: state at
+    # batch ~20 is no larger than the worst of the first ten batches'
+    # states times a slack factor (steady state, not slow growth).
+    early_peak = max(
+        b["state_rows_total"] for b in data_batches[: len(data_batches) // 2]
+    )
+    late_peak = max(
+        b["state_rows_total"] for b in data_batches[len(data_batches) // 2 :]
+    )
+    assert late_peak <= 2 * early_peak, (
+        f"state grew across the run: early peak {early_peak}, "
+        f"late peak {late_peak}"
+    )
+
+    # Per-trigger latency stays bounded: at fixture scale each batch is a
+    # handful of rows, so rows/sec is dominated by the fixed per-trigger
+    # cost — the right assertion here is that that fixed cost doesn't
+    # balloon late in the run (median and worst trigger bounded).  The
+    # measured rows/sec for the committed sf0.1 fixtures is recorded in
+    # BASELINE.md, not asserted at this scale.
+    trig = sorted(b["trigger_ms"] for b in data_batches)
+    median_ms = trig[len(trig) // 2]
+    assert median_ms < 5_000, f"median trigger latency {median_ms} ms"
+    late_med = sorted(
+        b["trigger_ms"] for b in data_batches[len(data_batches) // 2 :]
+    )[len(data_batches) // 4]
+    assert late_med <= 6 * max(median_ms, 100), (
+        f"per-trigger latency grew late in the run: median {median_ms} ms, "
+        f"late median {late_med} ms"
+    )
+
+
+def test_listener_metrics_match_query_progress(spark, sf_dir, long_replay_dir):
+    """The listener's accumulated totals must agree with the query's own
+    recentProgress — no double-counted or dropped batch events."""
+    listener = StateMetricsListener().attach(spark)
+    try:
+        stream = tumbling_counts(R.read_stream(spark, long_replay_dir))
+        q = sinks.to_memory(stream, "tp_tumbling2", available_now=True)
+        q.awaitTermination(600)
+        assert listener.settled()
+        progress_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    finally:
+        listener.detach(spark)
+    listened_rows = sum(b["num_input_rows"] for b in listener.batches)
+    assert listened_rows == progress_rows
+    n_rows = (
+        spark.read.schema(R.read_stream(spark, long_replay_dir).schema)
+        .parquet(long_replay_dir)
+        .count()
+    )
+    assert listened_rows == n_rows  # every replayed row seen exactly once
