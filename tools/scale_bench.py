@@ -160,6 +160,18 @@ SLOW_FAMILY = [
     "distinct_ngram_diversity",
     "mrl_truncation_audit",
     "recursive_cte_reachability",
+    # round-12 additions: the HLL production form of distinct-n (the
+    # swap-in the exact form's 43.6x cell motivates — its exchange is a
+    # constant-size register set per (lang, n)), the logistic-regression
+    # GD trainer (map-only scoring + one k-sized reduce per round: the
+    # kmeans_lloyd_fixed_k exchange guarantee, celled directly since its
+    # feature set is fixed by construction), and the frontier-dedup BFS
+    # (per-round frontier joins against a 300x edge table with a
+    # copy-local frontier — the production recursion the demo form's
+    # 72.3x edge-derivation-dominated cell left unpinned).
+    "distinct_ngram_diversity_approx",
+    "logreg_train_gd",
+    "reachability_frontier_bfs",
 ]
 
 
