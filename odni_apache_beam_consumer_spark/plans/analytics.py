@@ -1811,3 +1811,182 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("bucket", F.pmod(F.hash("p_partkey"), F.lit(64))), "bucket"
     )
     return _front(local)
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS total_from,
+       CAST(n_trans * 1000000
+            // SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM pairs
+""",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    the curriculum-ordering statistic a training-data pipeline tracks
+    (which document/event types follow which): for every (prev, next)
+    event-type pair, the transition count and its row-normalized
+    probability in exact integer ppm.
+
+    (ts, event_id) is a total order within a user, so the LAG sequence
+    is deterministic across engines; the ppm is integral DIV, matching
+    the oracle's ``//`` at any magnitude.
+
+    Scale shape: ONE user-keyed exchange for the lag window (each
+    user's slice sorts locally — the session_paths exchange), then a
+    (prev, next) hash agg whose group count is |event_types|^2 (~25),
+    so everything after the window is metadata-sized; the row
+    normalization is a window over that 25-row aggregate, not the
+    corpus."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_from = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(w_from).cast("long").alias("total_from"),
+        F.call_function(
+            "div", F.col("n_trans") * 1000000, F.sum("n_trans").over(w_from)
+        )
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@query(
+    "chi2_token_class_assoc",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+a_tl AS (
+  SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres GROUP BY 1, 2
+),
+df_t AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS df FROM a_tl GROUP BY 1
+),
+n_l AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_l
+  FROM documents GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT t.lang, t.term, t.a, d.df, l.docs_l, nn.n,
+         CAST(FLOOR(
+           (CAST(nn.n AS DOUBLE)
+            * ((CAST(t.a AS DOUBLE)
+                * CAST(nn.n - d.df - (l.docs_l - t.a) AS DOUBLE))
+               - (CAST(d.df - t.a AS DOUBLE)
+                  * CAST(l.docs_l - t.a AS DOUBLE)))
+            * ((CAST(t.a AS DOUBLE)
+                * CAST(nn.n - d.df - (l.docs_l - t.a) AS DOUBLE))
+               - (CAST(d.df - t.a AS DOUBLE)
+                  * CAST(l.docs_l - t.a AS DOUBLE))))
+           / (CAST(d.df AS DOUBLE) * CAST(nn.n - d.df AS DOUBLE)
+              * CAST(l.docs_l AS DOUBLE) * CAST(nn.n - l.docs_l AS DOUBLE))
+           * 1000.0) AS BIGINT) AS chi2_milli
+  FROM a_tl t JOIN df_t d USING (term) JOIN n_l l USING (lang)
+       CROSS JOIN nn
+  WHERE d.df >= 5 AND d.df < nn.n
+)
+SELECT lang, term, a AS n_docs_with, df AS doc_freq, chi2_milli
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY chi2_milli DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def chi2_token_class_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared token-class association (Yang & Pedersen 1997 — the
+    classic feature-selection statistic a text-curation pipeline uses
+    to find the tokens most predictive of a class): per language, the
+    top-5 tokens by chi2 over the 2x2 document-presence contingency
+    (a = docs of the lang containing the token, with b/c/d derived
+    from the token's total document frequency, the lang's size, and
+    N).  chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), computed in
+    doubles with the IDENTICAL expression tree on both engines —
+    *,-,/ are correctly rounded under IEEE 754, so the milli-quantized
+    value is hash-portable even where the products round (the
+    _logreg_sigmoid portability argument; exactness is not claimed,
+    determinism is).  Ranking uses the quantized value, ties by term.
+
+    Scale shape: presence is array_distinct BEFORE the explode (one
+    row per distinct (doc, term), never per occurrence); the (term,
+    lang) agg partially combines map-side; the df rollup is
+    vocabulary-sized, the lang table is ~5 rows (broadcast), N is a
+    1-row broadcast cross; per-lang top-5 is a WindowGroupLimit over
+    the vocab-sized scored table — nothing after the presence exchange
+    scales with the corpus, only with the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    pres = (
+        with_tokens(d)
+        .select("doc_id", "lang", F.explode(F.array_distinct("tk")).alias("term"))
+    )
+    a_tl = pres.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    df_t = a_tl.groupBy("term").agg(F.sum("a").cast("long").alias("df"))
+    n_l = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("docs_l"))
+    nn = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        a_tl.join(df_t, "term")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(nn))
+        .where((F.col("df") >= 5) & (F.col("df") < F.col("n")))
+    )
+    ad = F.col("a").cast("double") * (
+        F.col("n") - F.col("df") - (F.col("docs_l") - F.col("a"))
+    ).cast("double")
+    bc = (F.col("df") - F.col("a")).cast("double") * (
+        F.col("docs_l") - F.col("a")
+    ).cast("double")
+    num = ad - bc
+    chi2 = (
+        F.col("n").cast("double") * (num * num)
+    ) / (
+        F.col("df").cast("double")
+        * (F.col("n") - F.col("df")).cast("double")
+        * F.col("docs_l").cast("double")
+        * (F.col("n") - F.col("docs_l")).cast("double")
+    )
+    scored = j.select(
+        "lang",
+        "term",
+        F.col("a").alias("n_docs_with"),
+        F.col("df").alias("doc_freq"),
+        F.floor(chi2 * 1000.0).cast("long").alias("chi2_milli"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("chi2_milli"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "term", "n_docs_with", "doc_freq", "chi2_milli")
+    )
