@@ -1386,3 +1386,267 @@ def logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution exercises the real aggregation; only the first
     {_LR_ROUNDS - 1} weight syncs collect."""
     return logreg_gd_rounds(_logreg_rows(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference training (the reward-model shape)
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 4
+
+
+def _bt_matches(spark: SparkSession, sf_dir: str):
+    """(winner_idx, loser_idx) match list + the player table.
+
+    Matches: within each order, every cross-brand line pair with
+    unequal quantities — the higher-quantity line's brand wins (a
+    deterministic preference signal with genuine skew: popular brands
+    appear in more comparisons).  Order-keyed self-join, pair count
+    bounded by lines-per-order^2 (the copurchase_edges shape).  Players
+    are the 25 brands, indexed by sorted order (ROW_NUMBER) so both
+    engines agree on idx."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").alias("qty"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    lines = li.join(pt, "pk").select("k", "pk", "brand", "qty")
+    a = lines.select(
+        "k",
+        F.col("pk").alias("pk_a"),
+        F.col("brand").alias("brand_a"),
+        F.col("qty").alias("qty_a"),
+    )
+    b = lines.select(
+        "k",
+        F.col("pk").alias("pk_b"),
+        F.col("brand").alias("brand_b"),
+        F.col("qty").alias("qty_b"),
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .where(F.col("qty_a") != F.col("qty_b"))
+    )
+    matches = pairs.select(
+        F.when(F.col("qty_a") > F.col("qty_b"), F.col("brand_a"))
+        .otherwise(F.col("brand_b"))
+        .alias("w_brand"),
+        F.when(F.col("qty_a") > F.col("qty_b"), F.col("brand_b"))
+        .otherwise(F.col("brand_a"))
+        .alias("l_brand"),
+    )
+    players = (
+        pt.select("brand")
+        .distinct()
+        .select(
+            "brand",
+            F.row_number()
+            .over(W.orderBy("brand"))
+            .cast("int")
+            .alias("idx"),
+        )
+    )
+    m = (
+        matches.join(
+            F.broadcast(players.select(F.col("brand").alias("w_brand"), F.col("idx").alias("w_idx"))),
+            "w_brand",
+        )
+        .join(
+            F.broadcast(players.select(F.col("brand").alias("l_brand"), F.col("idx").alias("l_idx"))),
+            "l_brand",
+        )
+        # Collapse to the sufficient statistic: every match with the same
+        # (winner, loser) pair contributes the IDENTICAL quantized
+        # residual each round, so only the pair COUNT matters — <= K*(K-1)
+        # rows (600 here) no matter how many raw matches exist.  After
+        # this one exchange, every GD round is constant-size work.
+        .groupBy("w_idx", "l_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    return m, players
+
+
+def _bt_exploded(m, s: list[float]):
+    """Per-pair residual at strengths ``s`` exploded to per-player
+    weighted integer gradient contributions: winner row
+    n_pair * FLOOR(resid*1e6), loser row n_pair * FLOOR((-resid)*1e6)
+    — the logreg x_j = +/-1 quantization, multiplied by the exact pair
+    count (every raw match with this (w, l) pair has the identical
+    quantized residual, so the weighted sum IS the per-match sum)."""
+    s_arr = F.array(*[F.lit(float(v)) for v in s])
+    z = F.element_at(s_arr, F.col("w_idx")) - F.element_at(
+        s_arr, F.col("l_idx")
+    )
+    resid = _logreg_sigmoid(z) - F.lit(1.0)
+    return m.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col("w_idx").alias("idx"),
+                    (
+                        F.col("n_pair")
+                        * F.floor(resid * F.lit(1000000.0)).cast("long")
+                    ).alias("c"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("l_idx").alias("idx"),
+                    (
+                        F.col("n_pair")
+                        * F.floor((-resid) * F.lit(1000000.0)).cast("long")
+                    ).alias("c"),
+                    F.col("n_pair"),
+                ),
+            )
+        )
+    )
+
+
+def _bt_oracle(n_rounds: int = _BT_ROUNDS) -> str:
+    """Unrolled replay of the Bradley-Terry GD trajectory (the
+    _logreg_oracle discipline on pairwise data): per round a residual
+    CTE at the previous strengths, an integer per-player gradient CTE,
+    and a strength-update CTE with identical IEEE expression trees."""
+    ctes = [
+        """li AS MATERIALIZED (
+  SELECT l.l_orderkey AS k, l.l_partkey AS pk, p.p_brand AS brand,
+         l.l_quantity AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+players AS MATERIALIZED (
+  SELECT brand, CAST(ROW_NUMBER() OVER (ORDER BY brand) AS INT) AS idx
+  FROM (SELECT DISTINCT p_brand AS brand FROM part)
+),
+m AS MATERIALIZED (
+  SELECT pw.idx AS w_idx, pl.idx AS l_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM (
+    SELECT CASE WHEN a.qty > b.qty THEN a.brand ELSE b.brand END AS w_brand,
+           CASE WHEN a.qty > b.qty THEN b.brand ELSE a.brand END AS l_brand
+    FROM li a JOIN li b ON a.k = b.k AND a.pk < b.pk
+    WHERE a.brand <> b.brand AND a.qty <> b.qty
+  ) mm
+  JOIN players pw ON pw.brand = mm.w_brand
+  JOIN players pl ON pl.brand = mm.l_brand
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM m),
+s0 AS (SELECT idx, CAST(0.0 AS DOUBLE) AS s FROM players)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""z{r} AS (
+  SELECT m.w_idx, m.l_idx, m.n_pair,
+         0.5 * (1.0 + (sw.s - sl.s) / (1.0 + abs(sw.s - sl.s))) - 1.0
+           AS resid
+  FROM m JOIN s{r - 1} sw ON sw.idx = m.w_idx
+         JOIN s{r - 1} sl ON sl.idx = m.l_idx
+),
+g{r} AS MATERIALIZED (
+  SELECT idx, CAST(SUM(c) AS BIGINT) AS g, CAST(SUM(n_pair) AS BIGINT) AS cnt
+  FROM (
+    SELECT w_idx AS idx, n_pair,
+           n_pair * CAST(FLOOR(resid * 1000000.0) AS BIGINT) AS c FROM z{r}
+    UNION ALL
+    SELECT l_idx AS idx, n_pair,
+           n_pair * CAST(FLOOR((-resid) * 1000000.0) AS BIGINT) AS c FROM z{r}
+  ) GROUP BY idx
+),
+s{r} AS (
+  SELECT s.idx,
+         s.s - 0.5 * (CAST(COALESCE(g.g, 0) AS DOUBLE)
+                      / (CAST(nn.n AS DOUBLE) * 1000000.0)) AS s
+  FROM s{r - 1} s LEFT JOIN g{r} g USING (idx) CROSS JOIN nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p.brand,
+       g.g AS grad_micro,
+       CAST(FLOOR(s.s * 1000000000.0) AS BIGINT) AS strength_nano,
+       g.cnt AS n_match_rows,
+       nn.n AS n_matches
+FROM g{n_rounds} g JOIN s{n_rounds} s USING (idx)
+     JOIN players p USING (idx) CROSS JOIN nn
+"""
+    )
+
+
+@query("bradley_terry_train", oracle=_bt_oracle())
+def bradley_terry_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference model training — the REWARD-
+    MODEL shape (an RLHF reward model and an arena-style leaderboard
+    are both BT fits over pairwise comparisons): {_BT_ROUNDS} rounds of
+    full-batch GD on P(w beats l) = sigma(s_w - s_l) over ~1M
+    within-order cross-brand quantity comparisons, 25 players.  Reuses
+    the logreg machinery end to end: Elliott algebraic sigmoid
+    (IEEE-portable, no exp), FLOOR-microquantized BIGINT gradient
+    contributions (winner +resid, loser -resid — the x_j = +/-1
+    feature encoding), driver-resident strengths synced per round.
+
+    Scale shape: the match build is one order-keyed self-join (pair
+    count bounded per order, the copurchase_edges argument) that
+    immediately collapses to the SUFFICIENT STATISTIC — at most
+    K*(K-1) = 600 (winner, loser, n_pair) rows, because every raw
+    match with the same ordered pair has the identical quantized
+    residual each round.  That one exchange is the only work that
+    scales with match volume; every GD round after it is constant-size
+    (600 rows x a 25-literal strength array via element_at, then a
+    25-group weighted integer agg).  The final round runs inside the
+    returned plan (n_matches = half the over-() window sum of pair
+    counts on 25 rows, no collect)."""
+    m, players = _bt_matches(spark, sf_dir)
+    m = m.persist()
+    k = 25
+    s = [0.0] * k
+    for _ in range(_BT_ROUNDS - 1):
+        rows = (
+            _bt_exploded(m, s)
+            .groupBy("idx")
+            .agg(
+                F.sum("c").cast("long").alias("g"),
+                F.sum("n_pair").cast("long").alias("cnt"),
+            )
+            .collect()
+        )  # <= 25 rows: parameter-server strength sync
+        n = sum(r["cnt"] for r in rows) // 2
+        g = {r["idx"]: r["g"] for r in rows}
+        s = [
+            s[j]
+            - _LR_STEP
+            * (float(g.get(j + 1, 0)) / (float(n) * float(_LR_SCALE)))
+            for j in range(k)
+        ]
+    g_final = (
+        _bt_exploded(m, s)
+        .groupBy("idx")
+        .agg(
+            F.sum("c").cast("long").alias("g"),
+            F.sum("n_pair").cast("long").alias("cnt"),
+        )
+    )
+    m.unpersist()
+    s_arr = F.array(*[F.lit(float(v)) for v in s])
+    w_all = W.partitionBy()
+    n_tot = F.call_function("div", F.sum("cnt").over(w_all), F.lit(2))
+    s_final = F.element_at(s_arr, F.col("idx")) - F.lit(_LR_STEP) * (
+        F.col("g").cast("double")
+        / (n_tot.cast("double") * float(_LR_SCALE))
+    )
+    return (
+        g_final.join(F.broadcast(players), "idx")
+        .select(
+            "brand",
+            F.col("g").alias("grad_micro"),
+            F.floor(s_final * 1000000000.0).cast("long").alias("strength_nano"),
+            F.col("cnt").alias("n_match_rows"),
+            n_tot.cast("long").alias("n_matches"),
+        )
+    )
