@@ -1650,3 +1650,136 @@ def bradley_terry_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tot.cast("long").alias("n_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form OLS via normal equations (one-pass distributed training)
+# ---------------------------------------------------------------------------
+
+# Shared det/solve SQL fragments: Spark evaluates them via F.expr and the
+# DuckDB oracle embeds the same strings, so the IEEE expression trees are
+# identical BY CONSTRUCTION (the chi2 portability argument, enforced
+# syntactically).  A is the 3x3 symmetric moment matrix in quantized
+# units (scale cancels in the Cramer ratio); A_i replaces column i with
+# the Xty vector.
+_OLS_DET = (
+    "(CAST({a00} AS DOUBLE)*(CAST({a11} AS DOUBLE)*CAST({a22} AS DOUBLE)"
+    " - CAST({a12} AS DOUBLE)*CAST({a21} AS DOUBLE))"
+    " - CAST({a01} AS DOUBLE)*(CAST({a10} AS DOUBLE)*CAST({a22} AS DOUBLE)"
+    " - CAST({a12} AS DOUBLE)*CAST({a20} AS DOUBLE))"
+    " + CAST({a02} AS DOUBLE)*(CAST({a10} AS DOUBLE)*CAST({a21} AS DOUBLE)"
+    " - CAST({a11} AS DOUBLE)*CAST({a20} AS DOUBLE)))"
+)
+
+
+def _ols_det(c):
+    """det3 over column-name mapping c: keys a00..a22."""
+    return _OLS_DET.format(**c)
+
+
+def _ols_dets() -> dict[str, str]:
+    A = {
+        "a00": "m00", "a01": "m01", "a02": "m02",
+        "a10": "m01", "a11": "m11", "a12": "m12",
+        "a20": "m02", "a21": "m12", "a22": "m22",
+    }
+    out = {"det": _ols_det(A)}
+    for i, col in enumerate(("b0", "b1", "b2")):
+        Ai = dict(A)
+        for r in range(3):
+            Ai[f"a{r}{i}"] = ("b0", "b1", "b2")[r]
+        out[f"det{i}"] = _ols_det(Ai)
+    return out
+
+
+_OLS_MOMENTS_SQL = """
+  CAST(COUNT(*) AS BIGINT) * 10000 AS m00,
+  CAST(SUM(CAST(FLOOR(x1 * 10000.0) AS BIGINT)) AS BIGINT) AS m01,
+  CAST(SUM(CAST(FLOOR(x2 * 10000.0) AS BIGINT)) AS BIGINT) AS m02,
+  CAST(SUM(CAST(FLOOR((x1 * x1) * 10000.0) AS BIGINT)) AS BIGINT) AS m11,
+  CAST(SUM(CAST(FLOOR((x1 * x2) * 10000.0) AS BIGINT)) AS BIGINT) AS m12,
+  CAST(SUM(CAST(FLOOR((x2 * x2) * 10000.0) AS BIGINT)) AS BIGINT) AS m22,
+  CAST(SUM(CAST(FLOOR(y * 10000.0) AS BIGINT)) AS BIGINT) AS b0,
+  CAST(SUM(CAST(FLOOR((x1 * y) * 10000.0) AS BIGINT)) AS BIGINT) AS b1,
+  CAST(SUM(CAST(FLOOR((x2 * y) * 10000.0) AS BIGINT)) AS BIGINT) AS b2,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+"""
+
+
+def _ols_oracle() -> str:
+    d = _ols_dets()
+    return f"""
+WITH r AS (
+  SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT {_OLS_MOMENTS_SQL} FROM r
+)
+SELECT CAST(g.i AS BIGINT) AS pos,
+       CASE g.i WHEN 1 THEN b0 WHEN 2 THEN b1 ELSE b2 END AS xty_q,
+       CAST(FLOOR(
+         (CASE g.i WHEN 1 THEN {d["det0"]}
+                   WHEN 2 THEN {d["det1"]}
+                   ELSE {d["det2"]} END / {d["det"]})
+         * 1000000000.0) AS BIGINT) AS w_nano,
+       n_rows
+FROM mom, UNNEST(generate_series(1, 3)) g(i)
+"""
+
+
+@query("ols_normal_equations", oracle=_ols_oracle())
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear-regression training via the normal equations —
+    the NON-iterative member of the trainer family (logreg_train_gd and
+    bradley_terry_train descend; this solves): fit
+    l_extendedprice ~ 1 + l_quantity + l_discount by accumulating the
+    3x3 moment matrix X'X and the vector X'y as FLOOR-microquantized
+    BIGINT sums (exact, order-independent — the kmeans/logreg integer
+    discipline) in ONE aggregation pass, then solving the 3x3 system by
+    Cramer's rule.  The quantization scale cancels in the Cramer ratio,
+    so no unquantization division ever happens; the det expressions are
+    the SAME SQL strings evaluated by both engines (_OLS_DET), making
+    the IEEE trees identical by construction.
+
+    Output long-form: (pos, exact X'y component, nano-quantized weight,
+    n).  On the synthetic fixtures the price column is near-independent
+    of quantity, so the fit is intercept-dominated — the hash pins the
+    solver, not a data story.
+
+    Scale shape: the entire training is one map-side-combining
+    aggregation to a SINGLE row of 10 BIGINTs — no iteration, no second
+    pass, no shuffle beyond the 1-row final combine; the solve is a
+    constant-size projection on that row.  This is the d^2-moments
+    pattern that trains any linear model in one pass while d^2 fits in
+    a task (embedding_gram_matrix is its d=64 cousin)."""
+    r = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS x1", "l_discount AS x2", "l_extendedprice AS y"
+    )
+    mom = r.selectExpr("x1", "x2", "y").groupBy().agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) * 10000").alias("m00"),
+        F.expr("SUM(CAST(FLOOR(x1 * 10000.0) AS BIGINT))").cast("long").alias("m01"),
+        F.expr("SUM(CAST(FLOOR(x2 * 10000.0) AS BIGINT))").cast("long").alias("m02"),
+        F.expr("SUM(CAST(FLOOR((x1 * x1) * 10000.0) AS BIGINT))").cast("long").alias("m11"),
+        F.expr("SUM(CAST(FLOOR((x1 * x2) * 10000.0) AS BIGINT))").cast("long").alias("m12"),
+        F.expr("SUM(CAST(FLOOR((x2 * x2) * 10000.0) AS BIGINT))").cast("long").alias("m22"),
+        F.expr("SUM(CAST(FLOOR(y * 10000.0) AS BIGINT))").cast("long").alias("b0"),
+        F.expr("SUM(CAST(FLOOR((x1 * y) * 10000.0) AS BIGINT))").cast("long").alias("b1"),
+        F.expr("SUM(CAST(FLOOR((x2 * y) * 10000.0) AS BIGINT))").cast("long").alias("b2"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    d = _ols_dets()
+    rows = []
+    for i in range(3):
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("pos"),
+                F.col(("b0", "b1", "b2")[i]).alias("xty_q"),
+                F.expr(
+                    f"CAST(FLOOR(({d[f'det{i}']} / {d['det']})"
+                    " * 1000000000.0) AS BIGINT)"
+                ).alias("w_nano"),
+                F.col("n_rows"),
+            )
+        )
+    return mom.select(F.inline(F.array(*rows)))
