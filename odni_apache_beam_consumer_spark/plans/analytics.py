@@ -1990,3 +1990,134 @@ def chi2_token_class_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "term", "n_docs_with", "doc_freq", "chi2_milli")
     )
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+lt AS (
+  SELECT user_id,
+         CAST((epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) // 3600
+           AS lifetime_d,
+         CASE WHEN MAX(ts) <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+by_t AS (
+  SELECT lifetime_d, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(observed) AS BIGINT) AS d
+  FROM lt GROUP BY 1
+),
+km AS (
+  SELECT lifetime_d, d,
+         CAST(SUM(n_at) OVER (ORDER BY lifetime_d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+  FROM by_t
+),
+f AS (
+  SELECT lifetime_d, d, n_risk,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM km WHERE d > 0
+),
+arr AS (
+  SELECT LIST(factor ORDER BY lifetime_d) AS l,
+         LIST(lifetime_d ORDER BY lifetime_d) AS ts
+  FROM f
+),
+surv AS (
+  SELECT ts[CAST(g.i AS INT)] AS lifetime_d,
+         CAST(FLOOR(list_reduce(l[1:CAST(g.i AS INT)], (a, b) -> a * b)
+                    * 1000000000.0) AS BIGINT) AS surv_nano
+  FROM arr, UNNEST(generate_series(1, len(l))) g(i)
+)
+SELECT f.lifetime_d, f.d AS n_deaths, f.n_risk, s.surv_nano
+FROM f JOIN surv s USING (lifetime_d)
+""",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes — the
+    churn/retention statistic in its censoring-correct form (cohort
+    retention tables ignore censoring; KM is what a lifetime claim
+    should cite): lifetime = whole hours between a user's first and last
+    event, a user is OBSERVED (churned) if their last event precedes
+    the corpus horizon minus 1 day, else right-censored.  For each
+    death time t: deaths d_t, risk set n_t (lifetime >= t, censored
+    included — the KM risk-set rule), and
+    S(t) = prod_{u<=t} (1 - d_u/n_u), nano-quantized.
+
+    The cumulative product is the hash-portability crux: both engines
+    fold the SAME t-ascending factor list left-to-right (Catalyst
+    aggregate() with exact 1.0 init vs DuckDB list_reduce — 1.0*a == a
+    bitwise, * is correctly rounded), so every prefix product is
+    bit-identical; no exp/ln rewrite (the _logreg_sigmoid argument).
+
+    Scale shape: one user-keyed agg (the corpus-sized exchange), then
+    the distinct-lifetime table is calendar-bounded (~tens of rows —
+    metadata-sized), so the desc-ordered risk-set window, the factor
+    list collect, and the O(k^2) prefix folds all run on one tiny row;
+    the horizon is a 1-row broadcast cross join."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.groupBy().agg(F.max("ts").alias("max_ts"))
+    lt = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.call_function(
+                "div",
+                F.col("last_ts").cast("long") - F.col("first_ts").cast("long"),
+                F.lit(3600),
+            ).alias("lifetime_d"),
+            F.when(
+                F.col("last_ts")
+                <= F.col("max_ts") - F.expr("INTERVAL 1 DAY"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("observed"),
+        )
+    )
+    by_t = lt.groupBy("lifetime_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    w_desc = W.orderBy(F.desc("lifetime_d")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    km = by_t.select(
+        "lifetime_d",
+        "d",
+        F.sum("n_at").over(w_desc).cast("long").alias("n_risk"),
+    )
+    f = km.where(F.col("d") > 0).select(
+        "lifetime_d",
+        "d",
+        "n_risk",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    one = f.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("lifetime_d", "d", "n_risk", "factor"))
+        ).alias("a")
+    ).where(F.size("a") > 0)
+    # (the size guard matters: sequence(1, 0) DESCENDS in Spark, so an
+    # empty factor list would index a[-1])
+    return one.select(
+        F.inline(
+            F.expr(
+                "transform(sequence(1, size(a)), i -> named_struct("
+                "'lifetime_d', a[i-1].lifetime_d,"
+                "'n_deaths', a[i-1].d,"
+                "'n_risk', a[i-1].n_risk,"
+                "'surv_nano', CAST(FLOOR(aggregate("
+                "  slice(transform(a, s -> s.factor), 1, i),"
+                "  CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+                "  * 1000000000.0) AS BIGINT)))"
+            )
+        )
+    )

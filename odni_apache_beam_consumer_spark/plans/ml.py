@@ -1783,3 +1783,121 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return mom.select(F.inline(F.array(*rows)))
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step: per-item closed-form ridge solve at fixed user factors
+# ---------------------------------------------------------------------------
+
+# 2x2 Cramer fragments shared verbatim by Spark (F.expr) and the DuckDB
+# oracle — identical IEEE trees by construction (_OLS_DET discipline).
+# Quantized units throughout: A = X'X*1e4 + lambda*1e4*I, b = X'y*1e4;
+# the 1e4 cancels in the ratio.
+_ALS_DET = (
+    "(CAST(a11 AS DOUBLE)*CAST(a22 AS DOUBLE)"
+    " - CAST(a12 AS DOUBLE)*CAST(a12 AS DOUBLE))"
+)
+_ALS_V1 = (
+    "((CAST(b1 AS DOUBLE)*CAST(a22 AS DOUBLE)"
+    f" - CAST(b2 AS DOUBLE)*CAST(a12 AS DOUBLE)) / {_ALS_DET})"
+)
+_ALS_V2 = (
+    "((CAST(a11 AS DOUBLE)*CAST(b2 AS DOUBLE)"
+    f" - CAST(a12 AS DOUBLE)*CAST(b1 AS DOUBLE)) / {_ALS_DET})"
+)
+_ALS_RATINGS_SQL = """
+  SELECT l.l_partkey AS item,
+         CAST(1.0 AS DOUBLE) AS fu1,
+         CAST(o.o_custkey % 7 AS DOUBLE) / 7.0 AS fu2,
+         l.l_quantity AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+_ALS_MOM_SQL = """
+  SELECT item,
+         CAST(COUNT(*) AS BIGINT) * 10000 + 1000 AS a11,
+         CAST(SUM(CAST(FLOOR(fu2 * 10000.0) AS BIGINT)) AS BIGINT) AS a12,
+         CAST(SUM(CAST(FLOOR((fu2 * fu2) * 10000.0) AS BIGINT)) AS BIGINT)
+           + 1000 AS a22,
+         CAST(SUM(CAST(FLOOR(r * 10000.0) AS BIGINT)) AS BIGINT) AS b1,
+         CAST(SUM(CAST(FLOOR((fu2 * r) * 10000.0) AS BIGINT)) AS BIGINT) AS b2,
+         CAST(COUNT(*) AS BIGINT) AS n_ratings
+"""
+
+
+@query(
+    "als_one_round",
+    oracle=f"""
+WITH r AS ({_ALS_RATINGS_SQL}),
+mom AS ({_ALS_MOM_SQL} FROM r GROUP BY item)
+SELECT CAST(item AS BIGINT) AS item, n_ratings,
+       CAST(FLOOR({_ALS_V1} * 1000000000.0) AS BIGINT) AS v1_nano,
+       CAST(FLOOR({_ALS_V2} * 1000000000.0) AS BIGINT) AS v2_nano
+FROM mom
+""",
+)
+def als_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternating-least-squares half-step — the matrix-
+    factorization trainer family member (Spark MLlib's flagship
+    recommender is exactly this loop): with rank-2 user factors held
+    fixed (a deterministic literal function of the customer key), solve
+    every item's factor vector in CLOSED FORM via the per-item 2x2
+    ridge normal equations (lambda = 0.1 on the quantized diagonal),
+    over quantity ratings from the order-lineitem join.  Per-item
+    moments are FLOOR-microquantized BIGINT sums; the 2x2 Cramer solve
+    shares its SQL strings verbatim with the DuckDB oracle
+    (identical IEEE trees, the _OLS_DET discipline).
+
+    This pins the distributed shape of a full ALS implementation: each
+    half-step is ONE groupBy(item) of rank^2+rank integer partials
+    (map-side combined — the exchange carries 5 BIGINTs per item, never
+    ratings), then a constant-size per-item solve; the user half-step
+    is the mirror image keyed on user.  Iterating alternately is the
+    production loop; one half-step is what a hash can pin without
+    driver-resident factor sync.
+
+    Scale: exchange is item-cardinality-sized regardless of rating
+    count; no broadcast needed because the fixed factors are a literal
+    expression of the key, which is how a real ALS keeps the fixed side
+    co-partitioned instead of shuffling it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_quantity").alias("r"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("cust")
+    )
+    ratings = li.join(od, "k").selectExpr(
+        "item",
+        "CAST(1.0 AS DOUBLE) AS fu1",
+        "CAST(cust % 7 AS DOUBLE) / 7.0 AS fu2",
+        "r",
+    )
+    mom = ratings.groupBy("item").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) * 10000 + 1000").alias("a11"),
+        F.expr("SUM(CAST(FLOOR(fu2 * 10000.0) AS BIGINT))")
+        .cast("long")
+        .alias("a12"),
+        F.expr(
+            "SUM(CAST(FLOOR((fu2 * fu2) * 10000.0) AS BIGINT)) + 1000"
+        )
+        .cast("long")
+        .alias("a22"),
+        F.expr("SUM(CAST(FLOOR(r * 10000.0) AS BIGINT))")
+        .cast("long")
+        .alias("b1"),
+        F.expr("SUM(CAST(FLOOR((fu2 * r) * 10000.0) AS BIGINT))")
+        .cast("long")
+        .alias("b2"),
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+    )
+    return mom.select(
+        F.col("item").cast("long").alias("item"),
+        "n_ratings",
+        F.expr(f"CAST(FLOOR({_ALS_V1} * 1000000000.0) AS BIGINT)").alias(
+            "v1_nano"
+        ),
+        F.expr(f"CAST(FLOOR({_ALS_V2} * 1000000000.0) AS BIGINT)").alias(
+            "v2_nano"
+        ),
+    )
