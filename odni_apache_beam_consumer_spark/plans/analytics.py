@@ -2121,3 +2121,75 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "hellinger_lang_drift",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+c_l AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+n_l AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM c_l GROUP BY 1),
+c_g AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cg FROM c_l GROUP BY 1),
+n_g AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM c_g)
+SELECT l.lang, nl.n AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_shared,
+       CAST(SUM(CAST(FLOOR(
+         sqrt((CAST(l.c AS DOUBLE) / CAST(nl.n AS DOUBLE))
+              * (CAST(g.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE)))
+         * 1000000000.0) AS BIGINT)) AS BIGINT) AS bc_nano
+FROM c_l l JOIN c_g g USING (term) JOIN n_l nl USING (lang)
+     CROSS JOIN n_g ng
+GROUP BY l.lang, nl.n
+""",
+)
+def hellinger_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: per language, the Bhattacharyya
+    coefficient BC = sum_t sqrt(p_t * q_t) between the language's token
+    distribution p and the corpus-wide distribution q — the
+    Hellinger-distance core (H^2 = 1 - BC), which is what a curation
+    pipeline tracks release-over-release to catch domain shift before
+    a model does (JS divergence needs ln, which is not correctly
+    rounded; sqrt IS, so Hellinger is the hash-portable drift metric).
+
+    Portability: each per-token term is floor-quantized to nano BEFORE
+    summation (sqrt, *, / are all correctly rounded IEEE ops, so the
+    quantized BIGINTs are identical on both engines), making the SUM
+    order-independent — the kmeans integer-stat discipline applied to
+    a transcendental-free real-valued statistic.
+
+    Scale shape: one (lang, term) token agg (map-side combined), a
+    vocabulary-sized term rollup for q (AQE broadcasts it), lang sizes
+    and the corpus total as tiny broadcasts; the BC sum partially
+    aggregates map-side per lang.  Nothing after the token exchange
+    scales with the corpus — only with the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = with_tokens(d).select("lang", F.explode("tk").alias("term"))
+    c_l = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_l = c_l.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    c_g = c_l.groupBy("term").agg(F.sum("c").cast("long").alias("cg"))
+    n_g = c_g.groupBy().agg(F.sum("cg").cast("long").alias("ng"))
+    term = F.floor(
+        F.sqrt(
+            (F.col("c").cast("double") / F.col("n").cast("double"))
+            * (F.col("cg").cast("double") / F.col("ng").cast("double"))
+        )
+        * 1000000000.0
+    ).cast("long")
+    return (
+        c_l.join(c_g, "term")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(n_g))
+        .groupBy("lang", F.col("n").alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_shared"),
+            F.sum(term).cast("long").alias("bc_nano"),
+        )
+    )

@@ -814,3 +814,140 @@ def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation analytics)
+# ---------------------------------------------------------------------------
+
+# Shared IEEE fragments (the _OLS_DET discipline): theta and rho^2 from
+# the pooled quantized moments, evaluated from identical SQL strings by
+# Spark and DuckDB.  All moment combination happens in DOUBLE (the raw
+# BIGINT cross-products n*Sxx would overflow int64), which is
+# deterministic because *, -, / are correctly rounded.
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))"
+)
+_CUPED_RHO2 = (
+    "(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))"
+)
+_CUPED_ADJ = (
+    "((CAST(sya AS DOUBLE) - {theta}"
+    " * (CAST(sxa AS DOUBLE)"
+    "    - CAST(na AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))"
+    " / CAST(na AS DOUBLE))"
+).format(theta=_CUPED_THETA)
+
+_CUPED_USER_SQL = """
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(FLOOR(value * 10000.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qx,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(FLOOR(value * 10000.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qy
+  FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle=f"""
+WITH u AS ({_CUPED_USER_SQL}),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+         CAST(SUM(qy * qy) AS BIGINT) AS syy
+  FROM u
+),
+a AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+         CAST(SUM(qx) AS BIGINT) AS sxa, CAST(SUM(qy) AS BIGINT) AS sya
+  FROM u GROUP BY arm
+)
+SELECT CAST(a.arm AS BIGINT) AS arm, a.na AS n_users, a.sya AS sum_y_q,
+       CAST(FLOOR(CAST(a.sya AS DOUBLE) / CAST(a.na AS DOUBLE)) AS BIGINT)
+         AS mean_y_q,
+       CAST(FLOOR({_CUPED_ADJ}) AS BIGINT) AS mean_y_adj_q,
+       CAST(FLOOR({_CUPED_THETA} * 1000000000.0) AS BIGINT) AS theta_nano,
+       CAST(FLOOR({_CUPED_RHO2} * 1000000.0) AS BIGINT)
+         AS var_reduction_ppm
+FROM a CROSS JOIN g
+""",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013, 'Improving the Sensitivity of Online
+    Controlled Experiments') — THE industry-standard experiment
+    variance-reduction method: per experiment arm (user_id parity as
+    the deterministic assignment), the raw and covariate-adjusted mean
+    of the post-period metric, where the adjustment
+    Y - theta*(X - mean(X)) uses theta = cov(X, Y)/var(X) estimated
+    from the pooled pre-period covariate X.  var_reduction_ppm = rho^2
+    in ppm is the fraction of metric variance CUPED removes — the
+    number an experimentation platform quotes when it says 'ships
+    experiments N% faster'.
+
+    Pre period is the first half of the fixture calendar (before
+    2024-01-16), post the rest; per-user pre/post metric sums are
+    FLOOR-microquantized BIGINTs.  Moment combination and the
+    theta/rho^2/adjustment expressions are shared SQL strings between
+    Spark and the DuckDB oracle (identical IEEE trees; BIGINT
+    cross-products would overflow, DOUBLE is deterministic).
+
+    Scale shape: one user-keyed agg (the corpus exchange), then ONE
+    1-row pooled moment agg and ONE 2-row arm agg over the per-user
+    table, combined by a broadcast cross join — the classic
+    two-level-rollup shape, nothing after the user agg scales with
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = "TIMESTAMP '2024-01-16 00:00:00'"
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN ts < {cutoff} THEN"
+            " CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("qx"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ts >= {cutoff} THEN"
+            " CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("qy"),
+    ).select(F.expr("user_id % 2").alias("arm"), "qx", "qy")
+    g = u.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy"),
+        F.sum(F.col("qy") * F.col("qy")).cast("long").alias("syy"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("na"),
+        F.sum("qx").cast("long").alias("sxa"),
+        F.sum("qy").cast("long").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(g)).select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("na").alias("n_users"),
+        F.col("sya").alias("sum_y_q"),
+        F.expr(
+            "CAST(FLOOR(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS BIGINT)"
+        ).alias("mean_y_q"),
+        F.expr(f"CAST(FLOOR({_CUPED_ADJ}) AS BIGINT)").alias("mean_y_adj_q"),
+        F.expr(
+            f"CAST(FLOOR({_CUPED_THETA} * 1000000000.0) AS BIGINT)"
+        ).alias("theta_nano"),
+        F.expr(
+            f"CAST(FLOOR({_CUPED_RHO2} * 1000000.0) AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )
