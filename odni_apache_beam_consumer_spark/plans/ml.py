@@ -1901,3 +1901,177 @@ def als_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v2_nano"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration on the quantized Gram matrix
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 16
+_PCA_ROUNDS = 3
+
+
+def _pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full d x d integer Gram of the first {_PCA_DIM} embedding dims:
+    (i, j, g) with g = SUM(FLOOR((v_i*v_j)*1e6)) — the
+    embedding_gram_matrix build at micro precision, full matrix (both
+    triangles) so the matvec below needs no symmetry bookkeeping."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, _PCA_DIM).alias(
+            "vec"
+        )
+    )
+    e1 = emb.select("vec", F.posexplode("vec").alias("i0", "xi"))
+    e2 = e1.select(
+        (F.col("i0") + 1).cast("int").alias("i"),
+        "xi",
+        F.posexplode("vec").alias("j0", "xj"),
+    ).select(
+        "i",
+        (F.col("j0") + 1).cast("int").alias("j"),
+        F.floor((F.col("xi") * F.col("xj")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("t"),
+    )
+    return e2.groupBy("i", "j").agg(F.sum("t").cast("long").alias("g"))
+
+
+def _pca_oracle(n_rounds: int = _PCA_ROUNDS) -> str:
+    d = _PCA_DIM
+    ctes = [
+        f"""v AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[])[1:{d}] AS vec FROM embeddings
+),
+gram AS MATERIALIZED (
+  SELECT CAST(u.i AS INT) AS i, CAST(w.j AS INT) AS j,
+         CAST(SUM(CAST(FLOOR((vec[CAST(u.i AS INT)] * vec[CAST(w.j AS INT)])
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS g
+  FROM v, UNNEST(range(1, {d + 1})) u(i), UNNEST(range(1, {d + 1})) w(j)
+  GROUP BY 1, 2
+),
+q0 AS (
+  SELECT CAST(g.i AS INT) AS pos,
+         CASE WHEN g.i = 1 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS q
+  FROM UNNEST(range(1, {d + 1})) g(i)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT gram.i AS pos,
+         list_reduce(LIST(CAST(gram.g AS DOUBLE) * p.q ORDER BY gram.j),
+                     (a, b) -> a + b) AS u
+  FROM gram JOIN q{r - 1} p ON p.pos = gram.j
+  GROUP BY gram.i
+),
+n{r} AS (
+  SELECT sqrt(list_reduce(LIST(u * u ORDER BY pos), (a, b) -> a + b))
+    AS nrm
+  FROM u{r}
+),
+q{r} AS (SELECT pos, u / nrm AS q FROM u{r} CROSS JOIN n{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(q.pos AS BIGINT) AS pos,
+       CAST(FLOOR(q.q * 1000000000.0) AS BIGINT) AS v_nano,
+       CAST(FLOOR(n.nrm) AS BIGINT) AS lambda_q
+FROM q{n_rounds} q CROSS JOIN n{n_rounds} n
+"""
+    )
+
+
+@query("pca_power_iteration", oracle=_pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the integer-quantized Gram matrix — the spectral
+    member of the trainer family (PCA/whitening/spectral clustering all
+    start here): {_PCA_ROUNDS} rounds of q <- G q / ||G q|| from
+    q0 = e1 over the first {_PCA_DIM} dims, final unit vector
+    nano-quantized plus the Rayleigh-quotient-style eigenvalue estimate
+    ||G q|| (exact integer floor).
+
+    Hash portability end to end: the Gram is exact BIGINTs (per-row
+    FLOOR-microquantized products, order-independent sums); every
+    matvec component folds its 16 terms in ascending-j order (Catalyst
+    aggregate() with exact 0.0 init vs DuckDB list_reduce — bitwise
+    equal, the kaplan_meier fold argument); the norm folds squares in
+    ascending-pos order and sqrt is correctly rounded.  The driver
+    replays rounds 1..{_PCA_ROUNDS - 1} in Python floats (same fold
+    orders) from ONE 256-long collect of the Gram — the model-statistic
+    collect class — and the FINAL round (matvec, norm, normalize) runs
+    inside the returned plan.
+
+    Scale shape: the corpus work is exactly one pass — the double
+    posexplode fans each vector's d^2 = {_PCA_DIM * _PCA_DIM} products
+    map-side and ONE partial-aggregated exchange collapses to 256
+    groups (the embedding_gram_matrix guarantee); iteration cost is
+    d^2 per round, corpus-independent, which is why power iteration is
+    THE distributed eigensolver shape."""
+    d = _PCA_DIM
+    gram = _pca_gram(spark, sf_dir).persist()
+    rows = gram.collect()  # 256 longs: the Gram IS the model statistic
+    G = {(r["i"], r["j"]): r["g"] for r in rows}
+    q = [1.0] + [0.0] * (d - 1)
+    for _ in range(_PCA_ROUNDS - 1):
+        u = []
+        for i in range(1, d + 1):
+            acc = 0.0
+            for j in range(1, d + 1):  # ascending-j fold, 0.0 init
+                acc = acc + float(G[(i, j)]) * q[j - 1]
+            u.append(acc)
+        acc = 0.0
+        for x in u:  # ascending-pos fold
+            acc = acc + x * x
+        nrm = acc**0.5
+        q = [x / nrm for x in u]
+    q_arr = F.array(*[F.lit(float(x)) for x in q])
+    terms = gram.select(
+        "i",
+        F.struct(
+            "j",
+            (F.col("g").cast("double") * F.element_at(q_arr, F.col("j"))).alias(
+                "t"
+            ),
+        ).alias("jt"),
+    )
+    u_df = terms.groupBy("i").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list("jt")), lambda s: s["t"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("u")
+    )
+    one = u_df.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("i", "u"))).alias("a")
+    ).select(
+        "a",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("a"), lambda s: s["u"] * s["u"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    out = one.select(
+        F.inline(
+            F.transform(
+                F.col("a"),
+                lambda s: F.struct(
+                    s["i"].cast("long").alias("pos"),
+                    F.floor((s["u"] / F.col("nrm")) * F.lit(1000000000.0))
+                    .cast("long")
+                    .alias("v_nano"),
+                    F.floor(F.col("nrm")).cast("long").alias("lambda_q"),
+                ),
+            )
+        )
+    )
+    gram.unpersist()
+    return out
