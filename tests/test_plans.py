@@ -482,6 +482,10 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "dirichlet_lm_topk": "broadcast probe-sized ctf + 1-row corpus-len scalar",
         "t_closeness_audit": "broadcast ~6-row global bucket dist + 1-row total",
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",
+        "chi2_token_class_assoc": "broadcast 1-row corpus-size scalar x vocab table",
+        "kaplan_meier_survival": "broadcast 1-row horizon (max ts) scalar",
+        "hellinger_lang_drift": "broadcast 1-row corpus-total scalar x vocab table",
+        "cuped_variance_reduction": "broadcast 1-row pooled-moments scalar x 2-row arms",
     }
     offenders = {}
     for name, fn in all_queries().items():
