@@ -1959,3 +1959,117 @@ def distinct_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = branch if out is None else out.unionByName(branch)
     return out.select("lang", "n", "n_distinct", "n_total", "within_5pct")
+
+
+# ---------------------------------------------------------------------------
+# IPF / raking: calibrate corpus weights to target marginals
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+_IPF_BUCKETS = 5
+
+
+def _ipf_oracle(n_rounds: int = _IPF_ROUNDS) -> str:
+    b = _IPF_BUCKETS
+    ctes = [
+        f"""c AS MATERIALIZED (
+  SELECT lang,
+         CAST(LEAST(length(text) // 200, {b - 1}) AS BIGINT) AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+nn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang,
+              CAST(COUNT(DISTINCT bkt) AS BIGINT) AS n_bkt FROM c),
+w0 AS (SELECT lang, bkt, n_docs, n_docs * 1000000 AS w FROM c)"""
+    ]
+    prev = "w0"
+    for r in range(1, n_rounds + 1):
+        for axis, key, ng in (("r", "lang", "n_lang"), ("c", "bkt", "n_bkt")):
+            cur = f"w{r}{axis}"
+            ctes.append(
+                f"""{cur} AS (
+  SELECT lang, bkt, n_docs,
+         CAST(FLOOR(CAST(w AS DOUBLE)
+           * (((CAST(nn.n AS DOUBLE) * 1000000.0) / CAST(nn.{ng} AS DOUBLE))
+              / CAST(SUM(w) OVER (PARTITION BY {key}) AS DOUBLE)))
+           AS BIGINT) AS w
+  FROM {prev} CROSS JOIN nn
+)"""
+            )
+            prev = cur
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lang, bkt, n_docs, w AS w_micro FROM {prev}
+"""
+    )
+
+
+@query("ipf_raking_weights", oracle=_ipf_oracle())
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking / Deming-Stephan) — the
+    survey-statistics calibration a training-data pipeline uses to
+    reweight a corpus so its (language x length-bucket) cell weights
+    hit TARGET marginals (uniform over the OCCUPIED groups of each
+    axis — FEASIBLE targets whose totals agree, the Deming-Stephan
+    convergence condition; an infeasible pair makes IPF oscillate
+    forever) on both axes simultaneously,
+    without disturbing the cells' interaction structure — the 2-D
+    completion of mixture_rebalance_plan's 1-D reweighting:
+    {_IPF_ROUNDS} rounds of alternating row-scale / column-scale.
+
+    Hash portability without ordered folds: cell weights are
+    REQUANTIZED to BIGINT micro-units after every half-round, so every
+    marginal sum is an exact integer SUM (order-independent — no
+    Kahan/fold-order question ever arises), and each scaling is one
+    correctly-rounded double ratio times one double cast, floored
+    back.  The kmeans integer-stat discipline applied to a fixed-point
+    calibration loop.
+
+    Scale shape: ONE corpus exchange builds the contingency table; the
+    table itself is |langs| x |buckets| = 25 cells, so all
+    {_IPF_ROUNDS * 2} scaling passes are window ops over 25 rows —
+    metadata-sized however large the corpus.  At 100 TB with
+    fine-grained cells (domain x source x quality decile), the same
+    plan holds while cells stay << corpus."""
+    b = _IPF_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy(
+        "lang",
+        F.least(
+            F.call_function("div", F.length("text"), F.lit(200)),
+            F.lit(b - 1),
+        )
+        .cast("long")
+        .alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nn = c.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.count_distinct("lang").cast("long").alias("n_lang"),
+        F.count_distinct("bkt").cast("long").alias("n_bkt"),
+    )
+    w = c.crossJoin(F.broadcast(nn)).select(
+        "lang", "bkt", "n_docs", "n", "n_lang", "n_bkt",
+        (F.col("n_docs") * 1000000).alias("w"),
+    )
+    for _ in range(_IPF_ROUNDS):
+        for key, ng in (("lang", "n_lang"), ("bkt", "n_bkt")):
+            marg = W.partitionBy(key)
+            ratio = (
+                (F.col("n").cast("double") * F.lit(1000000.0))
+                / F.col(ng).cast("double")
+            ) / F.sum("w").over(marg).cast("double")
+            w = w.select(
+                "lang",
+                "bkt",
+                "n_docs",
+                "n",
+                "n_lang",
+                "n_bkt",
+                F.floor(F.col("w").cast("double") * ratio)
+                .cast("long")
+                .alias("w"),
+            )
+    return w.select("lang", "bkt", "n_docs", F.col("w").alias("w_micro"))

@@ -106,6 +106,21 @@ def test_ols_weights_reproduce_moment_identity(spark, sf_dir):
     assert all(r.n_rows == rows[0].n_rows > 0 for r in rows)
 
 
+def test_ipf_marginals_converge_to_uniform(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ipf_raking_weights")
+    assert rows
+    lang_m: dict[str, int] = {}
+    bkt_m: dict[int, int] = {}
+    for r in rows:
+        assert r.w_micro >= 0
+        lang_m[r.lang] = lang_m.get(r.lang, 0) + r.w_micro
+        bkt_m[r.bkt] = bkt_m.get(r.bkt, 0) + r.w_micro
+    # after 3 rounds both marginals are uniform over occupied groups to
+    # within floor-quantization slack (< 1000 micro over 25 cells)
+    assert max(lang_m.values()) - min(lang_m.values()) < 1000, lang_m
+    assert max(bkt_m.values()) - min(bkt_m.values()) < 1000, bkt_m
+
+
 def test_frontier_bfs_hops_bounded_and_seeded(spark, sf_dir):
     rows = _run(spark, sf_dir, "reachability_frontier_bfs")
     hops = sorted({r.min_hop for r in rows})
