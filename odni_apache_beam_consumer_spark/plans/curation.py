@@ -1850,9 +1850,10 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated by (lang) with COUNT(DISTINCT g) — Spark plans the
     distinct as a two-phase partial/final expand over the (lang, g)
     exchange, map-side-combining duplicate grams before the shuffle.
-    At 100 TB the exact distinct can swap for approx_count_distinct
-    with a documented rsd (the approx_distinct_users pattern); the
-    exact form here is what the hash can pin."""
+    At 100 TB the exact distinct swaps for approx_count_distinct — the
+    swap is REGISTERED as distinct_ngram_diversity_approx (sketch
+    contract pinned via within_5pct); the exact form here is what a
+    value hash can pin directly."""
     toks = spread(load_table(spark, sf_dir, "documents")).select(
         "lang", F.split(F.trim(F.col("text")), " ").alias("tk")
     )
