@@ -825,21 +825,24 @@ def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark and DuckDB.  All moment combination happens in DOUBLE (the raw
 # BIGINT cross-products n*Sxx would overflow int64), which is
 # deterministic because *, -, / are correctly rounded.
+# First moments (sx, sy) stay in micro units; SECOND moments are
+# integer-divided down to unit^2 scale PER USER before summing —
+# SUM(qx*qx) in micro^2 overflows int64 at the 300x synthesis (5e20)
+# and a fortiori at 100 TB, while the unit^2 sums stay exact to ~3e9
+# users.  The formulas below therefore rescale sx/sy to unit scale
+# (one correctly-rounded divide each); theta and rho^2 are
+# scale-consistent ratios either way.
+_SXU = "(CAST(sx AS DOUBLE) / 10000.0)"
+_SYU = "(CAST(sy AS DOUBLE) / 10000.0)"
 _CUPED_THETA = (
-    "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
-    " / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))"
+    f"((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - {_SXU}*{_SYU})"
+    f" / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - {_SXU}*{_SXU}))"
 )
 _CUPED_RHO2 = (
-    "(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
-    " * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))"
-    " / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
-    " * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))"
+    f"(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - {_SXU}*{_SYU})"
+    f" * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - {_SXU}*{_SYU}))"
+    f" / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - {_SXU}*{_SXU})"
+    f" * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - {_SYU}*{_SYU})))"
 )
 _CUPED_ADJ = (
     "((CAST(sya AS DOUBLE) - {theta}"
@@ -867,9 +870,9 @@ WITH u AS ({_CUPED_USER_SQL}),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
-         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
-         CAST(SUM(qx * qy) AS BIGINT) AS sxy,
-         CAST(SUM(qy * qy) AS BIGINT) AS syy
+         CAST(SUM((qx * qx) // 100000000) AS BIGINT) AS sxx,
+         CAST(SUM((qx * qy) // 100000000) AS BIGINT) AS sxy,
+         CAST(SUM((qy * qy) // 100000000) AS BIGINT) AS syy
   FROM u
 ),
 a AS (
@@ -901,10 +904,12 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pre period is the first half of the fixture calendar (before
     2024-01-16), post the rest; per-user pre/post metric sums are
-    FLOOR-microquantized BIGINTs.  Moment combination and the
-    theta/rho^2/adjustment expressions are shared SQL strings between
-    Spark and the DuckDB oracle (identical IEEE trees; BIGINT
-    cross-products would overflow, DOUBLE is deterministic).
+    FLOOR-microquantized BIGINTs, and the pooled SECOND moments are
+    integer-divided to unit^2 scale per user before summing (micro^2
+    sums overflow int64 at the 300x synthesis — caught by the scale
+    cell).  Moment combination and the theta/rho^2/adjustment
+    expressions are shared SQL strings between Spark and the DuckDB
+    oracle (identical IEEE trees).
 
     Scale shape: one user-keyed agg (the corpus exchange), then ONE
     1-row pooled moment agg and ONE 2-row arm agg over the per-user
@@ -923,13 +928,21 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
         ).alias("qy"),
     ).select(F.expr("user_id % 2").alias("arm"), "qx", "qy")
+    # qx/qy are nonnegative, so integral DIV (truncating) == '//'
+    # (flooring) and the per-user unit^2 contributions agree exactly.
     g = u.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("qx").cast("long").alias("sx"),
         F.sum("qy").cast("long").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx"),
-        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy"),
-        F.sum(F.col("qy") * F.col("qy")).cast("long").alias("syy"),
+        F.sum(
+            F.call_function("div", F.col("qx") * F.col("qx"), F.lit(100000000))
+        ).cast("long").alias("sxx"),
+        F.sum(
+            F.call_function("div", F.col("qx") * F.col("qy"), F.lit(100000000))
+        ).cast("long").alias("sxy"),
+        F.sum(
+            F.call_function("div", F.col("qy") * F.col("qy"), F.lit(100000000))
+        ).cast("long").alias("syy"),
     )
     a = u.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("na"),

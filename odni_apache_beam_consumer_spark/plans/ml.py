@@ -1752,7 +1752,12 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no shuffle beyond the 1-row final combine; the solve is a
     constant-size projection on that row.  This is the d^2-moments
     pattern that trains any linear model in one pass while d^2 fits in
-    a task (embedding_gram_matrix is its d=64 cousin)."""
+    a task (embedding_gram_matrix is its d=64 cousin).  Overflow
+    margin: the largest moment (b1 = SUM(FLOOR((x1*y)*1e4))) sums
+    ~1.3e10/row, exact to ~7e8 rows (measured 2.4e18 at the 300x
+    synthesis's 1.8e8 rows); past that, drop the product quantization a
+    decade (the cuped_variance_reduction unit^2 rescale) — documented,
+    not silent."""
     r = load_table(spark, sf_dir, "lineitem").selectExpr(
         "l_quantity AS x1", "l_discount AS x2", "l_extendedprice AS y"
     )
