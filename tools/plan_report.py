@@ -87,6 +87,20 @@ HEADLINE = [
     ("pass_at_k_estimate", "one user-keyed agg over events; k-branches touch only the tiny task table"),
     ("mrl_truncation_audit", "adjacent-id pair join; map-only 3-way delta projection; 3-group agg"),
     ("distinct_ngram_diversity", "per-n gram explode; two-phase exact distinct on the (lang, gram) exchange"),
+    # round-12 additions
+    ("logreg_train_gd", "map-only scoring passes (weights as literals); one 9-long partial-agg row per round"),
+    ("bradley_terry_train", "order-keyed match self-join collapses to <=600 sufficient-stat rows; rounds constant-size"),
+    ("ols_normal_equations", "ONE moment-matrix agg (10 BIGINTs, map-side combined); Cramer solve is a projection"),
+    ("pca_power_iteration", "double posexplode fans d^2 products map-side; one 256-group exchange; folds fixed-order"),
+    ("als_one_round", "item-keyed agg of 5 BIGINT partials; fixed factors are a literal of the key — no join"),
+    ("reachability_frontier_bfs", "per round: frontier equi-join + distinct + visited anti-join; |V|-bounded working set"),
+    ("markov_transitions", "one user-keyed lag window; (prev, next) agg is ~25 groups; ppm window over the aggregate"),
+    ("chi2_token_class_assoc", "distinct-presence explode; vocab rollup broadcast-joined; per-lang top-5 WindowGroupLimit"),
+    ("hellinger_lang_drift", "per-token nano-floor BEFORE the sum; vocab-sized q rollup broadcast; map-side BC partials"),
+    ("kaplan_meier_survival", "one user agg; calendar-bounded KM table; prefix-product folds on one tiny row"),
+    ("cuped_variance_reduction", "one user agg; unit^2-rescaled integer second moments; 1-row x 2-row broadcast cross"),
+    ("ipf_raking_weights", "one corpus agg to 25 cells; 6 scaling passes are windows over the 25-row table"),
+    ("distinct_ngram_diversity_approx", "HLL registers partial-agg map-side; exact audit column rides for the contract"),
 ]
 
 
