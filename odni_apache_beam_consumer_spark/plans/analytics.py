@@ -1970,7 +1970,10 @@ def chi2_token_class_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     num = ad - bc
     chi2 = (
-        F.col("n").cast("double") * (num * num)
+        # (n*num)*num left-assoc — MUST match the oracle's association
+        # exactly: once num^2 exceeds 2^53 the two orders round through
+        # different intermediates (r12 advice).
+        F.col("n").cast("double") * num * num
     ) / (
         F.col("df").cast("double")
         * (F.col("n") - F.col("df")).cast("double")
@@ -1998,7 +2001,8 @@ def chi2_token_class_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
 lt AS (
   SELECT user_id,
-         CAST((epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) // 3600
+         (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+          - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600
            AS lifetime_d,
          CASE WHEN MAX(ts) <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
               THEN 1 ELSE 0 END AS observed

@@ -825,11 +825,13 @@ def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark and DuckDB.  All moment combination happens in DOUBLE (the raw
 # BIGINT cross-products n*Sxx would overflow int64), which is
 # deterministic because *, -, / are correctly rounded.
-# First moments (sx, sy) stay in micro units; SECOND moments are
-# integer-divided down to unit^2 scale PER USER before summing —
-# SUM(qx*qx) in micro^2 overflows int64 at the 300x synthesis (5e20)
-# and a fortiori at 100 TB, while the unit^2 sums stay exact to ~3e9
-# users.  The formulas below therefore rescale sx/sy to unit scale
+# First moments (sx, sy) stay in micro units; SECOND moments square the
+# per-user value AFTER an integer-divide down to unit scale — qx*qx in
+# micro^2 overflows int64 at the 300x synthesis (5e20) and a fortiori
+# at 100 TB, and even (qx*qx)//1e8 computes the hazardous micro^2
+# product first; (qx//1e4)^2 keeps every intermediate in unit scale
+# (per-user bound ~3e9 whole units, pooled sums exact to ~3e9 users).
+# The formulas below therefore rescale sx/sy to unit scale
 # (one correctly-rounded divide each); theta and rho^2 are
 # scale-consistent ratios either way.
 _SXU = "(CAST(sx AS DOUBLE) / 10000.0)"
@@ -870,9 +872,9 @@ WITH u AS ({_CUPED_USER_SQL}),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
-         CAST(SUM((qx * qx) // 100000000) AS BIGINT) AS sxx,
-         CAST(SUM((qx * qy) // 100000000) AS BIGINT) AS sxy,
-         CAST(SUM((qy * qy) // 100000000) AS BIGINT) AS syy
+         CAST(SUM((qx // 10000) * (qx // 10000)) AS BIGINT) AS sxx,
+         CAST(SUM((qx // 10000) * (qy // 10000)) AS BIGINT) AS sxy,
+         CAST(SUM((qy // 10000) * (qy // 10000)) AS BIGINT) AS syy
   FROM u
 ),
 a AS (
@@ -905,9 +907,12 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pre period is the first half of the fixture calendar (before
     2024-01-16), post the rest; per-user pre/post metric sums are
     FLOOR-microquantized BIGINTs, and the pooled SECOND moments are
-    integer-divided to unit^2 scale per user before summing (micro^2
-    sums overflow int64 at the 300x synthesis — caught by the scale
-    cell).  Moment combination and the theta/rho^2/adjustment
+    computed from per-user values integer-divided to UNIT scale BEFORE
+    squaring (micro^2 intermediates overflow int64 at the 300x
+    synthesis — caught by the scale cell; squaring the rescaled value
+    also removes the per-user product hazard: the bound is now ~3e9
+    whole units per user, not ~3e9 micro-units).  Moment combination
+    and the theta/rho^2/adjustment
     expressions are shared SQL strings between Spark and the DuckDB
     oracle (identical IEEE trees).
 
@@ -929,20 +934,20 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qy"),
     ).select(F.expr("user_id % 2").alias("arm"), "qx", "qy")
     # qx/qy are nonnegative, so integral DIV (truncating) == '//'
-    # (flooring) and the per-user unit^2 contributions agree exactly.
+    # (flooring).  Rescale to UNIT scale per user BEFORE squaring (r12
+    # advice): (qx*qx)//1e8 computes the product in micro^2 first, which
+    # silently wraps once a single user's qx exceeds ~3e9 micro-units;
+    # (qx//1e4)^2 keeps every intermediate in unit scale, raising the
+    # per-user overflow bound to ~3e9 WHOLE units (~10^4x headroom).
+    ux = F.call_function("div", F.col("qx"), F.lit(10000))
+    uy = F.call_function("div", F.col("qy"), F.lit(10000))
     g = u.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("qx").cast("long").alias("sx"),
         F.sum("qy").cast("long").alias("sy"),
-        F.sum(
-            F.call_function("div", F.col("qx") * F.col("qx"), F.lit(100000000))
-        ).cast("long").alias("sxx"),
-        F.sum(
-            F.call_function("div", F.col("qx") * F.col("qy"), F.lit(100000000))
-        ).cast("long").alias("sxy"),
-        F.sum(
-            F.call_function("div", F.col("qy") * F.col("qy"), F.lit(100000000))
-        ).cast("long").alias("syy"),
+        F.sum(ux * ux).cast("long").alias("sxx"),
+        F.sum(ux * uy).cast("long").alias("sxy"),
+        F.sum(uy * uy).cast("long").alias("syy"),
     )
     a = u.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("na"),

@@ -1401,10 +1401,22 @@ def _bt_matches(spark: SparkSession, sf_dir: str):
     Matches: within each order, every cross-brand line pair with
     unequal quantities — the higher-quantity line's brand wins (a
     deterministic preference signal with genuine skew: popular brands
-    appear in more comparisons).  Order-keyed self-join, pair count
-    bounded by lines-per-order^2 (the copurchase_edges shape).  Players
-    are the 25 brands, indexed by sorted order (ROW_NUMBER) so both
-    engines agree on idx."""
+    appear in more comparisons).  Players are the brands, indexed by
+    sorted order (ROW_NUMBER) so both engines agree on idx.
+
+    Build shape (r12 verdict task: the order-keyed SELF-JOIN shuffled
+    the corpus twice and materialized every raw match row through the
+    join): ONE groupBy(k).collect_list exchange co-locates each
+    order's (idx, qty) lines, then a map-only higher-order pass emits
+    the (w_idx, l_idx) pair codes and partially aggregates them to the
+    <= K*(K-1) sufficient-stat rows in the same stage — half the
+    shuffle volume, no join build, pair work still bounded by
+    lines-per-order^2 exactly as before.  Pair-count identity with the
+    brute-force oracle: iterating ALL ordered pairs and keeping
+    x.qty > y.qty counts each unordered cross-brand unequal-qty pair
+    exactly once in winner orientation, precisely what the oracle's
+    pk_a < pk_b dedup + CASE-winner does (same-pk duplicates are
+    same-brand, so both formulations exclude them)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"),
         F.col("l_partkey").alias("pk"),
@@ -1412,33 +1424,6 @@ def _bt_matches(spark: SparkSession, sf_dir: str):
     )
     pt = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
-    )
-    lines = li.join(pt, "pk").select("k", "pk", "brand", "qty")
-    a = lines.select(
-        "k",
-        F.col("pk").alias("pk_a"),
-        F.col("brand").alias("brand_a"),
-        F.col("qty").alias("qty_a"),
-    )
-    b = lines.select(
-        "k",
-        F.col("pk").alias("pk_b"),
-        F.col("brand").alias("brand_b"),
-        F.col("qty").alias("qty_b"),
-    )
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("pk_a") < F.col("pk_b"))
-        .where(F.col("brand_a") != F.col("brand_b"))
-        .where(F.col("qty_a") != F.col("qty_b"))
-    )
-    matches = pairs.select(
-        F.when(F.col("qty_a") > F.col("qty_b"), F.col("brand_a"))
-        .otherwise(F.col("brand_b"))
-        .alias("w_brand"),
-        F.when(F.col("qty_a") > F.col("qty_b"), F.col("brand_b"))
-        .otherwise(F.col("brand_a"))
-        .alias("l_brand"),
     )
     players = (
         pt.select("brand")
@@ -1451,23 +1436,33 @@ def _bt_matches(spark: SparkSession, sf_dir: str):
             .alias("idx"),
         )
     )
-    m = (
-        matches.join(
-            F.broadcast(players.select(F.col("brand").alias("w_brand"), F.col("idx").alias("w_idx"))),
-            "w_brand",
-        )
-        .join(
-            F.broadcast(players.select(F.col("brand").alias("l_brand"), F.col("idx").alias("l_idx"))),
-            "l_brand",
-        )
-        # Collapse to the sufficient statistic: every match with the same
-        # (winner, loser) pair contributes the IDENTICAL quantized
-        # residual each round, so only the pair COUNT matters — <= K*(K-1)
-        # rows (600 here) no matter how many raw matches exist.  After
-        # this one exchange, every GD round is constant-size work.
-        .groupBy("w_idx", "l_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    lines = (
+        li.join(pt, "pk")
+        .join(F.broadcast(players), "brand")
+        .select("k", "idx", "qty")
     )
+    # One exchange on the order key, then pair generation + the
+    # sufficient-stat collapse are MAP-SIDE: every match with the same
+    # (winner, loser) pair contributes the IDENTICAL quantized residual
+    # each round, so only the pair COUNT matters — <= K*(K-1) rows (600
+    # here) reach the final exchange no matter how many raw matches
+    # exist.  After this, every GD round is constant-size work.
+    per_order = lines.groupBy("k").agg(
+        F.collect_list(F.struct("idx", "qty")).alias("ls")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ls, x -> filter(transform(ls, y -> "
+                "CASE WHEN x.idx <> y.idx AND x.qty > y.qty THEN "
+                "struct(x.idx AS w_idx, y.idx AS l_idx) END), "
+                "p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    )
+    m = pairs.groupBy(
+        F.col("p.w_idx").alias("w_idx"), F.col("p.l_idx").alias("l_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
     return m, players
 
 
@@ -1591,20 +1586,27 @@ def bradley_terry_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions (winner +resid, loser -resid — the x_j = +/-1
     feature encoding), driver-resident strengths synced per round.
 
-    Scale shape: the match build is one order-keyed self-join (pair
-    count bounded per order, the copurchase_edges argument) that
-    immediately collapses to the SUFFICIENT STATISTIC — at most
-    K*(K-1) = 600 (winner, loser, n_pair) rows, because every raw
-    match with the same ordered pair has the identical quantized
-    residual each round.  That one exchange is the only work that
-    scales with match volume; every GD round after it is constant-size
+    Scale shape: the match build is ONE order-keyed collect_list
+    exchange (the self-join it replaced shuffled the corpus twice and
+    pushed every raw match row through a join — r12's worst scale
+    cell); pair generation runs map-side over each order's line array
+    (bounded by lines-per-order^2) and collapses in the same stage to
+    the SUFFICIENT STATISTIC — at most K*(K-1) = 600 (winner, loser,
+    n_pair) rows, because every raw match with the same ordered pair
+    has the identical quantized residual each round.  That one
+    exchange is the only work that scales with match volume; every GD
+    round after it is constant-size
     (600 rows x a 25-literal strength array via element_at, then a
     25-group weighted integer agg).  The final round runs inside the
     returned plan (n_matches = half the over-() window sum of pair
     counts on 25 rows, no collect)."""
     m, players = _bt_matches(spark, sf_dir)
     m = m.persist()
-    k = 25
+    # k derived from the actual player table (metadata-sized count, the
+    # parameter-server probe class) — a hardcoded 25 would index
+    # element_at out of range if a synthesis ever yields more brands
+    # (r12 advice).
+    k = players.count()
     s = [0.0] * k
     for _ in range(_BT_ROUNDS - 1):
         rows = (
