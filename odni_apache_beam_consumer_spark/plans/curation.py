@@ -1962,6 +1962,84 @@ def distinct_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("lang", "n", "n_distinct", "n_total", "within_5pct")
 
 
+@query(
+    "distinct_ngram_approx_pure",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(trim(text), ' ') AS tk FROM documents
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT lang, CAST({n} AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS estimate_in_bounds
+FROM (
+  SELECT lang, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+  WHERE len(tk) >= {n}
+)
+GROUP BY lang
+"""
+        for n in (1, 2, 3)
+    ),
+)
+def distinct_ngram_approx_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE production form of the distinct-n sketch — what a
+    100 TB job actually runs: ``approx_count_distinct`` alone, with NO
+    exact COUNT DISTINCT anywhere in the plan (the registered
+    contract-validation form, distinct_ngram_diversity_approx, carries
+    the exact audit column, so its scale cell pays for BOTH paths —
+    50.6x at 300x vs 17.9x for this one).  Registered per the r12
+    verdict so the plan a user deploys carries a driver witness of its
+    own, not just a scale cell.
+
+    Oracle contract: the raw HLL estimate is engine-specific and
+    cannot be hash-compared, and this form deliberately has no exact
+    count to audit against — so the hash pins everything DETERMINISTIC
+    in the pure plan (lang, n, and the exact total-gram count, which
+    is a plain COUNT, not a distinct) plus ``estimate_in_bounds``, the
+    envelope derivable without an exact distinct: 1 <= estimate <=
+    1.05 * n_total, in integer arithmetic.  The tight 5%-of-exact
+    contract remains pinned by distinct_ngram_diversity_approx; this
+    witness proves the production plan itself runs, groups, and
+    totals correctly with the sketch as the only distinct machinery.
+
+    Scale shape: identical gram explode as the exact form, but the
+    (lang) aggregation carries ONE constant-size HLL register set per
+    group per partition — map-side combined, merge-only exchange,
+    no per-gram shuffle at any corpus size."""
+    toks = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang", F.split(F.trim(F.col("text")), " ").alias("tk")
+    )
+    out = None
+    for n in (1, 2, 3):
+        grams = toks.where(F.size("tk") >= n).select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {n - 1}),"
+                    f" i -> array_join(slice(tk, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        branch = grams.groupBy("lang").agg(
+            F.lit(n).cast("long").alias("n"),
+            F.approx_count_distinct("g", rsd=0.02).alias("approx_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        ).select(
+            "lang",
+            "n",
+            "n_total",
+            (
+                (F.col("approx_distinct") >= 1)
+                & (F.col("approx_distinct") * 20 <= F.col("n_total") * 21)
+            ).alias("estimate_in_bounds"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.select("lang", "n", "n_total", "estimate_in_bounds")
+
+
 # ---------------------------------------------------------------------------
 # IPF / raking: calibrate corpus weights to target marginals
 # ---------------------------------------------------------------------------

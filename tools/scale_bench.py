@@ -188,6 +188,10 @@ SLOW_FAMILY = [
     "ols_normal_equations",
     "als_one_round",
     "ipf_raking_weights",
+    # round-13: the pure HLL distinct-n path, REGISTERED this round per
+    # the r12 verdict (formerly an extra_cells()-only variant) — the
+    # production sketch exchange with no exact-audit column.
+    "distinct_ngram_approx_pure",
 ]
 
 
@@ -237,48 +241,18 @@ def extra_cells() -> dict:
             )
         )
 
-    def distinct_ngram_approx_pure(spark, sf_dir):
-        # The PRODUCTION sketch path of distinct_ngram_diversity_approx:
-        # approx_count_distinct alone, WITHOUT the exact COUNT DISTINCT
-        # audit column the registered contract query carries (the audit
-        # dominates its 300x cell — 50.6x, worse than the exact form —
-        # because the registered query pays for BOTH).  This cell pins
-        # what the swap-in actually costs at scale.
-        from odni_apache_beam_consumer_spark.catalog import load_table, spread
-
-        toks = spread(load_table(spark, sf_dir, "documents")).select(
-            "lang", F.split(F.trim(F.col("text")), " ").alias("tk")
-        )
-        out = None
-        for n in (1, 2, 3):
-            grams = toks.where(F.size("tk") >= n).select(
-                "lang",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(tk) - {n - 1}),"
-                        f" i -> array_join(slice(tk, i, {n}), ' '))"
-                    )
-                ).alias("g"),
-            )
-            branch = grams.groupBy("lang").agg(
-                F.lit(n).cast("long").alias("n"),
-                F.approx_count_distinct("g", rsd=0.02).alias("approx_distinct"),
-                F.count(F.lit(1)).cast("long").alias("n_total"),
-            )
-            out = branch if out is None else out.unionByName(branch)
-        return out
-
+    # distinct_ngram_approx_pure graduated from this table to the
+    # registry in round 13 (r12 verdict task 3) — it now lives in
+    # plans/curation.py with its own oracle and SLOW_FAMILY cell.
     return {
         "kmeans_lloyd_fixed_k": kmeans_lloyd_fixed_k,
         "streaming_dedup_batch_dual": streaming_dedup_batch_dual,
-        "distinct_ngram_approx_pure": distinct_ngram_approx_pure,
     }
 
 
 EXTRA_FAMILY = [
     "kmeans_lloyd_fixed_k",
     "streaming_dedup_batch_dual",
-    "distinct_ngram_approx_pure",
 ]
 
 # Key shifts chosen far above any sf0.1 key range (and above the +1e6
