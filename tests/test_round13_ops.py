@@ -1,0 +1,126 @@
+"""Structural / reference-agreement tests for the round-13 operators.
+
+The DuckDB oracles pin engine-vs-engine equality; these pin the MATH —
+most importantly a PLAIN-PYTHON replay of the full ALS alternation
+(r12 verdict task 4's "reference agreement" requirement): a third,
+independent evaluator of the same quantized trajectory.  Python floats
+are IEEE doubles and ``math.floor`` is exact, so replicating the shared
+SQL expression trees operation-for-operation must reproduce every
+nano-quantized factor bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from odni_apache_beam_consumer_spark.plans.registry import all_queries
+
+pytestmark = pytest.mark.round13
+
+
+def _plain_als(ratings, n_alt: int):
+    """Replay the als_alternating trajectory in pure Python.
+
+    ratings: list of (usr, item, rt) with rt already a Python float
+    (IEEE double, matching the engines' CAST to DOUBLE).  Returns
+    {usr: (n_ratings, u1_nano, u2_nano)} after n_alt full alternations.
+    Expression trees mirror _ALS_ALT_MOM / _ALS_V1 / _ALS_V2 exactly
+    (explicit parenthesization; Python * and / are correctly rounded).
+    """
+    fixed = {u: (1.0, (u % 7) / 7.0) for u, _, _ in ratings}
+
+    def half_step(key_is_item: bool):
+        mom: dict = {}
+        for u, it, rt in ratings:
+            key, fkey = (it, u) if key_is_item else (u, it)
+            f1, f2 = fixed[fkey]
+            m = mom.setdefault(key, [0, 0, 0, 0, 0, 0])
+            m[0] += math.floor((f1 * f1) * 10000.0)
+            m[1] += math.floor((f1 * f2) * 10000.0)
+            m[2] += math.floor((f2 * f2) * 10000.0)
+            m[3] += math.floor((f1 * rt) * 10000.0)
+            m[4] += math.floor((f2 * rt) * 10000.0)
+            m[5] += 1
+        out = {}
+        for key, (a11, a12, a22, b1, b2, n) in mom.items():
+            a11, a22 = a11 + 1000, a22 + 1000
+            det = float(a11) * float(a22) - float(a12) * float(a12)
+            v1 = (float(b1) * float(a22) - float(b2) * float(a12)) / det
+            v2 = (float(a11) * float(b2) - float(a12) * float(b1)) / det
+            out[key] = (
+                n,
+                math.floor(v1 * 1000000000.0),
+                math.floor(v2 * 1000000000.0),
+            )
+        return out
+
+    last = None
+    for i in range(2 * n_alt):
+        last = half_step(key_is_item=(i % 2 == 0))
+        fixed = {
+            k: (p1 / 1000000000.0, p2 / 1000000000.0)
+            for k, (_, p1, p2) in last.items()
+        }
+    return last
+
+
+def test_als_alternating_matches_plain_python(spark, sf_dir):
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from odni_apache_beam_consumer_spark.plans.ml import _ALS_ALT_ROUNDS
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS k", "l_partkey AS item", "CAST(l_quantity AS DOUBLE) AS rt"
+    )
+    od = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "o_custkey AS usr"
+    )
+    ratings = [
+        (r.usr, r.item, r.rt) for r in li.join(od, "k").collect()
+    ]
+    assert ratings
+    expected = _plain_als(ratings, _ALS_ALT_ROUNDS)
+
+    rows = all_queries()["als_alternating"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, p1, p2 = expected[r.user_id]
+        assert (r.n_ratings, r.u1_nano, r.u2_nano) == (n, p1, p2), r.user_id
+
+
+def test_als_alternating_moves_factors_from_init(spark, sf_dir):
+    # After two full alternations the user factors must differ from the
+    # literal init for at least some users (the loop actually trains),
+    # yet stay finite/bounded (the ridge keeps solves well-conditioned).
+    rows = all_queries()["als_alternating"](spark, sf_dir).collect()
+    assert rows
+    init_nano = {
+        u: math.floor(((u % 7) / 7.0) * 1000000000.0)
+        for u in (r.user_id for r in rows)
+    }
+    moved = sum(1 for r in rows if r.u2_nano != init_nano[r.user_id])
+    assert moved > len(rows) // 2
+    for r in rows:
+        assert abs(r.u1_nano) < 10**14 and abs(r.u2_nano) < 10**14
+
+
+def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
+    # The pure HLL path must produce exactly the audit form's group set
+    # and total counts — only the distinct machinery differs.
+    pure = {
+        (r.lang, r.n): (r.n_total, r.estimate_in_bounds)
+        for r in all_queries()["distinct_ngram_approx_pure"](
+            spark, sf_dir
+        ).collect()
+    }
+    audit = {
+        (r.lang, r.n): r.n_total
+        for r in all_queries()["distinct_ngram_diversity_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(pure) == set(audit)
+    for key, (n_total, in_bounds) in pure.items():
+        assert n_total == audit[key]
+        assert in_bounds is True
