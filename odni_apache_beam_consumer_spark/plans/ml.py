@@ -2074,6 +2074,224 @@ def als_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# histogram-split decision tree (greedy depth 2) — the GBDT building block
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragments (the _OLS_DET discipline).  Feature binning is
+# integral (quantity is already whole; discount is a 0..10 percent
+# bucket), the target is cent-quantized BIGINT, and the variance-gain
+# score is the classic SSE-reduction identity sum_L^2/n_L + sum_R^2/n_R
+# - sum^2/n over EXACT integer sufficient statistics — the LightGBM /
+# XGBoost histogram method (Ke et al. 2017), whose whole point is that a
+# bounded-width (feature x bin) histogram is a sufficient statistic for
+# the best split.
+_TREE_B1 = "CAST(l_quantity AS BIGINT)"
+_TREE_B2 = "CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)"
+_TREE_Y = "CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)"
+# Columns: nl/sl cumulative count/sum through bin b, nt/st node totals.
+# All four are exact BIGINTs; the doubles below are therefore
+# bit-identical across engines (exact-in-double to ~2^53 cents — ~9e13
+# dollars per node, documented headroom).
+_TREE_GAIN = (
+    "((CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE))/CAST(nl AS DOUBLE)"
+    " + (CAST(st - sl AS DOUBLE)*CAST(st - sl AS DOUBLE))"
+    "/CAST(nt - nl AS DOUBLE)"
+    " - (CAST(st AS DOUBLE)*CAST(st AS DOUBLE))/CAST(nt AS DOUBLE))"
+)
+_TREE_GAIN_Q = f"CAST(FLOOR({_TREE_GAIN}) AS BIGINT)"
+
+
+def _tree_best_split(hist):
+    """Best (feature, threshold) per node from a (node, f, b, n, s)
+    histogram: cumulative left stats per (node, f) in bin order,
+    candidates where the right side is nonempty, variance gain in
+    quantized cents^2, argmax with deterministic (gain, f, b)
+    tie-break.  Everything here runs on the metadata-sized histogram
+    (nodes x features x bins rows), never the corpus."""
+    w_cum = W.partitionBy("node", "f").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_tot = W.partitionBy("node", "f")
+    cand = hist.select(
+        "node",
+        "f",
+        "b",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("s").over(w_cum).cast("long").alias("sl"),
+        F.sum("n").over(w_tot).cast("long").alias("nt"),
+        F.sum("s").over(w_tot).cast("long").alias("st"),
+    ).where(F.col("nl") < F.col("nt"))
+    scored = cand.select(
+        "node", "f", "b", "nl", "nt", F.expr(_TREE_GAIN_Q).alias("gain_q")
+    )
+    w_pick = W.partitionBy("node").orderBy(
+        F.desc("gain_q"), F.asc("f"), F.asc("b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _tree_hist(long_df):
+    return long_df.groupBy("node", "f", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("s"),
+    )
+
+
+def _tree_long(df):
+    return df.selectExpr(
+        "node",
+        "stack(2, CAST(1 AS BIGINT), b1, CAST(2 AS BIGINT), b2) AS (f, b)",
+        "yq",
+    )
+
+
+_TREE_ORACLE = f"""
+WITH r0 AS (
+  SELECT {_TREE_B1} AS b1, {_TREE_B2} AS b2, {_TREE_Y} AS yq FROM lineitem
+),
+l0 AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(1 AS BIGINT) AS f, b1 AS b, yq
+  FROM r0
+  UNION ALL
+  SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), b2, yq FROM r0
+),
+h0 AS (
+  SELECT node, f, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yq) AS BIGINT) AS s
+  FROM l0 GROUP BY 1, 2, 3
+),
+c0 AS (
+  SELECT node, f, b,
+         CAST(SUM(n) OVER (PARTITION BY node, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nl,
+         CAST(SUM(s) OVER (PARTITION BY node, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sl,
+         CAST(SUM(n) OVER (PARTITION BY node, f) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY node, f) AS BIGINT) AS st
+  FROM h0
+),
+p0 AS (
+  SELECT node, f, b, nl, nt, gain_q FROM (
+    SELECT node, f, b, nl, nt, {_TREE_GAIN_Q} AS gain_q,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY {_TREE_GAIN_Q} DESC, f, b) AS rn
+    FROM c0 WHERE nl < nt
+  ) WHERE rn = 1
+),
+r2 AS (
+  SELECT CASE WHEN (p.f = 1 AND r.b1 <= p.b) OR (p.f = 2 AND r.b2 <= p.b)
+              THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS node,
+         r.b1, r.b2, r.yq
+  FROM r0 r CROSS JOIN p0 p
+),
+l2 AS (
+  SELECT node, CAST(1 AS BIGINT) AS f, b1 AS b, yq FROM r2
+  UNION ALL
+  SELECT node, CAST(2 AS BIGINT), b2, yq FROM r2
+),
+h2 AS (
+  SELECT node, f, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yq) AS BIGINT) AS s
+  FROM l2 GROUP BY 1, 2, 3
+),
+c2 AS (
+  SELECT node, f, b,
+         CAST(SUM(n) OVER (PARTITION BY node, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nl,
+         CAST(SUM(s) OVER (PARTITION BY node, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sl,
+         CAST(SUM(n) OVER (PARTITION BY node, f) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY node, f) AS BIGINT) AS st
+  FROM h2
+),
+p2 AS (
+  SELECT node, f, b, nl, nt, gain_q FROM (
+    SELECT node, f, b, nl, nt, {_TREE_GAIN_Q} AS gain_q,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY {_TREE_GAIN_Q} DESC, f, b) AS rn
+    FROM c2 WHERE nl < nt
+  ) WHERE rn = 1
+)
+SELECT node, f AS split_feature, b AS split_bin, nl AS n_left,
+       nt AS n_node, gain_q
+FROM p0
+UNION ALL
+SELECT node, f, b, nl, nt, gain_q FROM p2
+"""
+
+
+@query("decision_tree_histogram_train", oracle=_TREE_ORACLE)
+def decision_tree_histogram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 regression tree via HISTOGRAM split finding — the
+    GBDT building block (LightGBM/XGBoost's histogram method, Ke et
+    al. 2017; a training-data pipeline distills quality classifiers
+    with exactly this trainer): fit l_extendedprice against integral
+    bins of l_quantity (50 bins) and l_discount (11 percent buckets),
+    choosing each node's best (feature, threshold) by variance gain
+    (SSE reduction) computed from integer histogram sufficient
+    statistics; then split the root and repeat per child.  Output: one
+    row per node (0 = root, 1/2 = left/right child) with its chosen
+    split, left/total counts, and the quantized gain.
+
+    Entirely IN-PLAN (no driver weight sync, unlike the GD trainers):
+    the root decision is itself a 1-row table crossed back into the
+    row stream, so the driver's noop-sink execution exercises both
+    levels and the unrolled DuckDB oracle replays the identical
+    algebra — integer histograms, shared _TREE_GAIN IEEE tree,
+    (gain, f, b) argmax tie-break.
+
+    Scale shape: each level is ONE corpus pass collapsing map-side to
+    a (nodes x features x bins) histogram (<= ~244 rows here) — the
+    exchange carries 2 BIGINTs per histogram cell, never rows; split
+    scoring/argmax are window passes over that metadata-sized table;
+    the level-2 node assignment is a 1-row broadcast cross
+    (whitelisted scalar class).  Depth d costs d passes with
+    2^d x features x bins cells — at 100 TB the histogram stays
+    kilobytes while the corpus never shuffles."""
+    r0 = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_TREE_B1} AS b1", f"{_TREE_B2} AS b2", f"{_TREE_Y} AS yq"
+    )
+    root = _tree_best_split(
+        _tree_hist(_tree_long(r0.withColumn("node", F.lit(0).cast("long"))))
+    )
+    r2 = r0.crossJoin(
+        F.broadcast(
+            root.select(F.col("f").alias("rf"), F.col("b").alias("rb"))
+        )
+    ).select(
+        F.when(
+            ((F.col("rf") == 1) & (F.col("b1") <= F.col("rb")))
+            | ((F.col("rf") == 2) & (F.col("b2") <= F.col("rb"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("node"),
+        "b1",
+        "b2",
+        "yq",
+    )
+    children = _tree_best_split(_tree_hist(_tree_long(r2)))
+    out = root.unionByName(children)
+    return out.select(
+        "node",
+        F.col("f").alias("split_feature"),
+        F.col("b").alias("split_bin"),
+        F.col("nl").alias("n_left"),
+        F.col("nt").alias("n_node"),
+        "gain_q",
+    )
+
+
+# ---------------------------------------------------------------------------
 # PCA top component via power iteration on the quantized Gram matrix
 # ---------------------------------------------------------------------------
 

@@ -487,6 +487,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "hellinger_lang_drift": "broadcast 1-row corpus-total scalar x vocab table",
         "cuped_variance_reduction": "broadcast 1-row pooled-moments scalar x 2-row arms",
         "ipf_raking_weights": "broadcast 1-row total/group-count scalars x 25-cell table",
+        "decision_tree_histogram_train": "broadcast 1-row root-split scalar x row stream (level-2 node assignment)",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -105,6 +105,87 @@ def test_als_alternating_moves_factors_from_init(spark, sf_dir):
         assert abs(r.u1_nano) < 10**14 and abs(r.u2_nano) < 10**14
 
 
+def test_decision_tree_splits_are_consistent(spark, sf_dir):
+    # Gains nonnegative (splitting never increases SSE), children
+    # partition the root exactly, and each node's split is on a real
+    # bin with a nonempty right side.
+    rows = {r.node: r for r in all_queries()[
+        "decision_tree_histogram_train"
+    ](spark, sf_dir).collect()}
+    assert 0 in rows
+    root = rows[0]
+    assert root.gain_q >= 0
+    assert 0 < root.n_left < root.n_node
+    if 1 in rows and 2 in rows:
+        assert rows[1].n_node + rows[2].n_node == root.n_node
+        assert rows[1].n_node == root.n_left
+        for c in (1, 2):
+            assert rows[c].gain_q >= 0
+            assert 0 < rows[c].n_left < rows[c].n_node
+    for r in rows.values():
+        assert r.split_feature in (1, 2)
+
+
+def test_decision_tree_root_split_matches_brute_force(spark, sf_dir):
+    # Plain-Python brute force over the collected (b1, b2, yq) rows:
+    # the root (feature, threshold, gain) must match the distributed
+    # histogram computation exactly (integer stats, same argmax rule).
+    import math
+
+    from odni_apache_beam_consumer_spark.catalog import load_table
+    from odni_apache_beam_consumer_spark.plans.ml import (
+        _TREE_B1,
+        _TREE_B2,
+        _TREE_Y,
+    )
+
+    data = [
+        (r.b1, r.b2, r.yq)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .selectExpr(f"{_TREE_B1} AS b1", f"{_TREE_B2} AS b2", f"{_TREE_Y} AS yq")
+        .collect()
+    ]
+    best = None
+    for f_idx in (1, 2):
+        hist: dict = {}
+        for b1, b2, yq in data:
+            b = b1 if f_idx == 1 else b2
+            m = hist.setdefault(b, [0, 0])
+            m[0] += 1
+            m[1] += yq
+        nt = sum(m[0] for m in hist.values())
+        st = sum(m[1] for m in hist.values())
+        nl = sl = 0
+        for b in sorted(hist):
+            nl += hist[b][0]
+            sl += hist[b][1]
+            if nl >= nt:
+                continue
+            gain = (
+                (float(sl) * float(sl)) / float(nl)
+                + (float(st - sl) * float(st - sl)) / float(nt - nl)
+                - (float(st) * float(st)) / float(nt)
+            )
+            key = (-math.floor(gain), f_idx, b)
+            if best is None or key < best[0]:
+                best = (key, f_idx, b, nl, nt, math.floor(gain))
+    root = next(
+        r
+        for r in all_queries()["decision_tree_histogram_train"](
+            spark, sf_dir
+        ).collect()
+        if r.node == 0
+    )
+    _, f_idx, b, nl, nt, gain_q = best
+    assert (
+        root.split_feature,
+        root.split_bin,
+        root.n_left,
+        root.n_node,
+        root.gain_q,
+    ) == (f_idx, b, nl, nt, gain_q)
+
+
 def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
     # The pure HLL path must produce exactly the audit form's group set
     # and total counts — only the distinct machinery differs.

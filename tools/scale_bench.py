@@ -190,8 +190,14 @@ SLOW_FAMILY = [
     "ipf_raking_weights",
     # round-13: the pure HLL distinct-n path, REGISTERED this round per
     # the r12 verdict (formerly an extra_cells()-only variant) — the
-    # production sketch exchange with no exact-audit column.
+    # production sketch exchange with no exact-audit column; the full
+    # ALS alternation (four half-steps, each one ratings join + one
+    # 5-BIGINT-per-key moment exchange); and the histogram decision
+    # tree (two corpus passes collapsing map-side to a <=244-cell
+    # histogram — the exchange is constant-width at any corpus size).
     "distinct_ngram_approx_pure",
+    "als_alternating",
+    "decision_tree_histogram_train",
 ]
 
 
