@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.catalog import load_table, spread
 from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
 
 
@@ -2122,7 +2123,14 @@ def _tree_best_split(hist):
         F.sum("s").over(w_tot).cast("long").alias("st"),
     ).where(F.col("nl") < F.col("nt"))
     scored = cand.select(
-        "node", "f", "b", "nl", "nt", F.expr(_TREE_GAIN_Q).alias("gain_q")
+        "node",
+        "f",
+        "b",
+        "nl",
+        "sl",
+        "nt",
+        "st",
+        F.expr(_TREE_GAIN_Q).alias("gain_q"),
     )
     w_pick = W.partitionBy("node").orderBy(
         F.desc("gain_q"), F.asc("f"), F.asc("b")
@@ -2288,6 +2296,313 @@ def decision_tree_histogram_train(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("nl").alias("n_left"),
         F.col("nt").alias("n_node"),
         "gain_q",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gradient-boosted stumps: sequential residual boosting over the
+# histogram machinery above
+# ---------------------------------------------------------------------------
+
+_GBDT_ROUNDS = 3
+# Leaf predictions: floor of the residual mean as a double ratio of
+# exact BIGINTs — NOT integral DIV, because residual sums go negative
+# and Spark's div truncates toward zero while // floors; the
+# double-floor form is identical on both engines (exact-in-double
+# operands, correctly rounded divide, floor).
+_GBDT_MEAN_L = "CAST(FLOOR(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) AS BIGINT)"
+_GBDT_MEAN_R = (
+    "CAST(FLOOR(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _gbdt_oracle(rounds: int = _GBDT_ROUNDS) -> str:
+    """Unrolled replay of the boosting trajectory: per round a
+    histogram CTE, the argmax-split CTE, leaf means, and a residual
+    CTE at the fitted stump."""
+    ctes = [
+        f"""r0 AS MATERIALIZED (
+  SELECT {_TREE_B1} AS b1, {_TREE_B2} AS b2, {_TREE_Y} AS yq FROM lineitem
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""l{t} AS (
+  SELECT CAST(1 AS BIGINT) AS f, b1 AS b, yq FROM {prev}
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), b2, yq FROM {prev}
+),
+h{t} AS (
+  SELECT f, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yq) AS BIGINT) AS s
+  FROM l{t} GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT f, b,
+         CAST(SUM(n) OVER (PARTITION BY f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nl,
+         CAST(SUM(s) OVER (PARTITION BY f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sl,
+         CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY f) AS BIGINT) AS st
+  FROM h{t}
+),
+m{t} AS MATERIALIZED (
+  SELECT f, b, nl, nt, gain_q, {_GBDT_MEAN_L} AS ml, {_GBDT_MEAN_R} AS mr
+  FROM (
+    SELECT f, b, nl, sl, nt, st, {_TREE_GAIN_Q} AS gain_q,
+           ROW_NUMBER() OVER (ORDER BY {_TREE_GAIN_Q} DESC, f, b) AS rn
+    FROM c{t} WHERE nl < nt
+  ) WHERE rn = 1
+)"""
+        )
+        if t < rounds:
+            ctes.append(
+                f"""r{t} AS (
+  SELECT r.b1, r.b2,
+         r.yq - (CASE WHEN (m.f = 1 AND r.b1 <= m.b)
+                        OR (m.f = 2 AND r.b2 <= m.b)
+                 THEN m.ml ELSE m.mr END) AS yq
+  FROM {prev} r CROSS JOIN m{t} m
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS round_no, f AS split_feature,
+       b AS split_bin, nl AS n_left, nt AS n_node, gain_q,
+       ml AS mean_left_q, mr AS mean_right_q FROM m{t}"""
+        for t in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@query("gbdt_stump_boost", oracle=_gbdt_oracle())
+def gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps — {_GBDT_ROUNDS} rounds of
+    least-squares boosting (Friedman 2001, squared loss: each round
+    fits a depth-1 histogram stump to the current residuals and
+    subtracts its leaf means), the sequential-ensemble companion to
+    decision_tree_histogram_train and the distilled core of the
+    LightGBM/XGBoost training loop.  Output: one row per boosting
+    round with its stump (feature, threshold), counts, variance gain,
+    and both integer leaf predictions — gains shrink round over round
+    as the signal is consumed.
+
+    Portability: residuals stay EXACT BIGINTs (cent-quantized target
+    minus integer leaf means); leaf means use the double-floor ratio
+    form (see _GBDT_MEAN_L — integral DIV would truncate negative
+    residual sums differently across engines); the split argmax is the
+    shared _TREE_GAIN tree with (gain, f, b) tie-break — so the whole
+    boosting trajectory is hash-replayable by the unrolled oracle.
+
+    Scale shape: per round ONE corpus pass collapsing map-side to the
+    (features x bins) histogram (constant-width exchange); the fitted
+    stump re-enters as a 1-row broadcast cross for the residual
+    update, so round t's plan chains t scans and t-1 scalar
+    broadcasts — linear passes, zero corpus shuffles at any scale."""
+    r = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_TREE_B1} AS b1", f"{_TREE_B2} AS b2", f"{_TREE_Y} AS yq"
+    )
+    outs = []
+    for t in range(1, _GBDT_ROUNDS + 1):
+        stump = _tree_best_split(
+            _tree_hist(
+                _tree_long(r.withColumn("node", F.lit(0).cast("long")))
+            )
+        ).select(
+            "f",
+            "b",
+            "nl",
+            "nt",
+            "gain_q",
+            F.expr(_GBDT_MEAN_L).alias("ml"),
+            F.expr(_GBDT_MEAN_R).alias("mr"),
+        )
+        outs.append(
+            stump.select(
+                F.lit(t).cast("long").alias("round_no"),
+                F.col("f").alias("split_feature"),
+                F.col("b").alias("split_bin"),
+                F.col("nl").alias("n_left"),
+                F.col("nt").alias("n_node"),
+                "gain_q",
+                F.col("ml").alias("mean_left_q"),
+                F.col("mr").alias("mean_right_q"),
+            )
+        )
+        if t < _GBDT_ROUNDS:
+            r = r.crossJoin(
+                F.broadcast(stump.select("f", "b", "ml", "mr"))
+            ).select(
+                "b1",
+                "b2",
+                (
+                    F.col("yq")
+                    - F.when(
+                        ((F.col("f") == 1) & (F.col("b1") <= F.col("b")))
+                        | ((F.col("f") == 2) & (F.col("b2") <= F.col("b"))),
+                        F.col("ml"),
+                    ).otherwise(F.col("mr"))
+                ).alias("yq"),
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes: train + apply + confusion matrix in one plan
+# ---------------------------------------------------------------------------
+
+# Shared log-score fragments (the zipf_fit_audit / dirichlet_lm_topk
+# discipline: ln() on INTEGER-valued double inputs is a single IEEE op
+# on the identical argument in both engines, then milli-floored — so
+# every per-token score is an exact BIGINT and document scores are
+# order-independent integer sums).
+_NB_MLL = "CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)) * 1000.0) AS BIGINT)"
+_NB_DENOM = "CAST(FLOOR(ln(CAST(tl + v AS DOUBLE)) * 1000.0) AS BIGINT)"
+_NB_PRIOR = (
+    "(CAST(FLOOR(ln(CAST(docs_l AS DOUBLE)) * 1000.0) AS BIGINT)"
+    " - CAST(FLOOR(ln(CAST(nd AS DOUBLE)) * 1000.0) AS BIGINT))"
+)
+_NB_SCORE = "(prior_m + COALESCE(sp, CAST(0 AS BIGINT)) - n_tok * denom_m)"
+
+_NB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+model AS (
+  SELECT term, lang AS lang_m, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+mll AS (SELECT term, lang_m, {_NB_MLL} AS mll FROM model),
+tl AS (
+  SELECT lang AS lang_m, CAST(COUNT(*) AS BIGINT) AS tl
+  FROM toks GROUP BY 1
+),
+dl AS (
+  SELECT lang AS lang_m, CAST(COUNT(*) AS BIGINT) AS docs_l
+  FROM documents GROUP BY 1
+),
+gv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM toks),
+gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+lstats AS (
+  SELECT tl.lang_m, {_NB_DENOM} AS denom_m, {_NB_PRIOR} AS prior_m
+  FROM tl JOIN dl USING (lang_m) CROSS JOIN gv CROSS JOIN gn
+),
+sp AS (
+  SELECT t.doc_id, m.lang_m, CAST(SUM(m.mll) AS BIGINT) AS sp
+  FROM toks t JOIN mll m ON m.term = t.term
+  GROUP BY 1, 2
+),
+ds AS (
+  SELECT doc_id, lang AS lang_true, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM toks GROUP BY 1, 2
+),
+scores AS (
+  SELECT ds.doc_id, ds.lang_true, l.lang_m,
+         {_NB_SCORE} AS score_m
+  FROM ds CROSS JOIN lstats l
+  LEFT JOIN sp ON sp.doc_id = ds.doc_id AND sp.lang_m = l.lang_m
+),
+pred AS (
+  SELECT doc_id, lang_true, lang_m AS lang_pred FROM (
+    SELECT doc_id, lang_true, lang_m,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score_m DESC, lang_m) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@query("naive_bayes_train", oracle=_NB_ORACLE)
+def naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang classifier — TRAIN, APPLY, and
+    EVALUATE in one plan (the classic closed-form text classifier a
+    curation pipeline distills first, before reaching for logreg/GBDT):
+    per-(term, lang) occurrence counts with Laplace smoothing become
+    milli-floored integer log-likelihoods, each document is scored
+    against every language (prior + sum of token scores - n_tok *
+    smoothed-denominator), argmax with (score, lang) tie-break, and
+    the output is the 5x5 confusion matrix of true vs predicted
+    language.
+
+    Portability: ln() runs only on integer-valued doubles (counts,
+    totals), milli-floored to BIGINT (the zipf/dirichlet discipline) —
+    document scores are exact integer sums, order-independent, so the
+    whole train->apply->argmax->confusion pipeline hash-matches the
+    DuckDB oracle with no float folds anywhere.
+
+    Scale shape: training is one vocab-sized (term, lang) exchange
+    (map-side combined); apply joins the token stream to the sparse
+    model ON TERM (keyed shuffle join — only (term, lang) pairs that
+    exist; absent pairs contribute exactly 0 and fold into the
+    closed-form n_tok * denom term, so the dense V x L model never
+    materializes), then one (doc, lang) exchange; the 5-row lang-stats
+    table and the 1-row vocab/doc-count scalars are broadcast; the
+    confusion rollup is 25 cells.  Nothing after the token exchanges
+    scales beyond |corpus| x L."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = with_tokens(d).select(
+        "doc_id", "lang", F.explode("tk").alias("term")
+    )
+    model = (
+        toks.groupBy("term", F.col("lang").alias("lang_m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("term", "lang_m", F.expr(_NB_MLL).alias("mll"))
+    )
+    tl = toks.groupBy(F.col("lang").alias("lang_m")).agg(
+        F.count(F.lit(1)).cast("long").alias("tl")
+    )
+    dl = d.groupBy(F.col("lang").alias("lang_m")).agg(
+        F.count(F.lit(1)).cast("long").alias("docs_l")
+    )
+    gv = toks.groupBy().agg(F.count_distinct("term").cast("long").alias("v"))
+    gn = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    lstats = (
+        tl.join(dl, "lang_m")
+        .crossJoin(F.broadcast(gv))
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "lang_m",
+            F.expr(_NB_DENOM).alias("denom_m"),
+            F.expr(_NB_PRIOR).alias("prior_m"),
+        )
+    )
+    sp = (
+        toks.join(model, "term")
+        .groupBy("doc_id", "lang_m")
+        .agg(F.sum("mll").cast("long").alias("sp"))
+    )
+    ds = toks.groupBy("doc_id", F.col("lang").alias("lang_true")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    scores = (
+        ds.crossJoin(F.broadcast(lstats))
+        .join(sp, ["doc_id", "lang_m"], "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_m",
+            F.expr(_NB_SCORE).alias("score_m"),
+        )
+    )
+    w_pick = W.partitionBy("doc_id").orderBy(
+        F.desc("score_m"), F.asc("lang_m")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("lang_true", F.col("lang_m").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
 
 

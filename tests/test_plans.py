@@ -488,6 +488,8 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "cuped_variance_reduction": "broadcast 1-row pooled-moments scalar x 2-row arms",
         "ipf_raking_weights": "broadcast 1-row total/group-count scalars x 25-cell table",
         "decision_tree_histogram_train": "broadcast 1-row root-split scalar x row stream (level-2 node assignment)",
+        "naive_bayes_train": "broadcast 5-row lang-stats table (+1-row vocab/doc scalars) x per-doc table",
+        "gbdt_stump_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
     }
     offenders = {}
     for name, fn in all_queries().items():

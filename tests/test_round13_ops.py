@@ -186,6 +186,46 @@ def test_decision_tree_root_split_matches_brute_force(spark, sf_dir):
     ) == (f_idx, b, nl, nt, gain_q)
 
 
+def test_gbdt_boosting_consumes_signal(spark, sf_dir):
+    rows = sorted(
+        all_queries()["gbdt_stump_boost"](spark, sf_dir).collect(),
+        key=lambda r: r.round_no,
+    )
+    assert [r.round_no for r in rows] == [1, 2, 3]
+    n = rows[0].n_node
+    for r in rows:
+        assert r.n_node == n  # every round fits the full corpus
+        assert r.gain_q >= 0
+        assert 0 < r.n_left < r.n_node
+        assert r.split_feature in (1, 2)
+    # Squared-loss boosting: later stumps fit residuals of earlier
+    # ones, so the best-available gain cannot increase.
+    assert rows[0].gain_q >= rows[1].gain_q >= rows[2].gain_q
+
+
+def test_naive_bayes_confusion_is_complete_and_better_than_chance(
+    spark, sf_dir
+):
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    rows = all_queries()["naive_bayes_train"](spark, sf_dir).collect()
+    langs = {
+        r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    total = sum(r.n_docs for r in rows)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert total == n_docs  # every document classified exactly once
+    for r in rows:
+        assert r.lang_true in langs and r.lang_pred in langs
+        assert r.n_docs > 0
+    correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
+    assert correct / total > 1.0 / len(langs)  # beats the chance rate
+
+
 def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
     # The pure HLL path must produce exactly the audit form's group set
     # and total counts — only the distinct machinery differs.
