@@ -969,3 +969,309 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR({_CUPED_RHO2} * 1000000.0) AS BIGINT)"
         ).alias("var_reduction_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# experimentation test battery: Welch's t, Mann-Whitney U, SRM check
+# (the significance tests an experimentation platform runs next to
+# cuped_variance_reduction's variance reduction)
+# ---------------------------------------------------------------------------
+
+# Per-user metric shared by all three tests: whole-period micro-quantized
+# value sum, deterministic arm assignment by user parity (the CUPED
+# convention).
+_AB_USER_SQL = """
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qy
+  FROM events GROUP BY user_id
+"""
+
+# Welch fragments (shared IEEE trees; the CUPED rescale-before-square
+# discipline for second moments — unit-scale per user before squaring).
+_WELCH_M = "(CAST(sy{i} AS DOUBLE) / 10000.0 / CAST(n{i} AS DOUBLE))"
+_WELCH_V = (
+    "((CAST(syy{i} AS DOUBLE)"
+    " - (CAST(sy{i} AS DOUBLE) / 10000.0)"
+    " * (CAST(sy{i} AS DOUBLE) / 10000.0) / CAST(n{i} AS DOUBLE))"
+    " / CAST(n{i} - 1 AS DOUBLE))"
+)
+_WELCH_SE2 = (
+    f"({_WELCH_V.format(i=1)} / CAST(n1 AS DOUBLE)"
+    f" + {_WELCH_V.format(i=0)} / CAST(n0 AS DOUBLE))"
+)
+_WELCH_T = (
+    f"(({_WELCH_M.format(i=1)} - {_WELCH_M.format(i=0)})"
+    f" / sqrt({_WELCH_SE2}))"
+)
+_WELCH_DF = (
+    f"(({_WELCH_SE2} * {_WELCH_SE2})"
+    f" / (({_WELCH_V.format(i=1)} / CAST(n1 AS DOUBLE))"
+    f" * ({_WELCH_V.format(i=1)} / CAST(n1 AS DOUBLE))"
+    " / CAST(n1 - 1 AS DOUBLE)"
+    f" + ({_WELCH_V.format(i=0)} / CAST(n0 AS DOUBLE))"
+    f" * ({_WELCH_V.format(i=0)} / CAST(n0 AS DOUBLE))"
+    " / CAST(n0 - 1 AS DOUBLE)))"
+)
+
+def _ab_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark dual of _AB_USER_SQL: per-user arm + exact micro metric."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+            ).alias("qy")
+        )
+        .select(F.expr("user_id % 2").alias("arm"), "qy")
+    )
+
+
+_WELCH_ARMS_SQL = """
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN arm = 0
+                  THEN (qy // 10000) * (qy // 10000) ELSE 0 END) AS BIGINT)
+           AS syy0,
+         CAST(SUM(CASE WHEN arm = 1
+                  THEN (qy // 10000) * (qy // 10000) ELSE 0 END) AS BIGINT)
+           AS syy1
+"""
+
+
+@query(
+    "welch_t_test",
+    oracle=f"""
+WITH u AS ({_AB_USER_SQL}),
+g AS ({_WELCH_ARMS_SQL} FROM u)
+SELECT n0, n1,
+       CAST(FLOOR({_WELCH_M.format(i=0)} * 1000.0) AS BIGINT) AS mean0_milli,
+       CAST(FLOOR({_WELCH_M.format(i=1)} * 1000.0) AS BIGINT) AS mean1_milli,
+       CAST(FLOOR({_WELCH_T} * 1000.0) AS BIGINT) AS t_milli,
+       CAST(FLOOR({_WELCH_DF} * 1000.0) AS BIGINT) AS df_milli
+FROM g
+""",
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between experiment arms — the
+    default difference-in-means significance test an experimentation
+    platform reports next to CUPED's variance reduction: per-arm user
+    means of the micro-quantized metric, Welch's t statistic, and the
+    Welch-Satterthwaite degrees of freedom, all milli-floored.
+
+    Portability: per-user sums are exact BIGINT micro-units; second
+    moments follow cuped_variance_reduction's rescale-before-square
+    rule (unit scale per user, so a heavy user cannot overflow the
+    product); every double expression (means, variances, t, df) is a
+    shared SQL string — identical IEEE trees, sqrt correctly rounded.
+
+    Scale shape: one user-keyed exchange, then a SINGLE 1-row
+    conditional-sum pivot over the per-user table (map-side combined);
+    the t/df algebra is a constant-size projection on that row."""
+    u = _ab_users(spark, sf_dir)
+    g = u.groupBy().agg(
+        F.expr("CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n0"),
+        F.expr("CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT)").alias("sy0"),
+        F.expr("CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT)").alias("sy1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0"
+            " THEN (qy DIV 10000) * (qy DIV 10000) ELSE 0 END) AS BIGINT)"
+        ).alias("syy0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1"
+            " THEN (qy DIV 10000) * (qy DIV 10000) ELSE 0 END) AS BIGINT)"
+        ).alias("syy1"),
+    )
+    return g.select(
+        "n0",
+        "n1",
+        F.expr(
+            f"CAST(FLOOR({_WELCH_M.format(i=0)} * 1000.0) AS BIGINT)"
+        ).alias("mean0_milli"),
+        F.expr(
+            f"CAST(FLOOR({_WELCH_M.format(i=1)} * 1000.0) AS BIGINT)"
+        ).alias("mean1_milli"),
+        F.expr(f"CAST(FLOOR({_WELCH_T} * 1000.0) AS BIGINT)").alias("t_milli"),
+        F.expr(f"CAST(FLOOR({_WELCH_DF} * 1000.0) AS BIGINT)").alias(
+            "df_milli"
+        ),
+    )
+
+
+# Mann-Whitney fragments.  The rank axis is the DECI-unit quantized
+# per-user metric (qy // 1000), which (a) bounds the distinct-value
+# table by the metric's value range instead of the user count — the
+# classifier_auc_rank histogram trick, so the ordered prefix window
+# never sees corpus-sized input — and (b) produces real tied groups,
+# exercising the tie-corrected variance.  rank2 doubles every rank so
+# midranks stay exact integers.
+_MWU_VAR = (
+    "((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+    " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+    " - CAST(ties AS DOUBLE)"
+    " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))"
+)
+_MWU_Z = (
+    "((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    f" / (2.0 * sqrt({_MWU_VAR})))"
+)
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+WITH u AS ({_AB_USER_SQL}),
+v AS (SELECT arm, qy // 1000 AS qv FROM u),
+g AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS grp
+  FROM v GROUP BY qv
+),
+rk AS (
+  SELECT na, nb, grp,
+         2 * (CAST(SUM(grp) OVER (ORDER BY qv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - grp) + grp + 1 AS rank2
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nb) AS BIGINT) AS n_b,
+         CAST(SUM(na * rank2) AS BIGINT) AS r2a,
+         CAST(SUM(grp * grp * grp - grp) AS BIGINT) AS ties
+  FROM rk
+)
+SELECT n_a, n_b, ties,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(FLOOR({_MWU_Z} * 1000.0) AS BIGINT) AS z_milli
+FROM (SELECT n_a, n_b, ties, r2a,
+             r2a - n_a * (n_a + 1) AS u2_a FROM t)
+""",
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between experiment arms —
+    the NONPARAMETRIC companion to welch_t_test (what a platform
+    reports when the metric is skewed and means mislead): midranks of
+    the deci-quantized per-user metric via the doubled-rank integer
+    trick (rank2 = 2*cum_before + group + 1, so tied-group midranks
+    are exact BIGINTs), U statistic in doubled form (u2_a = 2*U_A,
+    exact integer), and the tie-corrected normal approximation z,
+    milli-floored from shared IEEE strings.
+
+    Scale shape: one user-keyed exchange, then a hash agg onto the
+    bounded deci-unit value axis (the classifier_auc_rank histogram
+    argument — the single-partition rank window runs over distinct
+    metric VALUES, never users).  Overflow: the tie term sums grp^3 —
+    exact below ~2e6 users per distinct deci-value; past that, coarsen
+    the quantization a decade (documented, not silent)."""
+    u = _ab_users(spark, sf_dir)
+    v = u.select("arm", F.expr("qy DIV 1000").alias("qv"))
+    g = v.groupBy("qv").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("grp"),
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    rk = g.select(
+        "na",
+        "nb",
+        "grp",
+        (
+            2 * (F.sum("grp").over(w).cast("long") - F.col("grp"))
+            + F.col("grp")
+            + 1
+        ).alias("rank2"),
+    )
+    t = rk.groupBy().agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * F.col("rank2")).cast("long").alias("r2a"),
+        F.sum(
+            F.col("grp") * F.col("grp") * F.col("grp") - F.col("grp")
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        "ties",
+        (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+    ).select(
+        "n_a",
+        "n_b",
+        "ties",
+        "u2_a",
+        F.expr(f"CAST(FLOOR({_MWU_Z} * 1000.0) AS BIGINT)").alias("z_milli"),
+    )
+
+
+# SRM fragments: the chi-squared goodness-of-fit of the observed arm
+# counts against the designed 50/50 split, 1 degree of freedom.
+_SRM_EXP = "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)"
+_SRM_CHI2 = (
+    f"(((CAST(n0 AS DOUBLE) - {_SRM_EXP})"
+    f" * (CAST(n0 AS DOUBLE) - {_SRM_EXP})"
+    f" + (CAST(n1 AS DOUBLE) - {_SRM_EXP})"
+    f" * (CAST(n1 AS DOUBLE) - {_SRM_EXP})) / {_SRM_EXP})"
+)
+
+
+@query(
+    "sample_ratio_mismatch",
+    oracle=f"""
+WITH u AS ({_AB_USER_SQL}),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u
+)
+SELECT n0, n1,
+       CAST(FLOOR({_SRM_CHI2} * 1000.0) AS BIGINT) AS chi2_milli,
+       CAST(FLOOR({_SRM_CHI2} * 1000.0) AS BIGINT) > 3841 AS srm_detected
+FROM c
+""",
+)
+def sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the data-quality gate every
+    experimentation platform runs BEFORE reading any metric (a
+    triggered/logging bug shows up as arm counts drifting off the
+    designed 50/50 long before it corrupts conclusions): chi-squared
+    goodness-of-fit of the observed per-arm user counts against the
+    even split, 1 df, with the standard alpha=0.05 critical value
+    3.841 as the milli-integer flag threshold.
+
+    Scale shape: one user-keyed exchange (shared with the other arm
+    tests), then a 1-row conditional-count pivot; the chi2 algebra is
+    a constant projection from shared IEEE strings."""
+    u = _ab_users(spark, sf_dir)
+    c = u.groupBy().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+    )
+    return c.select(
+        "n0",
+        "n1",
+        F.expr(f"CAST(FLOOR({_SRM_CHI2} * 1000.0) AS BIGINT)").alias(
+            "chi2_milli"
+        ),
+        (
+            F.expr(f"CAST(FLOOR({_SRM_CHI2} * 1000.0) AS BIGINT)")
+            > F.lit(3841)
+        ).alias("srm_detected"),
+    )

@@ -226,6 +226,27 @@ def test_naive_bayes_confusion_is_complete_and_better_than_chance(
     assert correct / total > 1.0 / len(langs)  # beats the chance rate
 
 
+def test_ab_battery_is_internally_consistent(spark, sf_dir):
+    # The three arm tests share the per-user table, so their counts
+    # must agree; the parity assignment is balanced by construction,
+    # so SRM must not fire; and on a null effect (parity arms over the
+    # same generator) both test statistics should be modest.
+    welch = all_queries()["welch_t_test"](spark, sf_dir).collect()[0]
+    mwu = all_queries()["mann_whitney_u"](spark, sf_dir).collect()[0]
+    srm = all_queries()["sample_ratio_mismatch"](spark, sf_dir).collect()[0]
+    assert (welch.n0, welch.n1) == (srm.n0, srm.n1)
+    assert (mwu.n_a, mwu.n_b) == (srm.n0, srm.n1)
+    assert srm.srm_detected is False  # parity split is balanced
+    assert srm.chi2_milli >= 0
+    # Null effect: |t| and |z| under ~5 (generous; fixture is seeded).
+    assert abs(welch.t_milli) < 5000
+    assert abs(mwu.z_milli) < 5000
+    assert welch.df_milli > 0
+    # U2 is bounded by 2 * n_a * n_b and the tie term is nonnegative.
+    assert 0 <= mwu.u2_a <= 2 * mwu.n_a * mwu.n_b
+    assert mwu.ties >= 0
+
+
 def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
     # The pure HLL path must produce exactly the audit form's group set
     # and total counts — only the distinct machinery differs.

@@ -198,6 +198,18 @@ SLOW_FAMILY = [
     "distinct_ngram_approx_pure",
     "als_alternating",
     "decision_tree_histogram_train",
+    # round-13 session-2: sequential boosting (3 histogram passes, each
+    # a constant-width exchange) and Naive Bayes (vocab-sized model
+    # exchange + term-keyed apply join + (doc, lang) rollup — the
+    # word-prefix synthesis grows its vocab 300x like chi2's).
+    "gbdt_stump_boost",
+    "naive_bayes_train",
+    # round-13 session-3: the experimentation battery (one user-keyed
+    # exchange each, then 1-row pivots / a value-axis-bounded rank
+    # window — the cuped_variance_reduction shape).
+    "welch_t_test",
+    "mann_whitney_u",
+    "sample_ratio_mismatch",
 ]
 
 
