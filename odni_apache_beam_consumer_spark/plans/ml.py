@@ -2453,6 +2453,227 @@ def gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# logistic-loss boosted stumps (second-order / Newton boosting — the
+# XGBoost objective with the Elliott sigmoid link)
+# ---------------------------------------------------------------------------
+
+_XGB_ROUNDS = 3
+# Per-row probability from the accumulated nano-quantized score: the
+# Elliott algebraic sigmoid (the _logreg_sigmoid portability argument —
+# exp is not correctly rounded across engines; +,-,*,/,abs are), over
+# snano/1e9 (exact BIGINT, one correctly-rounded divide).
+_XGB_S = "(CAST(snano AS DOUBLE) / 1000000000.0)"
+_XGB_P = f"(0.5 * (1.0 + {_XGB_S} / (1.0 + abs({_XGB_S}))))"
+# Micro-floored gradient/hessian of logistic loss: g = p - y,
+# h = p * (1 - p); Elliott keeps p strictly inside (0, 1), so every
+# row's hq >= 1 at any bounded score and leaf hessian sums never
+# vanish.
+_XGB_GQ = f"CAST(FLOOR(({_XGB_P} - CAST(y AS DOUBLE)) * 1000000.0) AS BIGINT)"
+_XGB_HQ = (
+    f"CAST(FLOOR(({_XGB_P} * (1.0 - {_XGB_P})) * 1000000.0) AS BIGINT)"
+)
+# Newton gain and leaf values (lambda = 0): quantization cancels in
+# G/H, so leaf values are in natural logit units, nano-floored.
+_XGB_GAIN = (
+    "((CAST(gl AS DOUBLE)*CAST(gl AS DOUBLE))/CAST(hl AS DOUBLE)"
+    " + (CAST(gt - gl AS DOUBLE)*CAST(gt - gl AS DOUBLE))"
+    "/CAST(ht - hl AS DOUBLE)"
+    " - (CAST(gt AS DOUBLE)*CAST(gt AS DOUBLE))/CAST(ht AS DOUBLE))"
+)
+_XGB_GAIN_Q = f"CAST(FLOOR({_XGB_GAIN}) AS BIGINT)"
+_XGB_WL = (
+    "CAST(FLOOR((-(CAST(gl AS DOUBLE)) / CAST(hl AS DOUBLE))"
+    " * 1000000000.0) AS BIGINT)"
+)
+_XGB_WR = (
+    "CAST(FLOOR((-(CAST(gt - gl AS DOUBLE)) / CAST(ht - hl AS DOUBLE))"
+    " * 1000000000.0) AS BIGINT)"
+)
+# Feature bins: the first two embedding dims in 1/25-unit buckets
+# (~50 bins each for [-1, 1] components).
+_XGB_BIN = "CAST(FLOOR(CAST({acc} AS DOUBLE) * 25.0) AS BIGINT)"
+
+
+def _xgb_oracle(rounds: int = _XGB_ROUNDS) -> str:
+    b1 = _XGB_BIN.format(acc="embedding[1]")
+    b2 = _XGB_BIN.format(acc="embedding[2]")
+    ctes = [
+        f"""r0 AS MATERIALIZED (
+  SELECT {b1} AS b1, {b2} AS b2, CAST(label % 2 AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS snano
+  FROM embeddings
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""d{t} AS (
+  SELECT b1, b2, y, snano, {_XGB_GQ} AS gq, {_XGB_HQ} AS hq FROM {prev}
+),
+l{t} AS (
+  SELECT CAST(1 AS BIGINT) AS f, b1 AS b, gq, hq FROM d{t}
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), b2, gq, hq FROM d{t}
+),
+h{t} AS (
+  SELECT f, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gq) AS BIGINT) AS g, CAST(SUM(hq) AS BIGINT) AS h
+  FROM l{t} GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT f, b,
+         CAST(SUM(n) OVER (PARTITION BY f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nl,
+         CAST(SUM(g) OVER (PARTITION BY f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS gl,
+         CAST(SUM(h) OVER (PARTITION BY f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS hl,
+         CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+         CAST(SUM(g) OVER (PARTITION BY f) AS BIGINT) AS gt,
+         CAST(SUM(h) OVER (PARTITION BY f) AS BIGINT) AS ht
+  FROM h{t}
+),
+m{t} AS MATERIALIZED (
+  SELECT f, b, nl, nt, gain_q, {_XGB_WL} AS wl, {_XGB_WR} AS wr
+  FROM (
+    SELECT f, b, nl, gl, hl, nt, gt, ht, {_XGB_GAIN_Q} AS gain_q,
+           ROW_NUMBER() OVER (ORDER BY {_XGB_GAIN_Q} DESC, f, b) AS rn
+    FROM c{t} WHERE nl < nt
+  ) WHERE rn = 1
+)"""
+        )
+        if t < rounds:
+            ctes.append(
+                f"""r{t} AS (
+  SELECT r.b1, r.b2, r.y,
+         r.snano + (CASE WHEN (m.f = 1 AND r.b1 <= m.b)
+                           OR (m.f = 2 AND r.b2 <= m.b)
+                    THEN m.wl ELSE m.wr END) AS snano
+  FROM {prev} r CROSS JOIN m{t} m
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS round_no, f AS split_feature,
+       b AS split_bin, nl AS n_left, nt AS n_node, gain_q,
+       wl AS w_left_nano, wr AS w_right_nano FROM m{t}"""
+        for t in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@query("gbdt_logit_boost", oracle=_xgb_oracle())
+def gbdt_logit_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-loss boosted stumps with SECOND-ORDER (Newton) steps —
+    the XGBoost objective (Chen & Guestrin 2016: per-split gain
+    G_L^2/H_L + G_R^2/H_R - G^2/H from gradient/hessian sufficient
+    statistics, leaf value -G/H), distilled to {_XGB_ROUNDS} depth-1
+    rounds over the binary label (label % 2) and two binned embedding
+    dims.  Completes the boosting pair: gbdt_stump_boost is the
+    squared-loss regressor; this is the classifier a quality-filter
+    distillation actually trains.
+
+    Portability: per-row g/h are micro-floored BIGINTs computed from
+    the Elliott sigmoid of the accumulated nano-quantized score (exact
+    integer accumulation of leaf values, ONE divide before the
+    sigmoid), so histograms are exact integer sums and the whole
+    trajectory — splits, leaf logits, round over round — is
+    hash-replayable by the unrolled oracle from shared SQL strings.
+
+    Scale shape: identical to gbdt_stump_boost — per round one corpus
+    pass collapsing map-side to a (features x bins) histogram carrying
+    3 BIGINTs per cell, argmax on the metadata-sized table, a 1-row
+    broadcast cross for the score update; zero corpus shuffles."""
+    b1 = _XGB_BIN.format(acc="element_at(embedding, 1)")
+    b2 = _XGB_BIN.format(acc="element_at(embedding, 2)")
+    r = load_table(spark, sf_dir, "embeddings").selectExpr(
+        f"{b1} AS b1",
+        f"{b2} AS b2",
+        "CAST(label % 2 AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS snano",
+    )
+    w_cum = W.partitionBy("f").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_tot = W.partitionBy("f")
+    outs = []
+    for t in range(1, _XGB_ROUNDS + 1):
+        d = r.selectExpr(
+            "b1", "b2", f"{_XGB_GQ} AS gq", f"{_XGB_HQ} AS hq"
+        )
+        long_df = d.selectExpr(
+            "stack(2, CAST(1 AS BIGINT), b1, CAST(2 AS BIGINT), b2)"
+            " AS (f, b)",
+            "gq",
+            "hq",
+        )
+        hist = long_df.groupBy("f", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gq").cast("long").alias("g"),
+            F.sum("hq").cast("long").alias("h"),
+        )
+        cand = hist.select(
+            "f",
+            "b",
+            F.sum("n").over(w_cum).cast("long").alias("nl"),
+            F.sum("g").over(w_cum).cast("long").alias("gl"),
+            F.sum("h").over(w_cum).cast("long").alias("hl"),
+            F.sum("n").over(w_tot).cast("long").alias("nt"),
+            F.sum("g").over(w_tot).cast("long").alias("gt"),
+            F.sum("h").over(w_tot).cast("long").alias("ht"),
+        ).where(F.col("nl") < F.col("nt"))
+        w_pick = W.orderBy(F.desc("gain_q"), F.asc("f"), F.asc("b"))
+        stump = (
+            cand.withColumn("gain_q", F.expr(_XGB_GAIN_Q))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select(
+                "f",
+                "b",
+                "nl",
+                "nt",
+                "gain_q",
+                F.expr(_XGB_WL).alias("wl"),
+                F.expr(_XGB_WR).alias("wr"),
+            )
+        )
+        outs.append(
+            stump.select(
+                F.lit(t).cast("long").alias("round_no"),
+                F.col("f").alias("split_feature"),
+                F.col("b").alias("split_bin"),
+                F.col("nl").alias("n_left"),
+                F.col("nt").alias("n_node"),
+                "gain_q",
+                F.col("wl").alias("w_left_nano"),
+                F.col("wr").alias("w_right_nano"),
+            )
+        )
+        if t < _XGB_ROUNDS:
+            r = r.crossJoin(
+                F.broadcast(stump.select("f", "b", "wl", "wr"))
+            ).select(
+                "b1",
+                "b2",
+                "y",
+                (
+                    F.col("snano")
+                    + F.when(
+                        ((F.col("f") == 1) & (F.col("b1") <= F.col("b")))
+                        | ((F.col("f") == 2) & (F.col("b2") <= F.col("b"))),
+                        F.col("wl"),
+                    ).otherwise(F.col("wr"))
+                ).alias("snano"),
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # multinomial Naive Bayes: train + apply + confusion matrix in one plan
 # ---------------------------------------------------------------------------
 

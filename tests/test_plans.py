@@ -490,6 +490,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "decision_tree_histogram_train": "broadcast 1-row root-split scalar x row stream (level-2 node assignment)",
         "naive_bayes_train": "broadcast 5-row lang-stats table (+1-row vocab/doc scalars) x per-doc table",
         "gbdt_stump_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
+        "gbdt_logit_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -226,6 +226,25 @@ def test_naive_bayes_confusion_is_complete_and_better_than_chance(
     assert correct / total > 1.0 / len(langs)  # beats the chance rate
 
 
+def test_gbdt_logit_boost_newton_steps_are_sane(spark, sf_dir):
+    rows = sorted(
+        all_queries()["gbdt_logit_boost"](spark, sf_dir).collect(),
+        key=lambda r: r.round_no,
+    )
+    assert [r.round_no for r in rows] == [1, 2, 3]
+    n = rows[0].n_node
+    for r in rows:
+        assert r.n_node == n
+        assert r.gain_q >= 0
+        assert 0 < r.n_left < r.n_node
+        # Newton leaf logits stay bounded: |w| = |G|/H <= 1/h_min; with
+        # Elliott h >= ~0.2 near s=0 the first rounds sit well inside
+        # +-5 natural units.
+        assert abs(r.w_left_nano) < 5 * 10**9
+        assert abs(r.w_right_nano) < 5 * 10**9
+    assert rows[0].gain_q >= rows[1].gain_q >= rows[2].gain_q
+
+
 def test_ab_battery_is_internally_consistent(spark, sf_dir):
     # The three arm tests share the per-user table, so their counts
     # must agree; the parity assignment is balanced by construction,

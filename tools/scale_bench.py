@@ -210,6 +210,9 @@ SLOW_FAMILY = [
     "welch_t_test",
     "mann_whitney_u",
     "sample_ratio_mismatch",
+    # the Newton-boosting classifier (3 histogram passes like the
+    # squared-loss form, 3 BIGINTs per cell).
+    "gbdt_logit_boost",
 ]
 
 
