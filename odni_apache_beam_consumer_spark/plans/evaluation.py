@@ -1275,3 +1275,157 @@ def sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3841)
         ).alias("srm_detected"),
     )
+
+
+# Permutation-test fragments.  B = 32 permutations from ONE md5 per
+# user: digit i of md5('perm:' || user_id) is an (approximately)
+# independent uniform hex symbol, so its parity re-assigns the user's
+# arm for permutation i — 32 sign flips for one hash computation, the
+# map-side-cheap form of the permutation null.
+_PERM_B = 32
+_PERM_DIFF = (
+    "(CAST(sy1 AS DOUBLE) / 10000.0 / CAST(n1 AS DOUBLE)"
+    " - CAST(sy0 AS DOUBLE) / 10000.0 / CAST(n0 AS DOUBLE))"
+)
+_PERM_STATS_SQL = """
+  CAST(SUM(CASE WHEN pa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+  CAST(SUM(CASE WHEN pa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN pa = 0 THEN qy ELSE 0 END) AS BIGINT) AS sy0,
+  CAST(SUM(CASE WHEN pa = 1 THEN qy ELSE 0 END) AS BIGINT) AS sy1
+"""
+
+
+@query(
+    "permutation_test_mean_diff",
+    oracle=f"""
+WITH u AS ({_AB_USER_SQL}),
+h AS (
+  SELECT user_id, user_id % 2 AS arm, qy,
+         md5(concat('perm:', CAST(user_id AS VARCHAR))) AS hx
+  FROM u
+),
+perm AS (
+  SELECT qy, CAST(g.b AS BIGINT) AS b,
+         (strpos('0123456789abcdef', substr(hx, CAST(g.b AS INT), 1)) - 1)
+           % 2 AS pa
+  FROM h, UNNEST(range(1, {_PERM_B + 1})) g(b)
+),
+ps AS (
+  SELECT b, {_PERM_STATS_SQL} FROM perm GROUP BY b
+),
+pd AS (
+  SELECT b, CAST(FLOOR(abs({_PERM_DIFF}) * 1000.0) AS BIGINT) AS adm
+  FROM ps
+),
+ob AS (
+  SELECT {_PERM_STATS_SQL.replace("pa", "arm")} FROM h
+),
+od AS (
+  SELECT CAST(FLOOR({_PERM_DIFF} * 1000.0) AS BIGINT) AS diff_obs_milli,
+         CAST(FLOOR(abs({_PERM_DIFF}) * 1000.0) AS BIGINT) AS obs_adm
+  FROM ob
+)
+SELECT od.diff_obs_milli,
+       CAST({_PERM_B} AS BIGINT) AS n_perm,
+       CAST(SUM(CASE WHEN pd.adm >= od.obs_adm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       CAST((SUM(CASE WHEN pd.adm >= od.obs_adm THEN 1 ELSE 0 END) + 1)
+            * 1000000 // ({_PERM_B} + 1) AS BIGINT) AS p_ppm
+FROM pd CROSS JOIN od
+GROUP BY od.diff_obs_milli
+""",
+)
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation (randomization) test for the arm mean difference —
+    the assumption-free significance gate next to welch_t_test /
+    mann_whitney_u: re-assign every user's arm under {_PERM_B}
+    deterministic sign permutations, recompute the mean difference
+    under each, and report how often the null's |difference| reaches
+    the observed one (add-one p estimate, ppm).
+
+    The permutation source is ONE md5 per user — digit i of
+    md5('perm:' || user_id) supplies permutation i's assignment — so
+    the {_PERM_B}x fan-out carries no per-row hashing beyond the
+    single digest (the hash_bucket portability idiom: instr/strpos
+    digit arithmetic, exact integers everywhere; the only doubles are
+    the shared mean-difference strings, milli-floored before any
+    comparison).
+
+    Scale shape: one user-keyed exchange, a map-side {_PERM_B}x
+    explode of (qy, digit) pairs partially aggregated into {_PERM_B}
+    groups of 4 BIGINTs, and a 1-row broadcast cross of the observed
+    statistic — the permutation null at 100 TB costs {_PERM_B}
+    conditional sums over one corpus pass, which is exactly why the
+    single-hash digit trick matters there."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+            ).alias("qy")
+        )
+        .select(
+            "user_id",
+            F.expr("user_id % 2").alias("arm"),
+            "qy",
+            F.expr("md5(concat('perm:', CAST(user_id AS STRING)))").alias(
+                "hx"
+            ),
+        )
+    )
+    perm = u.select(
+        "qy",
+        F.explode(F.expr(f"sequence(1, {_PERM_B})")).alias("b"),
+        "hx",
+    ).select(
+        "qy",
+        F.col("b").cast("long").alias("b"),
+        F.expr(
+            "(instr('0123456789abcdef', substr(hx, CAST(b AS INT), 1)) - 1)"
+            " % 2"
+        ).alias("pa"),
+    )
+    def _stats(df, flag):
+        return df.agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {flag} = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n0"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {flag} = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n1"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {flag} = 0 THEN qy ELSE 0 END) AS BIGINT)"
+            ).alias("sy0"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {flag} = 1 THEN qy ELSE 0 END) AS BIGINT)"
+            ).alias("sy1"),
+        )
+    pd_ = _stats(perm.groupBy("b"), "pa").select(
+        F.expr(
+            f"CAST(FLOOR(abs({_PERM_DIFF}) * 1000.0) AS BIGINT)"
+        ).alias("adm")
+    )
+    od = _stats(u.groupBy(), "arm").select(
+        F.expr(
+            f"CAST(FLOOR({_PERM_DIFF} * 1000.0) AS BIGINT)"
+        ).alias("diff_obs_milli"),
+        F.expr(
+            f"CAST(FLOOR(abs({_PERM_DIFF}) * 1000.0) AS BIGINT)"
+        ).alias("obs_adm"),
+    )
+    return (
+        pd_.crossJoin(F.broadcast(od))
+        .groupBy("diff_obs_milli")
+        .agg(
+            F.lit(_PERM_B).cast("long").alias("n_perm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN adm >= obs_adm THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_extreme"),
+            F.expr(
+                "CAST((SUM(CASE WHEN adm >= obs_adm THEN 1 ELSE 0 END) + 1)"
+                f" * 1000000 DIV ({_PERM_B} + 1) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )

@@ -491,6 +491,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "naive_bayes_train": "broadcast 5-row lang-stats table (+1-row vocab/doc scalars) x per-doc table",
         "gbdt_stump_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
         "gbdt_logit_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
+        "permutation_test_mean_diff": "broadcast 1-row observed-statistic scalar x 32-row permutation stats",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -266,6 +266,18 @@ def test_ab_battery_is_internally_consistent(spark, sf_dir):
     assert mwu.ties >= 0
 
 
+def test_permutation_test_null_is_not_significant(spark, sf_dir):
+    # Parity arms over the same generator are a true null: the observed
+    # difference should not be an outlier among the permutation nulls.
+    row = all_queries()["permutation_test_mean_diff"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_perm == 32
+    assert 0 <= row.n_extreme <= row.n_perm
+    assert 0 < row.p_ppm <= 1_000_000
+    assert row.p_ppm > 30_000  # not spuriously significant on a null
+
+
 def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
     # The pure HLL path must produce exactly the audit form's group set
     # and total counts — only the distinct machinery differs.

@@ -213,6 +213,9 @@ SLOW_FAMILY = [
     # the Newton-boosting classifier (3 histogram passes like the
     # squared-loss form, 3 BIGINTs per cell).
     "gbdt_logit_boost",
+    # permutation null: one user exchange + 32x map-side digit fan-out
+    # partially aggregated to 32 groups.
+    "permutation_test_mean_diff",
 ]
 
 
