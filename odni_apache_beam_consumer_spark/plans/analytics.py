@@ -2197,3 +2197,164 @@ def hellinger_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("long").alias("bc_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# log-rank test: compare survival between experiment arms
+# ---------------------------------------------------------------------------
+
+# Per-death-time expected deaths / hypergeometric variance in arm 1
+# under the pooled-hazard null, nano-floored PER TIME so the cross-time
+# sums are exact integer sums (the death-time table is calendar-bounded
+# but the quantize-before-sum rule removes even that fold-order
+# question).  Shared SQL strings, _OLS_DET discipline.
+_LOGRANK_E1 = (
+    "CAST(FLOOR((CAST(dt AS DOUBLE) * CAST(n1t AS DOUBLE)"
+    " / CAST(nt AS DOUBLE)) * 1000000000.0) AS BIGINT)"
+)
+_LOGRANK_V = (
+    "CAST(FLOOR((CASE WHEN nt > 1 THEN"
+    " CAST(dt AS DOUBLE) * (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))"
+    " * (1.0 - CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))"
+    " * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))"
+    " ELSE 0.0 END) * 1000000000.0) AS BIGINT)"
+)
+_LOGRANK_Z = (
+    "((CAST(o1 AS DOUBLE) - CAST(e1_nano AS DOUBLE) / 1000000000.0)"
+    " / sqrt(CAST(v_nano AS DOUBLE) / 1000000000.0))"
+)
+
+
+@query(
+    "logrank_test",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+lt AS (
+  SELECT user_id, user_id % 2 AS arm,
+         (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+          - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600
+           AS lifetime_d,
+         CASE WHEN MAX(ts) <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+by_t AS (
+  SELECT lifetime_d,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+         CAST(SUM(CASE WHEN arm = 0 THEN observed ELSE 0 END) AS BIGINT)
+           AS d0,
+         CAST(SUM(CASE WHEN arm = 1 THEN observed ELSE 0 END) AS BIGINT)
+           AS d1
+  FROM lt GROUP BY 1
+),
+km AS (
+  SELECT lifetime_d, d0, d1,
+         CAST(SUM(na0) OVER (ORDER BY lifetime_d DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n0t,
+         CAST(SUM(na1) OVER (ORDER BY lifetime_d DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n1t
+  FROM by_t
+),
+f AS (
+  SELECT d0 + d1 AS dt, n0t + n1t AS nt, n1t, d1
+  FROM km WHERE d0 + d1 > 0
+),
+g AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM({_LOGRANK_E1}) AS BIGINT) AS e1_nano,
+         CAST(SUM({_LOGRANK_V}) AS BIGINT) AS v_nano,
+         CAST(COUNT(*) AS BIGINT) AS n_death_times
+  FROM f
+)
+SELECT o1, e1_nano, v_nano, n_death_times,
+       CAST(FLOOR({_LOGRANK_Z} * 1000.0) AS BIGINT) AS z_milli
+FROM g
+""",
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing survival between experiment
+    arms — the censoring-correct answer to "did the treatment change
+    churn?" that pairs with kaplan_meier_survival exactly as
+    welch_t_test pairs with the mean: at every pooled death time,
+    observed arm-1 deaths vs the pooled-hazard expectation
+    d_t * n1_t / n_t, with the hypergeometric variance; z from the
+    integer-summed nano-quantized terms.
+
+    Portability: user lifetimes/censoring reuse the KM construction
+    (per-timestamp floored epochs); per-time expectation and variance
+    are nano-floored BEFORE the cross-time sum (quantize-before-sum —
+    the hellinger_lang_drift rule), so both engines sum identical
+    BIGINTs; the final z is one shared IEEE string over exact ints.
+
+    Scale shape: ONE user-keyed exchange (shared with KM), then every
+    window/sum runs on the calendar-bounded death-time table
+    (metadata-sized); arm pivots are conditional sums inside the same
+    aggregations — no extra corpus pass for the second arm."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.groupBy().agg(F.max("ts").alias("max_ts"))
+    lt = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("user_id % 2").alias("arm"),
+            F.call_function(
+                "div",
+                F.col("last_ts").cast("long") - F.col("first_ts").cast("long"),
+                F.lit(3600),
+            ).alias("lifetime_d"),
+            F.when(
+                F.col("last_ts") <= F.col("max_ts") - F.expr("INTERVAL 1 DAY"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("observed"),
+        )
+    )
+    by_t = lt.groupBy("lifetime_d").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN observed ELSE 0 END) AS BIGINT)"
+        ).alias("d0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN observed ELSE 0 END) AS BIGINT)"
+        ).alias("d1"),
+    )
+    w_desc = W.orderBy(F.desc("lifetime_d")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    km = by_t.select(
+        "d0",
+        "d1",
+        F.sum("na0").over(w_desc).cast("long").alias("n0t"),
+        F.sum("na1").over(w_desc).cast("long").alias("n1t"),
+    )
+    f = km.where(F.col("d0") + F.col("d1") > 0).select(
+        (F.col("d0") + F.col("d1")).alias("dt"),
+        (F.col("n0t") + F.col("n1t")).alias("nt"),
+        "n1t",
+        "d1",
+    )
+    g = f.groupBy().agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr(_LOGRANK_E1)).cast("long").alias("e1_nano"),
+        F.sum(F.expr(_LOGRANK_V)).cast("long").alias("v_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_death_times"),
+    )
+    return g.select(
+        "o1",
+        "e1_nano",
+        "v_nano",
+        "n_death_times",
+        F.expr(f"CAST(FLOOR({_LOGRANK_Z} * 1000.0) AS BIGINT)").alias(
+            "z_milli"
+        ),
+    )

@@ -484,6 +484,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "cohens_kappa_agreement": "broadcast 1-row pe scalar onto 1-row totals",
         "chi2_token_class_assoc": "broadcast 1-row corpus-size scalar x vocab table",
         "kaplan_meier_survival": "broadcast 1-row horizon (max ts) scalar",
+        "logrank_test": "broadcast 1-row horizon (max ts) scalar (KM construction per arm)",
         "hellinger_lang_drift": "broadcast 1-row corpus-total scalar x vocab table",
         "cuped_variance_reduction": "broadcast 1-row pooled-moments scalar x 2-row arms",
         "ipf_raking_weights": "broadcast 1-row total/group-count scalars x 25-cell table",

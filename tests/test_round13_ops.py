@@ -297,3 +297,15 @@ def test_distinct_ngram_pure_groups_match_audit_form(spark, sf_dir):
     for key, (n_total, in_bounds) in pure.items():
         assert n_total == audit[key]
         assert in_bounds is True
+
+
+def test_logrank_null_consistency_with_km(spark, sf_dir):
+    # Arms are parity halves of the same generator (true null): O1 and
+    # E1 should be close, z modest, and the pooled death-time count
+    # must match kaplan_meier_survival's death-time table.
+    lr = all_queries()["logrank_test"](spark, sf_dir).collect()[0]
+    km = all_queries()["kaplan_meier_survival"](spark, sf_dir).collect()
+    assert lr.n_death_times == len(km)
+    assert lr.v_nano > 0
+    assert abs(lr.z_milli) < 4000  # null effect
+    assert 0 <= lr.o1 <= sum(r.n_deaths for r in km)

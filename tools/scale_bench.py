@@ -216,6 +216,8 @@ SLOW_FAMILY = [
     # permutation null: one user exchange + 32x map-side digit fan-out
     # partially aggregated to 32 groups.
     "permutation_test_mean_diff",
+    # log-rank: the KM user exchange + metadata-sized death-time table.
+    "logrank_test",
 ]
 
 
