@@ -1429,3 +1429,206 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_ppm"),
         )
     )
+
+
+# Difference-in-differences fragments.  Per-user panel difference
+# d = qy - qx (post minus pre, micro); d can be NEGATIVE, so the unit
+# rescale before squaring uses the double-floor form — integral DIV
+# truncates toward zero while // floors, and they disagree exactly on
+# negatives (the _GBDT_MEAN_L lesson).
+_DID_DU = "CAST(FLOOR(CAST(qy - qx AS DOUBLE) / 10000.0) AS BIGINT)"
+_DID_MEAN = "(CAST(sd{i} AS DOUBLE) / 10000.0 / CAST(n{i} AS DOUBLE))"
+_DID_VAR = (
+    "((CAST(sdd{i} AS DOUBLE)"
+    " - (CAST(sd{i} AS DOUBLE) / 10000.0)"
+    " * (CAST(sd{i} AS DOUBLE) / 10000.0) / CAST(n{i} AS DOUBLE))"
+    " / CAST(n{i} - 1 AS DOUBLE))"
+)
+_DID_EFFECT = f"({_DID_MEAN.format(i=1)} - {_DID_MEAN.format(i=0)})"
+_DID_SE = (
+    f"sqrt({_DID_VAR.format(i=1)} / CAST(n1 AS DOUBLE)"
+    f" + {_DID_VAR.format(i=0)} / CAST(n0 AS DOUBLE))"
+)
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+WITH u AS ({_CUPED_USER_SQL}),
+d AS (SELECT arm, qx, qy, {_DID_DU} AS du FROM u),
+g AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN qy - qx ELSE 0 END) AS BIGINT)
+           AS sd0,
+         CAST(SUM(CASE WHEN arm = 1 THEN qy - qx ELSE 0 END) AS BIGINT)
+           AS sd1,
+         CAST(SUM(CASE WHEN arm = 0 THEN du * du ELSE 0 END) AS BIGINT)
+           AS sdd0,
+         CAST(SUM(CASE WHEN arm = 1 THEN du * du ELSE 0 END) AS BIGINT)
+           AS sdd1,
+         CAST(SUM(CASE WHEN arm = 0 THEN qx ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(SUM(CASE WHEN arm = 1 THEN qx ELSE 0 END) AS BIGINT) AS sx1
+  FROM d
+)
+SELECT n0, n1,
+       CAST(FLOOR({_DID_MEAN.format(i=0)} * 1000.0) AS BIGINT)
+         AS delta0_milli,
+       CAST(FLOOR({_DID_MEAN.format(i=1)} * 1000.0) AS BIGINT)
+         AS delta1_milli,
+       CAST(FLOOR({_DID_EFFECT} * 1000.0) AS BIGINT) AS did_milli,
+       CAST(FLOOR(({_DID_EFFECT} / {_DID_SE}) * 1000.0) AS BIGINT)
+         AS t_milli
+FROM g
+""",
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel causal estimator (the
+    pre/post x treatment/control 2x2 every launch review draws): with
+    CUPED's calendar split as the pre/post periods and user parity as
+    the arms, estimate the treatment effect as the between-arm
+    difference of within-user post-minus-pre changes, with the
+    panel-robust SE from per-user difference variances (equivalent to
+    a t-test on the user-level deltas — the clustered-by-user form).
+
+    Portability: per-user deltas are exact BIGINT micro-differences;
+    second moments rescale the SIGNED delta with the double-floor form
+    before squaring (integral DIV truncates negatives differently);
+    means/variances/effect/t come from shared IEEE strings.
+
+    Scale shape: one user-keyed exchange (the CUPED exchange), then a
+    single 1-row conditional pivot — nothing else touches the
+    corpus."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = "TIMESTAMP '2024-01-16 00:00:00'"
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN ts < {cutoff} THEN"
+            " CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("qx"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ts >= {cutoff} THEN"
+            " CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("qy"),
+    ).select(F.expr("user_id % 2").alias("arm"), "qx", "qy")
+    d = u.select("arm", "qx", "qy", F.expr(_DID_DU).alias("du"))
+    g = d.groupBy().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN qy - qx ELSE 0 END) AS BIGINT)"
+        ).alias("sd0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN qy - qx ELSE 0 END) AS BIGINT)"
+        ).alias("sd1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN du * du ELSE 0 END) AS BIGINT)"
+        ).alias("sdd0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN du * du ELSE 0 END) AS BIGINT)"
+        ).alias("sdd1"),
+    )
+    return g.select(
+        "n0",
+        "n1",
+        F.expr(
+            f"CAST(FLOOR({_DID_MEAN.format(i=0)} * 1000.0) AS BIGINT)"
+        ).alias("delta0_milli"),
+        F.expr(
+            f"CAST(FLOOR({_DID_MEAN.format(i=1)} * 1000.0) AS BIGINT)"
+        ).alias("delta1_milli"),
+        F.expr(f"CAST(FLOOR({_DID_EFFECT} * 1000.0) AS BIGINT)").alias(
+            "did_milli"
+        ),
+        F.expr(
+            f"CAST(FLOOR(({_DID_EFFECT} / {_DID_SE}) * 1000.0) AS BIGINT)"
+        ).alias("t_milli"),
+    )
+
+
+# Two-proportion z-test fragments (pooled-variance form).
+_TPZ_P = "(CAST(c{i} AS DOUBLE) / CAST(n{i} AS DOUBLE))"
+_TPZ_POOL = "((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))" \
+    " / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))"
+_TPZ_Z = (
+    f"(({_TPZ_P.format(i=1)} - {_TPZ_P.format(i=0)})"
+    f" / sqrt({_TPZ_POOL} * (1.0 - {_TPZ_POOL})"
+    " * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))"
+)
+
+
+@query(
+    "two_proportion_ztest",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+  FROM u
+)
+SELECT n0, n1, c0, c1,
+       CAST(c0 * 1000000 // n0 AS BIGINT) AS rate0_ppm,
+       CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+       CAST(FLOOR({_TPZ_Z} * 1000.0) AS BIGINT) AS z_milli
+FROM g
+""",
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion — the single most
+    common A/B statistic, in its pooled-variance form: per-arm
+    converter counts, exact integer ppm rates, and the z score from
+    shared IEEE strings over exact BIGINT counts.  The conversion flag
+    is the parity of the user's purchase count — a deterministic
+    ~50%-base-rate definition that stays non-degenerate at every
+    fixture scale (any-purchase converts EVERYONE here, collapsing the
+    pooled variance to 0); the hash pins the solver, not a data
+    story.
+
+    Scale shape: one user-keyed exchange computing the per-user
+    converted flag (MAX of a CASE — map-side combined), then a 1-row
+    conditional pivot; constant-size algebra after."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'purchase'"
+                " THEN 1 ELSE 0 END) % 2 AS BIGINT)"
+            ).alias("conv")
+        )
+        .select(F.expr("user_id % 2").alias("arm"), "conv")
+    )
+    g = u.groupBy().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)"
+        ).alias("c0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)"
+        ).alias("c1"),
+    )
+    return g.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.expr("CAST(c0 * 1000000 DIV n0 AS BIGINT)").alias("rate0_ppm"),
+        F.expr("CAST(c1 * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr(f"CAST(FLOOR({_TPZ_Z} * 1000.0) AS BIGINT)").alias("z_milli"),
+    )

@@ -309,3 +309,17 @@ def test_logrank_null_consistency_with_km(spark, sf_dir):
     assert lr.v_nano > 0
     assert abs(lr.z_milli) < 4000  # null effect
     assert 0 <= lr.o1 <= sum(r.n_deaths for r in km)
+
+
+def test_did_and_tpz_null_effects_are_modest(spark, sf_dir):
+    did = all_queries()["did_estimator"](spark, sf_dir).collect()[0]
+    tpz = all_queries()["two_proportion_ztest"](spark, sf_dir).collect()[0]
+    assert did.n0 > 1 and did.n1 > 1
+    assert abs(did.t_milli) < 5000  # parity arms: true null
+    # DiD effect equals the difference of the per-arm deltas (milli
+    # rounding can shift the floor by at most 1).
+    assert abs(did.did_milli - (did.delta1_milli - did.delta0_milli)) <= 1
+    assert tpz.c0 <= tpz.n0 and tpz.c1 <= tpz.n1
+    assert 0 < tpz.rate0_ppm < 1_000_000  # non-degenerate conversion
+    assert 0 < tpz.rate1_ppm < 1_000_000
+    assert abs(tpz.z_milli) < 5000

@@ -218,6 +218,9 @@ SLOW_FAMILY = [
     "permutation_test_mean_diff",
     # log-rank: the KM user exchange + metadata-sized death-time table.
     "logrank_test",
+    # DiD + conversion z (one user exchange + 1-row pivots each).
+    "did_estimator",
+    "two_proportion_ztest",
 ]
 
 
