@@ -89,7 +89,7 @@ HEADLINE = [
     ("distinct_ngram_diversity", "per-n gram explode; two-phase exact distinct on the (lang, gram) exchange"),
     # round-12 additions
     ("logreg_train_gd", "map-only scoring passes (weights as literals); one 9-long partial-agg row per round"),
-    ("bradley_terry_train", "order-keyed match self-join collapses to <=600 sufficient-stat rows; rounds constant-size"),
+    ("bradley_terry_train", "ONE order-keyed collect_list exchange; map-side HOF pair gen -> <=600 sufficient-stat rows"),
     ("ols_normal_equations", "ONE moment-matrix agg (10 BIGINTs, map-side combined); Cramer solve is a projection"),
     ("pca_power_iteration", "double posexplode fans d^2 products map-side; one 256-group exchange; folds fixed-order"),
     ("als_one_round", "item-keyed agg of 5 BIGINT partials; fixed factors are a literal of the key — no join"),
@@ -101,6 +101,18 @@ HEADLINE = [
     ("cuped_variance_reduction", "one user agg; unit^2-rescaled integer second moments; 1-row x 2-row broadcast cross"),
     ("ipf_raking_weights", "one corpus agg to 25 cells; 6 scaling passes are windows over the 25-row table"),
     ("distinct_ngram_diversity_approx", "HLL registers partial-agg map-side; exact audit column rides for the contract"),
+    # round-13 additions
+    ("distinct_ngram_approx_pure", "the PURE sketch plan: HLL registers are the only distinct machinery"),
+    ("als_alternating", "per half-step: keyed ratings-factor join + 5-BIGINT moment exchange; nano handoff"),
+    ("decision_tree_histogram_train", "per level one constant-width histogram exchange; 1-row root-split broadcast cross"),
+    ("gbdt_stump_boost", "3 sequential histogram passes; residual update via 1-row stump broadcast"),
+    ("gbdt_logit_boost", "Newton g/h histograms (3 BIGINTs/cell); nano score accumulation map-side"),
+    ("naive_bayes_train", "vocab-sized sparse model exchange; term-keyed apply join; 25-cell confusion rollup"),
+    ("welch_t_test", "one user exchange + 1-row conditional pivot; t/df are constant projections"),
+    ("mann_whitney_u", "rank window over the bounded deci-value axis, never users; doubled-rank integers"),
+    ("permutation_test_mean_diff", "32x digit fan-out map-side partial-agg to 32 groups; 1-row observed cross"),
+    ("logrank_test", "KM user exchange with arm pivots folded in; death-time table metadata-sized"),
+    ("did_estimator", "one user exchange; signed-delta double-floor rescale; 1-row pivot"),
 ]
 
 
