@@ -2999,3 +2999,243 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (the degree-weighted upgrade of
+# link_prediction_common_neighbors)
+# ---------------------------------------------------------------------------
+
+# Per-wedge weight 1/ln(deg(center)), micro-floored BEFORE the sum
+# (quantize-before-sum -> order-independent integer sums; ln on an
+# INTEGER-valued double is the zipf/dirichlet portability class).  Any
+# center that forms a wedge has degree >= 2, so ln(d) >= ln 2 and the
+# reciprocal is finite by construction.
+_AA_W = "CAST(FLOOR((1.0 / ln(CAST(d AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+
+@query(
+    "link_prediction_adamic_adar",
+    oracle=f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+centers AS (
+  SELECT sym.u AS w, sym.v, deg.d FROM sym JOIN deg ON deg.u = sym.u
+  WHERE deg.d <= 64
+),
+wedges AS (
+  SELECT s1.v AS a, s2.v AS b,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM({_AA_W}) AS BIGINT) AS aa_micro
+  FROM (SELECT w, v, d FROM centers) s1
+  JOIN (SELECT w, v FROM centers) s2 ON s1.w = s2.w
+  WHERE s1.v < s2.v
+  GROUP BY 1, 2
+)
+SELECT w.a, w.b, w.common_neighbors, w.aa_micro
+FROM wedges w
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.a AND e0.v = w.b)
+ORDER BY w.aa_micro DESC, w.a, w.b
+LIMIT 50
+""",
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction — the degree-weighted refinement of
+    link_prediction_common_neighbors (Adamic & Adar 2003; Liben-Nowell
+    & Kleinberg showed it beats raw common-neighbor counts): each
+    shared neighbor contributes 1/ln(deg(w)) instead of 1, so rare
+    co-purchases predict more than ubiquitous ones.  Top-50
+    non-adjacent pairs by the micro-floored integer score.
+
+    Portability: deg(w) is an exact integer, ln(integer-double) is the
+    single-IEEE-op class (zipf_fit_audit's argument), and the
+    reciprocal is micro-floored PER WEDGE before summation — the
+    hellinger quantize-before-sum rule — so scores are exact BIGINTs;
+    any wedge center has deg >= 2, so the weight is always finite.
+
+    Scale shape: identical to the common-neighbors query (hub-capped
+    wedge enumeration from the persisted support->=2 edge list; anti
+    join on the pair key; TakeOrderedAndProject top-50) with the
+    degree carried through the center join — no extra exchange."""
+    e0 = copurchase_edges(spark, sf_dir).persist()
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    centers = (
+        sym.join(deg.where(F.col("d") <= 64), "u")
+        .select(F.col("u").alias("w"), "v", "d")
+    )
+    s1 = centers.select("w", F.col("v").alias("a"), "d")
+    s2 = centers.select("w", F.col("v").alias("b"))
+    wedges = (
+        s1.join(s2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr(_AA_W)).cast("long").alias("aa_micro"),
+        )
+    )
+    open_pairs = wedges.join(
+        e0.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return open_pairs.orderBy(
+        F.desc("aa_micro"), F.asc("a"), F.asc("b")
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# bagged stump ensemble: all replicas trained in ONE corpus pass
+# ---------------------------------------------------------------------------
+
+_BAG_B = 8
+# Replica membership: digit b of one md5 per row — parity 1 keeps the
+# row (~50% subsample per replica, the "subagging" form of bagging);
+# the permutation_test_mean_diff single-digest trick, so the B-replica
+# fan-out costs one hash per row.
+_BAG_HX = (
+    "md5(concat('bag:', CAST(l_orderkey AS STRING), ':',"
+    " CAST(l_linenumber AS STRING)))"
+)
+
+
+@query(
+    "bagged_stump_ensemble",
+    oracle=f"""
+WITH r0 AS (
+  SELECT {_TREE_B1} AS b1, {_TREE_B2} AS b2, {_TREE_Y} AS yq,
+         md5(concat('bag:', CAST(l_orderkey AS VARCHAR), ':',
+             CAST(l_linenumber AS VARCHAR))) AS hx
+  FROM lineitem
+),
+rep AS (
+  SELECT b1, b2, yq, CAST(g.b AS BIGINT) AS rb
+  FROM r0, UNNEST(range(1, {_BAG_B + 1})) g(b)
+  WHERE (strpos('0123456789abcdef', substr(hx, CAST(g.b AS INT), 1)) - 1)
+        % 2 = 1
+),
+l AS (
+  SELECT rb, CAST(1 AS BIGINT) AS f, b1 AS b, yq FROM rep
+  UNION ALL
+  SELECT rb, CAST(2 AS BIGINT), b2, yq FROM rep
+),
+h AS (
+  SELECT rb, f, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yq) AS BIGINT) AS s
+  FROM l GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT rb, f, b,
+         CAST(SUM(n) OVER (PARTITION BY rb, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nl,
+         CAST(SUM(s) OVER (PARTITION BY rb, f ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sl,
+         CAST(SUM(n) OVER (PARTITION BY rb, f) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY rb, f) AS BIGINT) AS st
+  FROM h
+)
+SELECT rb AS replica, f AS split_feature, b AS split_bin,
+       nl AS n_left, nt AS n_node, gain_q
+FROM (
+  SELECT rb, f, b, nl, nt, {_TREE_GAIN_Q} AS gain_q,
+         ROW_NUMBER() OVER (PARTITION BY rb
+                            ORDER BY {_TREE_GAIN_Q} DESC, f, b) AS rn
+  FROM c WHERE nl < nt
+) WHERE rn = 1
+""",
+)
+def bagged_stump_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged stump ensemble — the random-forest resampling shape
+    (Breiman bagging in its half-sample "subagging" form): {_BAG_B}
+    replicas, each a ~50% deterministic hash-subsample of the corpus,
+    each fitting the variance-gain histogram stump; the per-replica
+    split table IS the split-stability diagnostic a forest trainer
+    reads (replicas agreeing on (feature, threshold) = a stable
+    signal; scattering = variance).
+
+    The production trick: ALL {_BAG_B} replicas train in ONE corpus
+    pass — replica membership is digit b of a single md5 per row
+    (permutation_test_mean_diff's device), the membership fan-out is
+    map-side, and the histograms partially aggregate into
+    (replica x feature x bin) cells before the only exchange.  A naive
+    forest trainer scans once per replica; this scans once, period.
+
+    Portability: membership is exact integer digit arithmetic
+    (instr/strpos); histograms are exact BIGINT sums; the split argmax
+    is the shared _TREE_GAIN tree with (gain, f, b) tie-break per
+    replica."""
+    r0 = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_TREE_B1} AS b1",
+        f"{_TREE_B2} AS b2",
+        f"{_TREE_Y} AS yq",
+        f"{_BAG_HX} AS hx",
+    )
+    rep = (
+        r0.select(
+            "b1",
+            "b2",
+            "yq",
+            "hx",
+            F.explode(F.expr(f"sequence(1, {_BAG_B})")).alias("b"),
+        )
+        .where(
+            F.expr(
+                "(instr('0123456789abcdef', substr(hx, CAST(b AS INT), 1))"
+                " - 1) % 2 = 1"
+            )
+        )
+        .select(F.col("b").cast("long").alias("rb"), "b1", "b2", "yq")
+    )
+    long_df = rep.selectExpr(
+        "rb",
+        "stack(2, CAST(1 AS BIGINT), b1, CAST(2 AS BIGINT), b2) AS (f, b)",
+        "yq",
+    )
+    hist = long_df.groupBy("rb", "f", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("s"),
+    )
+    w_cum = W.partitionBy("rb", "f").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_tot = W.partitionBy("rb", "f")
+    cand = hist.select(
+        "rb",
+        "f",
+        "b",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("s").over(w_cum).cast("long").alias("sl"),
+        F.sum("n").over(w_tot).cast("long").alias("nt"),
+        F.sum("s").over(w_tot).cast("long").alias("st"),
+    ).where(F.col("nl") < F.col("nt"))
+    w_pick = W.partitionBy("rb").orderBy(
+        F.desc("gain_q"), F.asc("f"), F.asc("b")
+    )
+    return (
+        cand.withColumn("gain_q", F.expr(_TREE_GAIN_Q))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rb").alias("replica"),
+            F.col("f").alias("split_feature"),
+            F.col("b").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("nt").alias("n_node"),
+            "gain_q",
+        )
+    )

@@ -323,3 +323,31 @@ def test_did_and_tpz_null_effects_are_modest(spark, sf_dir):
     assert 0 < tpz.rate0_ppm < 1_000_000  # non-degenerate conversion
     assert 0 < tpz.rate1_ppm < 1_000_000
     assert abs(tpz.z_milli) < 5000
+
+
+def test_adamic_adar_refines_common_neighbors(spark, sf_dir):
+    aa = all_queries()["link_prediction_adamic_adar"](
+        spark, sf_dir
+    ).collect()
+    assert aa
+    for r in aa:
+        assert r.a < r.b
+        assert r.common_neighbors >= 1
+        # Each wedge contributes 1/ln(d) with d in [2, 64]:
+        # micro-weight per wedge is in [FLOOR(1e6/ln 64), FLOOR(1e6/ln 2)].
+        assert 240_000 * r.common_neighbors <= r.aa_micro
+        assert r.aa_micro <= 1_442_695 * r.common_neighbors
+
+
+def test_bagged_stumps_one_per_replica(spark, sf_dir):
+    rows = all_queries()["bagged_stump_ensemble"](spark, sf_dir).collect()
+    assert sorted(r.replica for r in rows) == list(range(1, 9))
+    sizes = [r.n_node for r in rows]
+    for r in rows:
+        assert r.gain_q >= 0
+        assert 0 < r.n_left < r.n_node
+        assert r.split_feature in (1, 2)
+    # Half-sampling: every replica sees roughly half the corpus
+    # (binomial concentration at fixture sizes).
+    total = max(sizes)
+    assert min(sizes) > total * 0.7  # replicas within ~norm of each other

@@ -113,6 +113,8 @@ HEADLINE = [
     ("permutation_test_mean_diff", "32x digit fan-out map-side partial-agg to 32 groups; 1-row observed cross"),
     ("logrank_test", "KM user exchange with arm pivots folded in; death-time table metadata-sized"),
     ("did_estimator", "one user exchange; signed-delta double-floor rescale; 1-row pivot"),
+    ("link_prediction_adamic_adar", "hub-capped wedge equi-join; per-wedge ln-weight micro-floored pre-sum"),
+    ("bagged_stump_ensemble", "8 replicas in ONE pass: digit-parity membership, (rb,f,b) histogram exchange"),
 ]
 
 

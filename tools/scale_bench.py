@@ -221,6 +221,9 @@ SLOW_FAMILY = [
     # DiD + conversion z (one user exchange + 1-row pivots each).
     "did_estimator",
     "two_proportion_ztest",
+    # batch-2: degree-weighted wedge join; 8-replica one-pass bagging.
+    "link_prediction_adamic_adar",
+    "bagged_stump_ensemble",
 ]
 
 
