@@ -1632,3 +1632,118 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(c1 * 1000000 DIV n1 AS BIGINT)").alias("rate1_ppm"),
         F.expr(f"CAST(FLOOR({_TPZ_Z} * 1000.0) AS BIGINT)").alias("z_milli"),
     )
+
+
+# Post-stratification fragments: strata are per-user event-count
+# buckets (capped decade buckets — deterministic, corpus-independent
+# boundaries); per-stratum mean differences are combined with
+# population-share weights.  Per-stratum terms are nano-floored BEFORE
+# the cross-stratum sum (quantize-before-sum over the ~10-row stratum
+# table).
+_PS_DELTA = (
+    "(CAST(sy1 AS DOUBLE) / 10000.0 / CAST(n1 AS DOUBLE)"
+    " - CAST(sy0 AS DOUBLE) / 10000.0 / CAST(n0 AS DOUBLE))"
+)
+_PS_TERM = (
+    f"CAST(FLOOR(({_PS_DELTA})"
+    " * (CAST(n0 + n1 AS DOUBLE) / CAST(ntot AS DOUBLE))"
+    " * 1000000000.0) AS BIGINT)"
+)
+
+
+@query(
+    "poststratified_effect",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qy,
+         CAST(LEAST(COUNT(*) // 10, 9) AS BIGINT) AS stratum
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT) AS sy1
+  FROM u GROUP BY stratum
+),
+tot AS (SELECT CAST(SUM(n0 + n1) AS BIGINT) AS ntot FROM s),
+terms AS (
+  SELECT s.stratum, s.n0, s.n1,
+         CAST(FLOOR({_PS_DELTA} * 1000.0) AS BIGINT) AS delta_milli,
+         {_PS_TERM} AS term_nano
+  FROM s CROSS JOIN tot
+  WHERE s.n0 > 0 AND s.n1 > 0
+)
+SELECT stratum, n0, n1, delta_milli, term_nano,
+       CAST(SUM(term_nano) OVER () AS BIGINT) AS effect_total_nano
+FROM terms
+""",
+)
+def poststratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment-effect estimate — the
+    observational-causal companion to did_estimator (stratify on a
+    pre-treatment covariate, estimate the effect within each stratum,
+    combine with population-share weights; with deterministic strata
+    this is exact post-stratification, the simplest propensity-style
+    adjustment): strata are capped per-user activity buckets
+    (events // 10, max 9), per-stratum arm mean differences are
+    combined as sum_s (N_s / N) * delta_s.  Output: the per-stratum
+    table (counts, milli delta, nano-floored weighted term) plus the
+    combined effect replicated per row.
+
+    Portability: per-user metrics are exact micro BIGINTs; each
+    stratum's weighted term is nano-floored BEFORE the cross-stratum
+    sum (hellinger quantize-before-sum), so the combined effect is an
+    exact integer sum over the ~10-row stratum table; strata with an
+    empty arm are excluded on both engines identically.
+
+    Scale shape: one user-keyed exchange, a ~10-group conditional
+    pivot, a 1-row total broadcast-crossed back, and a full-range
+    window over the 10-row term table — constant work after the user
+    agg."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+        ).alias("qy"),
+        F.expr("CAST(LEAST(COUNT(*) DIV 10, 9) AS BIGINT)").alias("stratum"),
+    ).select(F.expr("user_id % 2").alias("arm"), "qy", "stratum")
+    s = u.groupBy("stratum").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT)"
+        ).alias("sy0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT)"
+        ).alias("sy1"),
+    )
+    tot = s.groupBy().agg(F.sum(F.col("n0") + F.col("n1")).cast("long").alias("ntot"))
+    terms = (
+        s.crossJoin(F.broadcast(tot))
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "stratum",
+            "n0",
+            "n1",
+            F.expr(f"CAST(FLOOR({_PS_DELTA} * 1000.0) AS BIGINT)").alias(
+                "delta_milli"
+            ),
+            F.expr(_PS_TERM).alias("term_nano"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return terms.select(
+        "stratum",
+        "n0",
+        "n1",
+        "delta_milli",
+        "term_nano",
+        F.sum("term_nano").over(w_all).cast("long").alias("effect_total_nano"),
+    )

@@ -3239,3 +3239,77 @@ def bagged_stump_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_q",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS one step on the bipartite customer-part purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hits_one_step",
+    oracle="""
+WITH pl AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+hub AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS h1 FROM pl GROUP BY u
+),
+auth AS (
+  SELECT pl.p, CAST(SUM(hub.h1) AS BIGINT) AS a1,
+         CAST(COUNT(*) AS BIGINT) AS n_buyers
+  FROM pl JOIN hub ON hub.u = pl.u
+  GROUP BY pl.p
+)
+SELECT CAST(p AS BIGINT) AS part, n_buyers, a1 AS authority
+FROM auth
+ORDER BY a1 DESC, p
+LIMIT 25
+""",
+)
+def hits_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS iteration (Kleinberg 1999) on the bipartite
+    customer-part purchase graph — the hubs-and-authorities companion
+    to pagerank_one_step: from the uniform authority init, hub(u) =
+    |basket(u)| (exact), then authority(p) = sum of its buyers' hub
+    scores — parts bought by broad buyers rank above parts bought by
+    narrow ones, which is NOT the raw popularity order (n_buyers
+    rides along to show the difference).  Top-25 authorities, all
+    exact BIGINT arithmetic (one full step with no normalization —
+    scale factors don't change HITS rankings).
+
+    Scale shape: distinct bipartite edges (one exchange), hub degrees
+    (user-keyed agg), authority = ONE user-keyed join + part-keyed agg
+    — the same per-round shape Spark's HITS loop would repeat;
+    TakeOrderedAndProject for the top-k."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("u")
+            ),
+            "k",
+        )
+        .select("u", "p")
+        .distinct()
+    )
+    hub = pl.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("h1"))
+    auth = (
+        pl.join(hub, "u")
+        .groupBy("p")
+        .agg(
+            F.sum("h1").cast("long").alias("a1"),
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        )
+    )
+    return (
+        auth.select(
+            F.col("p").cast("long").alias("part"),
+            "n_buyers",
+            F.col("a1").alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("part"))
+        .limit(25)
+    )

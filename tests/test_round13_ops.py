@@ -351,3 +351,25 @@ def test_bagged_stumps_one_per_replica(spark, sf_dir):
     # (binomial concentration at fixture sizes).
     total = max(sizes)
     assert min(sizes) > total * 0.7  # replicas within ~norm of each other
+
+
+def test_hits_authority_differs_from_popularity(spark, sf_dir):
+    rows = all_queries()["hits_one_step"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        # authority = sum of buyers' basket sizes >= n_buyers (each
+        # buyer contributes at least their 1-item basket).
+        assert r.authority >= r.n_buyers >= 1
+    auths = [r.authority for r in rows]
+    assert auths == sorted(auths, reverse=True)
+
+
+def test_poststratified_effect_is_weighted_sum(spark, sf_dir):
+    rows = all_queries()["poststratified_effect"](spark, sf_dir).collect()
+    assert rows
+    total = rows[0].effect_total_nano
+    assert all(r.effect_total_nano == total for r in rows)
+    assert total == sum(r.term_nano for r in rows)
+    for r in rows:
+        assert 0 <= r.stratum <= 9
+        assert r.n0 > 0 and r.n1 > 0

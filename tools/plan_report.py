@@ -115,6 +115,8 @@ HEADLINE = [
     ("did_estimator", "one user exchange; signed-delta double-floor rescale; 1-row pivot"),
     ("link_prediction_adamic_adar", "hub-capped wedge equi-join; per-wedge ln-weight micro-floored pre-sum"),
     ("bagged_stump_ensemble", "8 replicas in ONE pass: digit-parity membership, (rb,f,b) histogram exchange"),
+    ("hits_one_step", "distinct bipartite edges; hub agg; one join + part-keyed authority agg; top-k heap"),
+    ("poststratified_effect", "one user exchange; 10-group pivot; 1-row total cross; window over 10 rows"),
 ]
 
 

@@ -224,6 +224,10 @@ SLOW_FAMILY = [
     # batch-2: degree-weighted wedge join; 8-replica one-pass bagging.
     "link_prediction_adamic_adar",
     "bagged_stump_ensemble",
+    # batch-3: one-step HITS (two keyed exchanges) and exact
+    # post-stratification (one user exchange + 10-row algebra).
+    "hits_one_step",
+    "poststratified_effect",
 ]
 
 
