@@ -292,6 +292,7 @@ def all_queries() -> dict[str, QueryFn]:
         physical,
         relational,
         retrieval,
+        stats_tests,
         storage_duals,
         streaming_duals,
         tpch,

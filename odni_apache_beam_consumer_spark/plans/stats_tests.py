@@ -1,0 +1,649 @@
+"""Statistical-analysis battery: rank correlation, autocorrelation,
+one-way ANOVA, Kruskal-Wallis, and robust trend estimation.
+
+These extend the experimentation/monitoring surface (welch_t_test,
+mann_whitney_u, cusum_changepoint, daily_revenue_anomalies) with the
+remaining tests an analytics platform reports: monotone association
+between two series (Spearman), serial dependence of a daily series
+(ACF), k-group mean comparison (ANOVA F and its nonparametric
+companion Kruskal-Wallis), and a Theil-Sen robust slope.
+
+Parity note: the reference (/root/reference main.py, a 111-line Beam
+Kafka echo demo) has no statistics surface; these queries follow
+BASELINE.json's north star (the operator set a large-scale
+training-data/analytics pipeline needs).
+
+Portability discipline (see plans/registry.py header): every sum that
+crosses an exchange is an exact BIGINT in quantized units; every
+IEEE-double expression is a module-level SQL string evaluated verbatim
+by BOTH engines (identical expression trees); doubles are milli/micro
+FLOORed before they reach the result hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between daily series
+# ---------------------------------------------------------------------------
+
+# The day axis is CALENDAR-bounded (~2.4k rows/decade at any corpus
+# size), so the rank windows below run over a metadata-sized table no
+# matter how many orders feed it — the same bounded-axis argument as
+# mann_whitney_u's value histogram.
+#
+# Midranks via the doubled-rank trick: rank2 = 2*RANK() + |ties| - 1 is
+# an exact BIGINT equal to twice the conventional midrank, so Pearson's
+# formula on rank2 columns needs no fractional ranks (the factor 2
+# cancels in the correlation).
+_SPEAR_RANK2 = (
+    "2 * RANK() OVER (ORDER BY {col}) "
+    "+ COUNT(*) OVER (PARTITION BY {col}) - 1"
+)
+
+# Pearson correlation from exact integer sufficient statistics; the
+# single shared IEEE tree for both engines.  n <= ~2.4k/decade and
+# rank2 <= 2n, so every integer product here is far below 2^53 — the
+# DOUBLE casts are exact.
+_SPEAR_RHO = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+_SPEAR_SUMS_SQL = """
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(rx) AS BIGINT) AS sx,
+  CAST(SUM(ry) AS BIGINT) AS sy,
+  CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+  CAST(SUM(ry * ry) AS BIGINT) AS syy,
+  CAST(SUM(rx * ry) AS BIGINT) AS sxy
+"""
+
+
+@query(
+    "spearman_daily_corr",
+    oracle=f"""
+WITH daily AS (
+  SELECT STRFTIME(DATE_TRUNC('day', o_orderdate), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS nord,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev_c,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ncust
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT 'orders_vs_revenue' AS pair,
+         CAST({_SPEAR_RANK2.format(col="nord")} AS BIGINT) AS rx,
+         CAST({_SPEAR_RANK2.format(col="rev_c")} AS BIGINT) AS ry
+  FROM daily
+  UNION ALL
+  SELECT 'orders_vs_customers' AS pair,
+         CAST({_SPEAR_RANK2.format(col="nord")} AS BIGINT) AS rx,
+         CAST({_SPEAR_RANK2.format(col="ncust")} AS BIGINT) AS ry
+  FROM daily
+),
+s AS (
+  SELECT pair, {_SPEAR_SUMS_SQL} FROM pairs GROUP BY pair
+)
+SELECT pair, n AS n_days,
+       CAST(FLOOR({_SPEAR_RHO} * 1000000.0) AS BIGINT) AS rho_micro
+FROM s
+""",
+)
+def spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily business series — the
+    monotone-association measure a monitoring platform reports when a
+    relationship is nonlinear (Pearson on midranks): daily order count
+    vs daily revenue, and daily order count vs daily distinct
+    customers.
+
+    Midranks use the doubled-rank integer trick (rank2 = 2*RANK() +
+    ties - 1, exact BIGINT; the factor 2 cancels in the correlation),
+    so the entire sufficient-statistic table is exact integers and the
+    only IEEE expression is the final shared correlation string,
+    micro-floored.
+
+    Scale shape: the fact table collapses to the CALENDAR-bounded day
+    axis first (one hash exchange; ~2.4k rows/decade at any corpus
+    size), so the rank windows and the Pearson fold run over a
+    metadata-sized table — the mann_whitney_u bounded-axis argument.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nord"),
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        ).alias("rev_c"),
+        F.countDistinct("o_custkey").cast("long").alias("ncust"),
+    )
+    pairs = None
+    for pair, ycol in (
+        ("orders_vs_revenue", "rev_c"),
+        ("orders_vs_customers", "ncust"),
+    ):
+        p = daily.select(
+            F.lit(pair).alias("pair"),
+            F.expr(
+                f"CAST({_SPEAR_RANK2.format(col='nord')} AS BIGINT)"
+            ).alias("rx"),
+            F.expr(
+                f"CAST({_SPEAR_RANK2.format(col=ycol)} AS BIGINT)"
+            ).alias("ry"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    s = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.expr("CAST(SUM(rx * rx) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(ry * ry) AS BIGINT)").alias("syy"),
+        F.expr("CAST(SUM(rx * ry) AS BIGINT)").alias("sxy"),
+    )
+    return s.select(
+        "pair",
+        F.col("n").alias("n_days"),
+        F.expr(f"CAST(FLOOR({_SPEAR_RHO} * 1000000.0) AS BIGINT)").alias(
+            "rho_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+# Sample-ACF estimator at lag k over the index-ordered day series:
+#   r_k = sum_{t>k} (x_t - mu)(x_{t-k} - mu) / sum_t (x_t - mu)^2
+# expanded so every data-dependent sum is an exact BIGINT (ck = sum of
+# lag cross products, ak/bk = one-sided sums) and mu enters only in the
+# final shared IEEE tree.
+_ACF_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_ACF_R = (
+    f"((CAST(ck AS DOUBLE) - {_ACF_MU} * (CAST(ak AS DOUBLE)"
+    f" + CAST(bk AS DOUBLE)) + CAST(nk AS DOUBLE) * {_ACF_MU} * {_ACF_MU})"
+    f" / (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * {_ACF_MU} * {_ACF_MU}))"
+)
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "autocorr_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) // 100000
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT x,
+         {", ".join(f"LAG(x, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+  FROM daily
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x * l{k} END) AS BIGINT) AS ck{k},"
+             f" CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT) AS ak{k},"
+             f" CAST(SUM(l{k}) AS BIGINT) AS bk{k},"
+             f" CAST(COUNT(l{k}) AS BIGINT) AS nk{k}"
+             for k in range(1, _ACF_MAX_LAG + 1)
+         )}
+  FROM lagged
+),
+long AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({k} AS BIGINT) AS lag, n, s1, s2,"
+      f" ck{k} AS ck, ak{k} AS ak, bk{k} AS bk, nk{k} AS nk FROM g"
+      for k in range(1, _ACF_MAX_LAG + 1)
+  )}
+)
+SELECT lag, nk AS n_pairs,
+       CAST(FLOOR({_ACF_R} * 1000000.0) AS BIGINT) AS acf_micro
+FROM long
+""",
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..{_ACF_MAX_LAG}) of the daily
+    revenue series — the serial-dependence diagnostic behind
+    seasonality detection and forecast-residual checks (a weekly cycle
+    shows as an acf_micro spike at lag 7).
+
+    The series is index-ordered over days PRESENT in the data (an
+    index-domain ACF; the generator's calendar is near-complete, and
+    gap semantics are pinned by the oracle either way).  Revenue is
+    quantized to exact kilo-unit BIGINTs before any sum: x*x sums stay
+    under 2^63 through the 1000x synthesis (6e9-unit days -> 3.6e13
+    per row, ~2.4k rows), and mu enters only in the final shared IEEE
+    string, micro-floored.
+
+    Scale shape: one hash exchange onto the calendar-bounded day axis;
+    the {_ACF_MAX_LAG} LAG windows and the single-row fold run over
+    ~2.4k rows/decade regardless of corpus size.  The lag fan-out is a
+    column fan-out (one window pass computes all lags), not a row
+    fan-out."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))"
+            " DIV 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    lag_cols = [
+        F.expr(f"LAG(x, {k}) OVER (ORDER BY day)").alias(f"l{k}")
+        for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    lagged = daily.select("x", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("s2"),
+    ]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        aggs += [
+            F.expr(
+                f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x * l{k} END)"
+                " AS BIGINT)"
+            ).alias(f"ck{k}"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT)"
+            ).alias(f"ak{k}"),
+            F.expr(f"CAST(SUM(l{k}) AS BIGINT)").alias(f"bk{k}"),
+            F.expr(f"CAST(COUNT(l{k}) AS BIGINT)").alias(f"nk{k}"),
+        ]
+    g = lagged.groupBy().agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n"),
+            F.col("s1"),
+            F.col("s2"),
+            F.col(f"ck{k}").alias("ck"),
+            F.col(f"ak{k}").alias("ak"),
+            F.col(f"bk{k}").alias("bk"),
+            F.col(f"nk{k}").alias("nk"),
+        )
+        for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    long = g.select(F.inline(F.array(*rows)))
+    return long.select(
+        "lag",
+        F.col("nk").alias("n_pairs"),
+        F.expr(f"CAST(FLOOR({_ACF_R} * 1000000.0) AS BIGINT)").alias(
+            "acf_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA F across k experiment arms
+# ---------------------------------------------------------------------------
+
+_ANOVA_K = 4
+
+# Per-arm unit-scale mean and within-arm sum of squares from exact
+# BIGINT sufficient statistics (s = micro-unit sum, ss = unit^2 second
+# moment via the CUPED rescale-before-square rule).  Each per-arm
+# double is milli-FLOORed to a BIGINT before the across-arm sums, so
+# the engines never add raw doubles in engine-specific order.
+_ANOVA_MEAN = "(CAST(s AS DOUBLE) / 10000.0 / CAST(nn AS DOUBLE))"
+_ANOVA_SSW = (
+    "(CAST(ss AS DOUBLE)"
+    " - (CAST(s AS DOUBLE) / 10000.0) * (CAST(s AS DOUBLE) / 10000.0)"
+    " / CAST(nn AS DOUBLE))"
+)
+# SSB = sum_g n_g*m_g^2 - N*m^2; the first term is per-arm (milli-
+# floored then summed), the grand-mean term uses exact totals.
+_ANOVA_NM2 = f"(CAST(nn AS DOUBLE) * {_ANOVA_MEAN} * {_ANOVA_MEAN})"
+_ANOVA_F = (
+    "(((CAST(snm2_milli AS DOUBLE) / 1000.0"
+    "   - (CAST(st AS DOUBLE) / 10000.0) * (CAST(st AS DOUBLE) / 10000.0)"
+    "     / CAST(nt AS DOUBLE))"
+    f"  / CAST({_ANOVA_K - 1} AS DOUBLE))"
+    " / ((CAST(ssw_milli AS DOUBLE) / 1000.0)"
+    f"    / CAST(nt - {_ANOVA_K} AS DOUBLE)))"
+)
+
+
+@query(
+    "anova_f_oneway",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % {_ANOVA_K} AS arm,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qy
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(qy) AS BIGINT) AS s,
+         CAST(SUM((qy // 10000) * (qy // 10000)) AS BIGINT) AS ss
+  FROM u GROUP BY arm
+),
+p AS (
+  SELECT arm, nn, s,
+         CAST(FLOOR({_ANOVA_SSW} * 1000.0) AS BIGINT) AS ssw_milli,
+         CAST(FLOOR({_ANOVA_NM2} * 1000.0) AS BIGINT) AS nm2_milli
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(nn) AS BIGINT) AS nt,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ssw_milli) AS BIGINT) AS ssw_milli,
+         CAST(SUM(nm2_milli) AS BIGINT) AS snm2_milli
+  FROM p
+)
+SELECT nt AS n_users, CAST({_ANOVA_K} AS BIGINT) AS k_arms,
+       CAST({_ANOVA_K - 1} AS BIGINT) AS df_between,
+       CAST(nt - {_ANOVA_K} AS BIGINT) AS df_within,
+       ssw_milli, snm2_milli,
+       CAST(FLOOR({_ANOVA_F} * 1000.0) AS BIGINT) AS f_milli
+FROM t
+""",
+)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test across {_ANOVA_K} experiment arms — the
+    k-group generalization of welch_t_test's two-arm comparison (the
+    omnibus test a platform runs before pairwise contrasts): per-arm
+    user means of the micro-quantized metric, between/within sums of
+    squares, and the F statistic.
+
+    Portability: per-user sums are exact micro BIGINTs; second moments
+    follow the CUPED rescale-before-square rule; each ARM's double
+    terms (within-arm SS, n*mean^2) are milli-floored to BIGINT before
+    the across-arm sum, so neither engine ever folds raw doubles in
+    its own order; F itself is one shared IEEE string.
+
+    Scale shape: one user-keyed exchange, a {_ANOVA_K}-row conditional
+    aggregate (map-side combined), and constant-size algebra — the
+    welch_t_test shape with k rows instead of 1."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+        ).alias("qy")
+    ).select(F.expr(f"user_id % {_ANOVA_K}").alias("arm"), "qy")
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("qy").cast("long").alias("s"),
+        F.expr(
+            "CAST(SUM((qy DIV 10000) * (qy DIV 10000)) AS BIGINT)"
+        ).alias("ss"),
+    )
+    p = g.select(
+        "nn",
+        "s",
+        F.expr(f"CAST(FLOOR({_ANOVA_SSW} * 1000.0) AS BIGINT)").alias(
+            "ssw_milli"
+        ),
+        F.expr(f"CAST(FLOOR({_ANOVA_NM2} * 1000.0) AS BIGINT)").alias(
+            "nm2_milli"
+        ),
+    )
+    t = p.groupBy().agg(
+        F.sum("nn").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ssw_milli").cast("long").alias("ssw_milli"),
+        F.sum("nm2_milli").cast("long").alias("snm2_milli"),
+    )
+    return t.select(
+        F.col("nt").alias("n_users"),
+        F.lit(_ANOVA_K).cast("long").alias("k_arms"),
+        F.lit(_ANOVA_K - 1).cast("long").alias("df_between"),
+        (F.col("nt") - _ANOVA_K).cast("long").alias("df_within"),
+        "ssw_milli",
+        "snm2_milli",
+        F.expr(f"CAST(FLOOR({_ANOVA_F} * 1000.0) AS BIGINT)").alias(
+            "f_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across k experiment arms
+# ---------------------------------------------------------------------------
+
+# Doubled-rank sufficient statistics on the deci-quantized value axis
+# (mann_whitney_u's histogram device, generalized to k arms): per
+# distinct value, per-arm counts; rank2 = 2*midrank is exact BIGINT.
+# H = [12/(N(N+1)) * sum_a R_a^2/n_a - 3(N+1)] / (1 - sum(t^3-t)/(N^3-N))
+# with R_a = r2_a/2 — written with the doubled sums:
+#   sum_a R_a^2/n_a = sum_a r2_a^2 / (4 n_a).
+_KW_CORE = " + ".join(
+    f"(CAST(r2_{a} AS DOUBLE) * CAST(r2_{a} AS DOUBLE)"
+    f" / (4.0 * CAST(n_{a} AS DOUBLE)))"
+    for a in range(_ANOVA_K)
+)
+_KW_H = (
+    f"(((12.0 / (CAST(nt AS DOUBLE) * CAST(nt + 1 AS DOUBLE)))"
+    f" * ({_KW_CORE})"
+    " - 3.0 * CAST(nt + 1 AS DOUBLE))"
+    " / (1.0 - CAST(ties AS DOUBLE)"
+    " / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)"
+    "    - CAST(nt AS DOUBLE))))"
+)
+
+_KW_ARM_COUNT = (
+    "CAST(SUM(CASE WHEN arm = {a} THEN 1 ELSE 0 END) AS BIGINT) AS c{a}"
+)
+
+
+@query(
+    "kruskal_wallis_h",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % {_ANOVA_K} AS arm,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qy
+  FROM events GROUP BY user_id
+),
+v AS (SELECT arm, qy // 1000 AS qv FROM u),
+g AS (
+  SELECT qv,
+         {", ".join(_KW_ARM_COUNT.format(a=a) for a in range(_ANOVA_K))},
+         CAST(COUNT(*) AS BIGINT) AS grp
+  FROM v GROUP BY qv
+),
+rk AS (
+  SELECT {", ".join(f"c{a}" for a in range(_ANOVA_K))}, grp,
+         2 * (CAST(SUM(grp) OVER (ORDER BY qv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - grp) + grp + 1 AS rank2
+  FROM g
+),
+t AS (
+  SELECT {", ".join(f"CAST(SUM(c{a}) AS BIGINT) AS n_{a}," f" CAST(SUM(c{a} * rank2) AS BIGINT) AS r2_{a}" for a in range(_ANOVA_K))},
+         CAST(SUM(grp) AS BIGINT) AS nt,
+         CAST(SUM(grp * grp * grp - grp) AS BIGINT) AS ties
+  FROM rk
+)
+SELECT nt AS n_users, ties,
+       {", ".join(f"n_{a}" for a in range(_ANOVA_K))},
+       CAST(FLOOR({_KW_H} * 1000.0) AS BIGINT) AS h_milli
+FROM t
+""",
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across {_ANOVA_K} experiment arms — the
+    nonparametric companion to anova_f_oneway (rank-based omnibus test
+    for skewed metrics), generalizing mann_whitney_u's machinery to k
+    groups: midranks of the deci-quantized per-user metric via the
+    doubled-rank integer trick, per-arm doubled rank sums (exact
+    BIGINTs), and the tie-corrected H statistic from one shared IEEE
+    string, milli-floored.
+
+    Scale shape: one user-keyed exchange, then a hash agg onto the
+    bounded deci-unit VALUE axis (distinct metric values, not users —
+    the mann_whitney_u histogram argument), a single-partition rank
+    window over that bounded axis, and a 1-row fold.  Overflow: the
+    tie term sums grp^3 — exact below ~2e6 users per distinct
+    deci-value (same documented bound as mann_whitney_u)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+        ).alias("qy")
+    ).select(F.expr(f"user_id % {_ANOVA_K}").alias("arm"), "qy")
+    v = u.select("arm", F.expr("qy DIV 1000").alias("qv"))
+    g = v.groupBy("qv").agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN arm = {a} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"c{a}")
+            for a in range(_ANOVA_K)
+        ],
+        F.count(F.lit(1)).cast("long").alias("grp"),
+    )
+    rk = g.select(
+        *[F.col(f"c{a}") for a in range(_ANOVA_K)],
+        "grp",
+        F.expr(
+            "2 * (CAST(SUM(grp) OVER (ORDER BY qv"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " - grp) + grp + 1"
+        ).alias("rank2"),
+    )
+    t_aggs = []
+    for a in range(_ANOVA_K):
+        t_aggs.append(F.expr(f"CAST(SUM(c{a}) AS BIGINT)").alias(f"n_{a}"))
+        t_aggs.append(
+            F.expr(f"CAST(SUM(c{a} * rank2) AS BIGINT)").alias(f"r2_{a}")
+        )
+    t_aggs.append(F.expr("CAST(SUM(grp) AS BIGINT)").alias("nt"))
+    t_aggs.append(
+        F.expr("CAST(SUM(grp * grp * grp - grp) AS BIGINT)").alias("ties")
+    )
+    t = rk.groupBy().agg(*t_aggs)
+    return t.select(
+        F.col("nt").alias("n_users"),
+        "ties",
+        *[F.col(f"n_{a}") for a in range(_ANOVA_K)],
+        F.expr(f"CAST(FLOOR({_KW_H} * 1000.0) AS BIGINT)").alias("h_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_TS_MAX_LAG = 30
+
+# Pairwise slope in kilo-units/day; each pair's slope is one shared
+# IEEE divide of exact integers, so both engines order pairs
+# identically.  The median is an exact ORDER-STATISTIC selection
+# (lower median via row_number), never an average of doubles.
+_TS_SLOPE = "(CAST(xj - xi AS DOUBLE) / CAST(k AS DOUBLE))"
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(DATE_TRUNC('day', o_orderdate) AS DATE)) AS BIGINT)
+           AS di,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) // 100000
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.di AS i, g.k AS k, a.x AS xi, b.x AS xj
+  FROM daily a
+  JOIN (SELECT UNNEST(range(1, {_TS_MAX_LAG + 1})) AS k) g ON TRUE
+  JOIN daily b ON b.di = a.di + g.k
+),
+sl AS (
+  SELECT i, k,
+         CAST(FLOOR({_TS_SLOPE} * 1000000.0) AS BIGINT) AS slope_micro
+  FROM pairs
+),
+ranked AS (
+  SELECT slope_micro,
+         ROW_NUMBER() OVER (ORDER BY slope_micro, i, k) AS rn,
+         COUNT(*) OVER () AS n
+  FROM sl
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       slope_micro AS median_slope_micro,
+       CAST((SELECT SUM(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END)
+             FROM sl) AS BIGINT) AS n_pos,
+       CAST((SELECT SUM(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END)
+             FROM sl) AS BIGINT) AS n_neg
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily revenue series —
+    the median of pairwise slopes, immune to outlier days that wreck a
+    least-squares fit (the robust companion to ols_normal_equations on
+    the time axis).  Pairs are restricted to lags 1..{_TS_MAX_LAG}
+    days (the bounded-lag Theil-Sen variant), which turns the O(n^2)
+    all-pairs build into a single EQUI-join on (day + k): explode the
+    {_TS_MAX_LAG} lags map-side, join daily-to-daily on the shifted
+    day index.
+
+    Slopes are one shared IEEE divide of exact kilo-unit integers,
+    micro-floored BEFORE ranking, and the median is an exact order-
+    statistic selection (lower median, deterministic (slope, i, k)
+    tie-break) — no double averaging anywhere.
+
+    Scale shape: everything happens on the calendar-bounded day axis
+    (~2.4k rows/decade -> <=72k pairs/decade at any corpus size); the
+    only corpus-sized work is the initial day-grained collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', o_orderdate) AS DATE),"
+            " DATE'1992-01-01') AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))"
+            " DIV 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    a = daily.select("di", F.col("x").alias("xi")).withColumn(
+        "k", F.explode(F.expr(f"sequence(1, {_TS_MAX_LAG})"))
+    ).select("di", F.col("k").cast("long").alias("k"), "xi",
+             (F.col("di") + F.col("k")).alias("dj"))
+    b = daily.select(F.col("di").alias("dj"), F.col("x").alias("xj"))
+    sl = a.join(b, "dj").select(
+        F.col("di").alias("i"),
+        "k",
+        F.expr(f"CAST(FLOOR({_TS_SLOPE} * 1000000.0) AS BIGINT)").alias(
+            "slope_micro"
+        ),
+    )
+    ranked = sl.select(
+        "slope_micro",
+        F.expr("ROW_NUMBER() OVER (ORDER BY slope_micro, i, k)").alias("rn"),
+        F.expr("COUNT(*) OVER ()").alias("n"),
+    )
+    stats = sl.groupBy().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_pos"),
+        F.expr(
+            "CAST(SUM(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_neg"),
+    )
+    med = ranked.where(F.expr("rn = (n + 1) DIV 2")).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_micro").alias("median_slope_micro"),
+    )
+    return med.crossJoin(F.broadcast(stats))

@@ -494,6 +494,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "gbdt_logit_boost": "broadcast 1-row fitted-stump scalar x row stream per boosting round",
         "permutation_test_mean_diff": "broadcast 1-row observed-statistic scalar x 32-row permutation stats",
         "poststratified_effect": "broadcast 1-row population-total scalar x ~10-row stratum table",
+        "theil_sen_trend": "broadcast 1-row sign-count scalar x 1-row median row",
     }
     offenders = {}
     for name, fn in all_queries().items():
