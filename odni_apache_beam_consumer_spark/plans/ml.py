@@ -3313,3 +3313,217 @@ def hits_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.asc("part"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# Newman's degree assortativity = Pearson correlation of the endpoint
+# degrees over the SYMMETRIC directed edge list (each undirected edge
+# contributes both orientations, so sx = sy and sxx = syy by
+# construction and the general Pearson string below degenerates to the
+# classic formula).  All sufficient statistics are exact BIGINTs (deg
+# is bounded by |V| of one graph component; the scale synthesis keeps
+# components disjoint, so degrees do not grow with copies).
+_ASSORT_R = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+_COPURCHASE_EDGES_SQL = """
+pl AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u)
+"""
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_SQL},
+ed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM ed
+)
+SELECT n AS n_directed_edges,
+       CAST(FLOOR({_ASSORT_R} * 1000000.0) AS BIGINT) AS assortativity_micro
+FROM s
+""",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002) —
+    do high-degree parts co-purchase with other high-degree parts?
+    Pearson correlation of endpoint degrees over the symmetric
+    directed edge list; positive = hub-hub mixing (social-network
+    shape), negative = hub-leaf (technological/dependency shape).
+    The structural summary a graph-curation pipeline reports next to
+    triangle_count's closure statistic.
+
+    All sufficient statistics are exact BIGINT sums over the edge
+    list; the only IEEE arithmetic is the final shared Pearson string,
+    micro-floored.
+
+    Scale shape: the same support>=2 co-purchase edge build as
+    triangle_count (one lineitem self-join on the order key), one
+    |V|-sized degree aggregation, two vertex-keyed equi-joins to
+    attach endpoint degrees, and a 1-row fold.  Degrees are bounded by
+    component size, so the integer products never approach 2^63."""
+    raw = copurchase_edges(spark, sf_dir).persist()
+    sym = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("_ku"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("_kv"), F.col("d").alias("dy"))
+    ed = (
+        sym.join(du, sym.u == F.col("_ku"))
+        .join(dv, sym.v == F.col("_kv"))
+        .select("dx", "dy")
+    )
+    s = ed.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.expr("CAST(SUM(dx * dx) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(dy * dy) AS BIGINT)").alias("syy"),
+        F.expr("CAST(SUM(dx * dy) AS BIGINT)").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(f"CAST(FLOOR({_ASSORT_R} * 1000000.0) AS BIGINT)").alias(
+            "assortativity_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (per-degree-bucket rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_clustering_coefficient",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_SQL},
+e AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+              THEN e0.u ELSE e0.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+              THEN e0.v ELSE e0.u END AS dst
+  FROM e0 JOIN deg du ON du.u = e0.u JOIN deg dv ON dv.u = e0.v
+),
+tris AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+tri_v AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM corners GROUP BY node
+),
+coef AS (
+  SELECT deg.u AS node, deg.d,
+         COALESCE(t.tri, 0) AS tri,
+         CAST(2 * COALESCE(t.tri, 0) * 1000000 // (deg.d * (deg.d - 1))
+              AS BIGINT) AS coef_ppm
+  FROM deg LEFT JOIN tri_v t ON t.node = deg.u
+  WHERE deg.d >= 2
+)
+SELECT CAST(LEAST(d // 5, 10) AS BIGINT) AS deg_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(tri) AS BIGINT) AS n_triangle_corners,
+       CAST(SUM(coef_ppm) // COUNT(*) AS BIGINT) AS avg_coef_ppm
+FROM coef
+GROUP BY 1
+""",
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — per-node triangle closure
+    2*tri(v) / (deg(v)*(deg(v)-1)) — rolled up to degree buckets (the
+    Watts-Strogatz clustering-vs-degree profile a graph pipeline
+    reports; the per-degree falloff distinguishes hierarchical from
+    random graphs).  Nodes of degree >= 2 with ZERO triangles count
+    toward their bucket's average (left join + COALESCE), which is
+    what makes it an honest average.
+
+    Triangles are enumerated once each on the (degree, id)-oriented
+    edge list (triangle_count's Chiba-Nishizeki device), then exploded
+    to their 3 corners and counted per node.  Everything is exact
+    integer arithmetic end-to-end: coef_ppm = 2*tri*1e6 DIV d(d-1)
+    and the bucket average is an integral DIV of the ppm sum — no
+    IEEE doubles anywhere.
+
+    Scale shape: the triangle_count join pyramid (two vertex-keyed
+    equi-joins over O(m^1.5)-bounded wedges), a corner explode (3 rows
+    per triangle), a node-keyed count, and a |V|-sized degree join
+    collapsing to <=11 bucket rows."""
+    raw = copurchase_edges(spark, sf_dir).persist()
+    e = orient_by_degree(raw).persist()
+    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+    )
+    tri_v = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("tri")
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    coef = (
+        deg.where(F.col("d") >= 2)
+        .join(tri_v, deg.u == tri_v.node, "left")
+        .select(
+            "d",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+        )
+        .select(
+            "d",
+            "tri",
+            F.expr(
+                "CAST(2 * tri * 1000000 DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("coef_ppm"),
+        )
+    )
+    return coef.groupBy(
+        F.expr("CAST(LEAST(d DIV 5, 10) AS BIGINT)").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("tri").cast("long").alias("n_triangle_corners"),
+        F.expr("CAST(SUM(coef_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_coef_ppm"
+        ),
+    )

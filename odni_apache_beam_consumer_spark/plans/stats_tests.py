@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table
+from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -647,3 +648,299 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_micro").alias("median_slope_micro"),
     )
     return med.crossJoin(F.broadcast(stats))
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue per market segment
+# ---------------------------------------------------------------------------
+
+# Grouped-data Gini via midranks on the quantized VALUE axis:
+#   G = (2 * sum_i r_i x_i) / (n * sum x) - (n + 1) / n
+# with r_i the midrank of customer i under ascending revenue.  Per
+# distinct deca-unit value v: c_v customers, t_v = c_v * v total, and
+# rank2_v = 2*midrank (exact BIGINT), so sum_i r_i x_i = (sum_v t_v *
+# rank2_v) / 2 — the entire statistic is exact integers until the one
+# shared IEEE string below.  s2 = sum_v t_v*rank2_v, t = sum_v t_v.
+_GINI = (
+    "((CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)))"
+    " - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle=f"""
+WITH cr AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)), 0)
+              // 1000 AS BIGINT) AS v
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+g AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS c_v,
+         CAST(COUNT(*) * v AS BIGINT) AS t_v
+  FROM cr GROUP BY seg, v
+),
+rk AS (
+  SELECT seg, c_v, t_v,
+         2 * (CAST(SUM(c_v) OVER (PARTITION BY seg ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - c_v) + c_v + 1 AS rank2
+  FROM g
+),
+s AS (
+  SELECT seg, CAST(SUM(c_v) AS BIGINT) AS n,
+         CAST(SUM(t_v) AS BIGINT) AS t,
+         CAST(SUM(t_v * rank2) AS BIGINT) AS s2
+  FROM rk GROUP BY seg
+)
+SELECT seg, n AS n_customers, t AS total_deca,
+       CAST(FLOOR({_GINI} * 1000000.0) AS BIGINT) AS gini_micro
+FROM s
+""",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality/concentration measure behind whale-customer dashboards
+    and data-curation balance audits (revenue_contribution_pareto's
+    scalar summary).  Zero-order customers count with revenue 0, so
+    the coefficient describes the whole population.
+
+    Grouped-data construction: customers collapse to the deca-unit
+    revenue VALUE axis (bounded by the value range, never the customer
+    count — the mann_whitney_u histogram device), midranks use the
+    doubled-rank trick, and the rank-weighted sum s2 is an exact
+    BIGINT (worst-case t_v * rank2 stays under 2^63 through the 300x
+    synthesis; past ~1000x, coarsen the deca grain a decade —
+    documented, not silent).  The only IEEE arithmetic is the final
+    shared Gini string, micro-floored.
+
+    Scale shape: one customer-keyed exchange (the orders left join +
+    per-customer sum), one hash agg onto the bounded (segment, value)
+    axis, a per-segment cumulative window over that bounded axis, and
+    a 5-row fold."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cr = (
+        c.join(
+            o.select("o_custkey", "o_totalprice"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0)"
+                " AS BIGINT)), 0) DIV 1000 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    g = cr.groupBy("seg", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_v"),
+        F.expr("CAST(COUNT(*) * v AS BIGINT)").alias("t_v"),
+    )
+    rk = g.select(
+        "seg",
+        "c_v",
+        "t_v",
+        F.expr(
+            "2 * (CAST(SUM(c_v) OVER (PARTITION BY seg ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " - c_v) + c_v + 1"
+        ).alias("rank2"),
+    )
+    s = rk.groupBy("seg").agg(
+        F.sum("c_v").cast("long").alias("n"),
+        F.sum("t_v").cast("long").alias("t"),
+        F.expr("CAST(SUM(t_v * rank2) AS BIGINT)").alias("s2"),
+    )
+    return s.select(
+        "seg",
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("total_deca"),
+        F.expr(f"CAST(FLOOR({_GINI} * 1000000.0) AS BIGINT)").alias(
+            "gini_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR selection over per-(lang, token) chi2 scores
+# ---------------------------------------------------------------------------
+
+# BH step-up at FDR level alpha = 5%: order hypotheses by p ascending
+# and select all ranks <= the largest i with p_(i) <= i*alpha/m.  The
+# p here is the SURROGATE p = 1000/(1000 + chi2_milli) — a calibrated
+# monotone transform of the chi2 statistic (NOT a tail probability; a
+# portable chi2 CDF would need erf, which IEEE does not pin across
+# libms).  The selection machinery — global order statistics, the
+# step-up threshold scan, the rejection set — is the real BH
+# procedure, and the acceptance condition is evaluated in EXACT
+# integer cross-multiplied form:
+#   1000/(1000+chi2) <= i*5/(100*m)  <=>  100000*m <= 5*i*(1000+chi2).
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 5, 100
+
+_BH_SCORED_SQL = """
+  SELECT t.lang, t.term, t.a, d.df,
+         CAST(FLOOR(
+           (CAST(nn.n AS DOUBLE)
+            * ((CAST(t.a AS DOUBLE)
+                * CAST(nn.n - d.df - (l.docs_l - t.a) AS DOUBLE))
+               - (CAST(d.df - t.a AS DOUBLE)
+                  * CAST(l.docs_l - t.a AS DOUBLE)))
+            * ((CAST(t.a AS DOUBLE)
+                * CAST(nn.n - d.df - (l.docs_l - t.a) AS DOUBLE))
+               - (CAST(d.df - t.a AS DOUBLE)
+                  * CAST(l.docs_l - t.a AS DOUBLE))))
+           / (CAST(d.df AS DOUBLE) * CAST(nn.n - d.df AS DOUBLE)
+              * CAST(l.docs_l AS DOUBLE) * CAST(nn.n - l.docs_l AS DOUBLE))
+           * 1000.0) AS BIGINT) AS chi2_milli
+  FROM a_tl t JOIN df_t d USING (term) JOIN n_l l USING (lang)
+       CROSS JOIN nn
+  WHERE d.df >= 5 AND d.df < nn.n
+"""
+
+
+@query(
+    "bh_fdr_token_selection",
+    oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+a_tl AS (
+  SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres GROUP BY 1, 2
+),
+df_t AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS df FROM a_tl GROUP BY 1
+),
+n_l AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_l
+  FROM documents GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS ({_BH_SCORED_SQL}),
+ranked AS (
+  SELECT lang, chi2_milli,
+         CAST(ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, lang, term)
+              AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM scored
+),
+flagged AS (
+  SELECT lang, chi2_milli, i, m,
+         CASE WHEN 1000 * {_BH_ALPHA_DEN} * m
+                   <= {_BH_ALPHA_NUM} * i * (1000 + chi2_milli)
+              THEN 1 ELSE 0 END AS ok
+  FROM ranked
+),
+cut AS (
+  SELECT COALESCE(MAX(CASE WHEN ok = 1 THEN i END), 0) AS k FROM flagged
+)
+SELECT f.lang,
+       CAST(COUNT(*) AS BIGINT) AS m_hyp,
+       CAST(SUM(CASE WHEN f.i <= cut.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       MAX(f.m) AS m_total,
+       CAST(MAX(cut.k) AS BIGINT) AS k_total,
+       CAST(MIN(CASE WHEN f.i <= cut.k THEN f.chi2_milli END) AS BIGINT)
+         AS min_sel_chi2_milli
+FROM flagged f CROSS JOIN cut
+GROUP BY f.lang
+""",
+)
+def bh_fdr_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR selection over the per-(lang,
+    token) chi2 association scores — the multiple-testing control a
+    feature-selection pipeline applies before trusting thousands of
+    simultaneous chi2_token_class_assoc tests: rank all hypotheses,
+    find the largest rank whose (surrogate) p-value clears i*alpha/m,
+    and report the per-language selected counts and threshold.
+
+    The surrogate p = 1000/(1000 + chi2_milli) is a monotone transform
+    of the statistic, NOT a chi2 tail probability (a portable CDF
+    would need erf, which libms round differently); the step-up scan
+    itself is the exact BH procedure, and the acceptance test is
+    integer cross-multiplied — no IEEE arithmetic anywhere in the
+    selection.
+
+    Scale shape: the same vocabulary-sized scored table as
+    chi2_token_class_assoc (presence explode -> (term, lang) agg ->
+    vocab rollups); the global rank window runs over the VOCAB axis
+    (bounded by vocabulary, not corpus), then a 1-row cutoff broadcast
+    and a ~5-row per-lang fold."""
+    d = load_table(spark, sf_dir, "documents")
+    pres = with_tokens(d).select(
+        "doc_id", "lang", F.explode(F.array_distinct("tk")).alias("term")
+    )
+    a_tl = pres.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    df_t = a_tl.groupBy("term").agg(F.sum("a").cast("long").alias("df"))
+    n_l = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("docs_l"))
+    nn = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        a_tl.join(df_t, "term")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(nn))
+        .where((F.col("df") >= 5) & (F.col("df") < F.col("n")))
+    )
+    ad = F.col("a").cast("double") * (
+        F.col("n") - F.col("df") - (F.col("docs_l") - F.col("a"))
+    ).cast("double")
+    bc = (F.col("df") - F.col("a")).cast("double") * (
+        F.col("docs_l") - F.col("a")
+    ).cast("double")
+    num = ad - bc
+    chi2 = (F.col("n").cast("double") * num * num) / (
+        F.col("df").cast("double")
+        * (F.col("n") - F.col("df")).cast("double")
+        * F.col("docs_l").cast("double")
+        * (F.col("n") - F.col("docs_l")).cast("double")
+    )
+    scored = j.select(
+        "lang",
+        "term",
+        F.floor(chi2 * 1000.0).cast("long").alias("chi2_milli"),
+    )
+    ranked = scored.select(
+        "lang",
+        "chi2_milli",
+        F.expr(
+            "CAST(ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, lang, term)"
+            " AS BIGINT)"
+        ).alias("i"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("m"),
+    )
+    flagged = ranked.select(
+        "lang",
+        "chi2_milli",
+        "i",
+        "m",
+        F.expr(
+            f"CASE WHEN 1000 * {_BH_ALPHA_DEN} * m"
+            f" <= {_BH_ALPHA_NUM} * i * (1000 + chi2_milli)"
+            " THEN 1 ELSE 0 END"
+        ).alias("ok"),
+    ).persist()
+    cut = flagged.groupBy().agg(
+        F.expr("COALESCE(MAX(CASE WHEN ok = 1 THEN i END), 0)").alias("k")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cut))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_hyp"),
+            F.expr(
+                "CAST(SUM(CASE WHEN i <= k THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_selected"),
+            F.max("m").alias("m_total"),
+            F.expr("CAST(MAX(k) AS BIGINT)").alias("k_total"),
+            F.expr(
+                "CAST(MIN(CASE WHEN i <= k THEN chi2_milli END) AS BIGINT)"
+            ).alias("min_sel_chi2_milli"),
+        )
+    )

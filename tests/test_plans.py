@@ -495,6 +495,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "permutation_test_mean_diff": "broadcast 1-row observed-statistic scalar x 32-row permutation stats",
         "poststratified_effect": "broadcast 1-row population-total scalar x ~10-row stratum table",
         "theil_sen_trend": "broadcast 1-row sign-count scalar x 1-row median row",
+        "bh_fdr_token_selection": "broadcast 1-row corpus-size scalar + 1-row step-up cutoff x vocab table",
     }
     offenders = {}
     for name, fn in all_queries().items():

@@ -114,3 +114,43 @@ def test_theil_sen_median_bracketed(spark, sf_dir):
         assert r.median_slope_micro > 0
     if r.n_neg == r.n_pairs:
         assert r.median_slope_micro < 0
+
+
+def test_gini_bounds_and_population(spark, sf_dir):
+    rows = all_queries()["gini_revenue_concentration"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per mktsegment
+    total = sum(r.n_customers for r in rows)
+    # every customer (incl. zero-order ones) lands in exactly one segment
+    from odni_apache_beam_consumer_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "customer").count()
+    for r in rows:
+        assert 0 <= r.gini_micro <= 1000000
+
+
+def test_bh_fdr_selection_consistency(spark, sf_dir):
+    rows = all_queries()["bh_fdr_token_selection"](spark, sf_dir).collect()
+    m_total = rows[0].m_total
+    k_total = rows[0].k_total
+    assert all(r.m_total == m_total and r.k_total == k_total for r in rows)
+    assert sum(r.m_hyp for r in rows) == m_total
+    assert sum(r.n_selected for r in rows) == k_total
+    assert 0 <= k_total <= m_total
+
+
+def test_assortativity_and_clustering(spark, sf_dir):
+    a = all_queries()["degree_assortativity"](spark, sf_dir).collect()[0]
+    assert -1000000 <= a.assortativity_micro <= 1000000
+    assert a.n_directed_edges % 2 == 0  # symmetric edge list
+
+    rows = all_queries()["local_clustering_coefficient"](
+        spark, sf_dir
+    ).collect()
+    # total triangle corners across buckets = 3 * global triangle count
+    tri_total = sum(
+        r.n_triangles
+        for r in all_queries()["triangle_count"](spark, sf_dir).collect()
+    )
+    assert sum(r.n_triangle_corners for r in rows) == 3 * tri_total
+    for r in rows:
+        assert 0 <= r.avg_coef_ppm <= 1000000
