@@ -3527,3 +3527,266 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_coef_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ridge regression path: closed-form solves at three penalties
+# ---------------------------------------------------------------------------
+
+# Ridge adds lambda to the SLOPE diagonal entries of the quantized
+# moment matrix (the intercept row m00 is never penalized — standard
+# practice).  Penalties are expressed in the moment matrix's own 1e4
+# quantized units, so the Cramer substitution is pure integer column
+# arithmetic and _OLS_DET's shared strings apply unchanged.
+_RIDGE_LAMBDAS = (("l0", 0), ("l_small", 1000000), ("l_large", 100000000))
+
+
+def _ridge_dets(lam: int) -> dict[str, str]:
+    A = {
+        "a00": "m00", "a01": "m01", "a02": "m02",
+        "a10": "m01", "a11": f"(m11 + {lam})", "a12": "m12",
+        "a20": "m02", "a21": "m12", "a22": f"(m22 + {lam})",
+    }
+    out = {"det": _ols_det(A)}
+    for i, col in enumerate(("b0", "b1", "b2")):
+        Ai = dict(A)
+        for r in range(3):
+            Ai[f"a{r}{i}"] = ("b0", "b1", "b2")[r]
+        out[f"det{i}"] = _ols_det(Ai)
+    return out
+
+
+def _ridge_oracle() -> str:
+    sel = []
+    for name, lam in _RIDGE_LAMBDAS:
+        d = _ridge_dets(lam)
+        for i in range(3):
+            sel.append(
+                f"SELECT '{name}' AS penalty, CAST({i + 1} AS BIGINT) AS pos,"
+                f" CAST(FLOOR(({d[f'det{i}']} / {d['det']})"
+                " * 1000000000.0) AS BIGINT) AS w_nano, n_rows FROM mom"
+            )
+    union = " UNION ALL ".join(sel)
+    return f"""
+WITH r AS (
+  SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT {_OLS_MOMENTS_SQL} FROM r
+)
+{union}
+"""
+
+
+@query("ridge_regression_path", oracle=_ridge_oracle())
+def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regression regularization path — the L2-penalized
+    completion of ols_normal_equations (what a feature pipeline fits
+    when collinear features make the plain normal equations
+    ill-conditioned): solve (X'X + lambda*I_slopes) w = X'y at three
+    penalties (0 = OLS, small, large) from ONE shared moment pass.
+    The intercept is unpenalized (standard practice); lambdas live in
+    the moment matrix's own quantized units, so the diagonal shift is
+    exact integer column arithmetic and the per-lambda Cramer solves
+    reuse _OLS_DET's shared IEEE strings verbatim.
+
+    The three penalties demonstrate shrinkage monotonically: slope
+    weights at l_large must sit strictly closer to zero than at l0
+    (asserted in tests).
+
+    Scale shape: identical to ols_normal_equations — the entire path
+    costs ONE map-side-combining aggregation to a single row of 10
+    BIGINTs; all 9 output rows are constant-size projections of that
+    row (adding a lambda to the path is free at 100 TB)."""
+    r = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS x1", "l_discount AS x2", "l_extendedprice AS y"
+    )
+    mom = r.groupBy().agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) * 10000").alias("m00"),
+        F.expr("SUM(CAST(FLOOR(x1 * 10000.0) AS BIGINT))").cast("long").alias("m01"),
+        F.expr("SUM(CAST(FLOOR(x2 * 10000.0) AS BIGINT))").cast("long").alias("m02"),
+        F.expr("SUM(CAST(FLOOR((x1 * x1) * 10000.0) AS BIGINT))").cast("long").alias("m11"),
+        F.expr("SUM(CAST(FLOOR((x1 * x2) * 10000.0) AS BIGINT))").cast("long").alias("m12"),
+        F.expr("SUM(CAST(FLOOR((x2 * x2) * 10000.0) AS BIGINT))").cast("long").alias("m22"),
+        F.expr("SUM(CAST(FLOOR(y * 10000.0) AS BIGINT))").cast("long").alias("b0"),
+        F.expr("SUM(CAST(FLOOR((x1 * y) * 10000.0) AS BIGINT))").cast("long").alias("b1"),
+        F.expr("SUM(CAST(FLOOR((x2 * y) * 10000.0) AS BIGINT))").cast("long").alias("b2"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    rows = []
+    for name, lam in _RIDGE_LAMBDAS:
+        d = _ridge_dets(lam)
+        for i in range(3):
+            rows.append(
+                F.struct(
+                    F.lit(name).alias("penalty"),
+                    F.lit(i + 1).cast("long").alias("pos"),
+                    F.expr(
+                        f"CAST(FLOOR(({d[f'det{i}']} / {d['det']})"
+                        " * 1000000000.0) AS BIGINT)"
+                    ).alias("w_nano"),
+                    F.col("n_rows"),
+                )
+            )
+    return mom.select(F.inline(F.array(*rows)))
+
+
+# ---------------------------------------------------------------------------
+# bias-baseline recommender (Koren's baseline predictor) + RMSE eval
+# ---------------------------------------------------------------------------
+
+# b_i = sum(r - mu) / (reg + n_i) and b_u = sum(r - mu - b_i) /
+# (reg + n_u) with reg = 25 (the Netflix-prize damping).  mu and b_i
+# are shared IEEE strings over exact centi-unit BIGINTs; the per-row
+# residuals feeding b_u and RMSE are floor-quantized BEFORE their
+# sums, so no engine ever folds raw doubles.
+_BB_REG = 25
+_BB_MU = "(CAST(s_all AS DOUBLE) / 100.0 / CAST(n_all AS DOUBLE))"
+_BB_BI = (
+    f"((CAST(si AS DOUBLE) / 100.0 - CAST(ni AS DOUBLE) * {_BB_MU})"
+    f" / CAST({_BB_REG} + ni AS DOUBLE))"
+)
+_BB_BU = "(CAST(su_q AS DOUBLE) / 10000.0" f" / CAST({_BB_REG} + nu AS DOUBLE))"
+_BB_RMSE = "sqrt(CAST(se_q AS DOUBLE) / 10000.0 / CAST(n_all AS DOUBLE))"
+_BB_RMSE_MU = "sqrt(CAST(se0_q AS DOUBLE) / 10000.0 / CAST(n_all AS DOUBLE))"
+
+
+@query(
+    "bias_baseline_recommender",
+    oracle=f"""
+WITH r AS (
+  SELECT o.o_custkey AS usr, l.l_partkey AS item,
+         CAST(FLOOR(l.l_quantity * 100.0) AS BIGINT) AS rc
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(rc) AS BIGINT) AS s_all
+  FROM r
+),
+bi AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS ni,
+         CAST(SUM(rc) AS BIGINT) AS si
+  FROM r GROUP BY item
+),
+bi2 AS (
+  SELECT bi.item, bi.ni, {_BB_BI} AS b_i
+  FROM bi CROSS JOIN tot
+),
+ru AS (
+  SELECT r.usr,
+         CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(FLOOR((CAST(r.rc AS DOUBLE) / 100.0 - {_BB_MU}
+                              - bi2.b_i) * 10000.0) AS BIGINT)) AS BIGINT)
+           AS su_q
+  FROM r JOIN bi2 ON bi2.item = r.item CROSS JOIN tot
+  GROUP BY r.usr
+),
+bu2 AS (SELECT usr, nu, {_BB_BU} AS b_u FROM ru),
+ev AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           (CAST(r.rc AS DOUBLE) / 100.0 - {_BB_MU} - bi2.b_i - bu2.b_u)
+           * (CAST(r.rc AS DOUBLE) / 100.0 - {_BB_MU} - bi2.b_i - bu2.b_u)
+           * 10000.0) AS BIGINT)) AS BIGINT) AS se_q,
+         CAST(SUM(CAST(FLOOR(
+           (CAST(r.rc AS DOUBLE) / 100.0 - {_BB_MU})
+           * (CAST(r.rc AS DOUBLE) / 100.0 - {_BB_MU})
+           * 10000.0) AS BIGINT)) AS BIGINT) AS se0_q,
+         CAST(COUNT(DISTINCT r.item) AS BIGINT) AS n_items,
+         CAST(COUNT(DISTINCT r.usr) AS BIGINT) AS n_users
+  FROM r JOIN bi2 ON bi2.item = r.item JOIN bu2 ON bu2.usr = r.usr
+       CROSS JOIN tot
+)
+SELECT tot.n_all AS n_ratings, ev.n_items, ev.n_users,
+       CAST(FLOOR({_BB_MU} * 1000000.0) AS BIGINT) AS mu_micro,
+       CAST(FLOOR({_BB_RMSE_MU} * 1000000.0) AS BIGINT) AS rmse_mu_micro,
+       CAST(FLOOR({_BB_RMSE} * 1000000.0) AS BIGINT) AS rmse_micro
+FROM ev CROSS JOIN tot
+""",
+)
+def bias_baseline_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-baseline recommender (Koren 2009's baseline predictor
+    mu + b_i + b_u — the damped-means model every collaborative
+    filter is benchmarked against, and the half of ALS that explains
+    most of its RMSE): item biases from damped residuals vs the
+    global mean, user biases from damped residuals vs the
+    item-adjusted prediction, then in-sample RMSE against both the
+    full model and the mu-only baseline.  rmse < rmse_mu is asserted
+    in tests — the model must beat predicting the mean.
+
+    Ratings are (customer, part, quantity) from the order-lineitem
+    join.  mu and each b_i are shared IEEE strings over exact
+    centi-unit BIGINTs; the per-row residuals feeding b_u and both
+    RMSEs are floor-quantized to BIGINT BEFORE their sums (the
+    quantize-before-sum rule), so fold order never surfaces.
+
+    Scale shape: one corpus equi-join (lineitem x orders on the order
+    key), an item-keyed bias aggregation (|items| rows), a user-keyed
+    bias aggregation (|users| rows), and one final scoring pass
+    joining both bias tables back on their keys — the classic
+    3-pass/2-join baseline-predictor dataflow, every join keyed and
+    linear, nothing ever collected."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    r = l.join(
+        o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("usr"),
+        F.col("l_partkey").alias("item"),
+        F.expr("CAST(FLOOR(l_quantity * 100.0) AS BIGINT)").alias("rc"),
+    ).persist()
+    tot = r.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("rc").cast("long").alias("s_all"),
+    )
+    bi = r.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("rc").cast("long").alias("si"),
+    )
+    bi2 = bi.crossJoin(F.broadcast(tot)).select(
+        "item", "ni", "n_all", "s_all", F.expr(_BB_BI).alias("b_i")
+    )
+    scored = r.join(bi2, "item")
+    ru = scored.groupBy("usr").agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.expr(
+            f"CAST(SUM(CAST(FLOOR((CAST(rc AS DOUBLE) / 100.0 - {_BB_MU}"
+            " - b_i) * 10000.0) AS BIGINT)) AS BIGINT)"
+        ).alias("su_q"),
+    )
+    bu2 = ru.select("usr", "nu", F.expr(_BB_BU).alias("b_u"))
+    ev = (
+        scored.join(bu2, "usr")
+        .groupBy()
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR("
+                f"(CAST(rc AS DOUBLE) / 100.0 - {_BB_MU} - b_i - b_u)"
+                f" * (CAST(rc AS DOUBLE) / 100.0 - {_BB_MU} - b_i - b_u)"
+                " * 10000.0) AS BIGINT)) AS BIGINT)"
+            ).alias("se_q"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR("
+                f"(CAST(rc AS DOUBLE) / 100.0 - {_BB_MU})"
+                f" * (CAST(rc AS DOUBLE) / 100.0 - {_BB_MU})"
+                " * 10000.0) AS BIGINT)) AS BIGINT)"
+            ).alias("se0_q"),
+            F.countDistinct("item").cast("long").alias("n_items"),
+            F.countDistinct("usr").cast("long").alias("n_users"),
+        )
+    )
+    return ev.crossJoin(F.broadcast(tot)).select(
+        F.col("n_all").alias("n_ratings"),
+        "n_items",
+        "n_users",
+        F.expr(f"CAST(FLOOR({_BB_MU} * 1000000.0) AS BIGINT)").alias(
+            "mu_micro"
+        ),
+        F.expr(f"CAST(FLOOR({_BB_RMSE_MU} * 1000000.0) AS BIGINT)").alias(
+            "rmse_mu_micro"
+        ),
+        F.expr(f"CAST(FLOOR({_BB_RMSE} * 1000000.0) AS BIGINT)").alias(
+            "rmse_micro"
+        ),
+    )

@@ -944,3 +944,144 @@ def bh_fdr_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_sel_chi2_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for the mean user metric
+# ---------------------------------------------------------------------------
+
+# One md5 per user drives all replicates (the permutation_test device):
+# hex digit d of md5('boot:' || user_id) is an approximately uniform
+# 16-way symbol, mapped to a pseudo-Poisson(1) weight by thresholding
+# the hex-grained CDF: P(w=0)=6/16, P(w=1)=6/16, P(w=2)=2/16,
+# P(w=3)=1/16, P(w=4)=1/16 — the closest 1/16-grained match to
+# Poisson(1)'s (.368, .368, .184, .061, .019) pmf.  The weights are
+# i.i.d. across (user, replicate), which is exactly the Poisson
+# bootstrap (Chamandy et al.) — the one-pass resampling scheme used at
+# terabyte scale where true multinomial resampling is impossible.
+_BOOT_B = 32
+_BOOT_W = (
+    "(CASE WHEN hd < 6 THEN 0 WHEN hd < 12 THEN 1"
+    " WHEN hd < 14 THEN 2 WHEN hd < 15 THEN 3 ELSE 4 END)"
+)
+_BOOT_MEAN = "(CAST(swy AS DOUBLE) / 10000.0 / CAST(sw AS DOUBLE))"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qy,
+         md5(concat('boot:', CAST(user_id AS VARCHAR))) AS hx
+  FROM events GROUP BY user_id
+),
+rep AS (
+  SELECT qy, CAST(g.b AS BIGINT) AS b,
+         strpos('0123456789abcdef', substr(hx, CAST(g.b AS INT), 1)) - 1
+           AS hd
+  FROM u, UNNEST(range(1, {_BOOT_B + 1})) g(b)
+),
+w AS (SELECT b, qy, CAST({_BOOT_W} AS BIGINT) AS wt FROM rep),
+rs AS (
+  SELECT b, CAST(SUM(wt) AS BIGINT) AS sw,
+         CAST(SUM(wt * qy) AS BIGINT) AS swy
+  FROM w GROUP BY b
+),
+rm AS (
+  SELECT b, CAST(FLOOR({_BOOT_MEAN} * 1000.0) AS BIGINT) AS m_milli
+  FROM rs
+),
+rk AS (
+  SELECT m_milli, ROW_NUMBER() OVER (ORDER BY m_milli, b) AS rn FROM rm
+),
+ob AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(qy) AS BIGINT) AS sy
+  FROM u
+)
+SELECT ob.n_users,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       CAST(FLOOR((CAST(ob.sy AS DOUBLE) / 10000.0
+                   / CAST(ob.n_users AS DOUBLE)) * 1000.0) AS BIGINT)
+         AS point_mean_milli,
+       (SELECT m_milli FROM rk WHERE rn = 2) AS boot_lo_milli,
+       (SELECT m_milli FROM rk WHERE rn = {_BOOT_B - 1}) AS boot_hi_milli
+FROM ob
+""",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean per-user
+    metric (Chamandy et al., "Estimating uncertainty for massive data
+    streams" — THE resampling scheme for terabyte-scale data, because
+    each row draws its replicate weights independently in one pass,
+    no global multinomial needed): 32 replicates whose Poisson(1)
+    weights come from the hex digits of ONE md5 per user, replicate
+    means sorted, and the 2nd/31st order statistics reported as the
+    ~94% interval around the point mean.
+
+    The hex-grained weight pmf (6,6,2,1,1)/16 is the closest
+    1/16-resolution match to Poisson(1); weights are exact integers,
+    replicate sums exact BIGINTs, and each replicate mean is one
+    shared IEEE divide, milli-floored BEFORE the order-statistic
+    rank (so the selection is integer-exact).
+
+    Scale shape: one user-keyed exchange, a map-side 32x explode
+    partially aggregated into 32 groups of 2 BIGINTs, a rank window
+    over 32 rows, and a 1-row point estimate — the permutation_test
+    shape with resampling weights instead of sign flips."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)"
+        ).alias("qy")
+    ).select(
+        "qy",
+        F.expr("md5(concat('boot:', CAST(user_id AS STRING)))").alias("hx"),
+    )
+    rep = u.select(
+        "qy", F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"), "hx"
+    ).select(
+        "qy",
+        F.col("b").cast("long").alias("b"),
+        F.expr(
+            "instr('0123456789abcdef', substr(hx, CAST(b AS INT), 1)) - 1"
+        ).alias("hd"),
+    )
+    w = rep.select("b", "qy", F.expr(f"CAST({_BOOT_W} AS BIGINT)").alias("wt"))
+    rs = w.groupBy("b").agg(
+        F.sum("wt").cast("long").alias("sw"),
+        F.expr("CAST(SUM(wt * qy) AS BIGINT)").alias("swy"),
+    )
+    rm = rs.select(
+        "b",
+        F.expr(f"CAST(FLOOR({_BOOT_MEAN} * 1000.0) AS BIGINT)").alias(
+            "m_milli"
+        ),
+    )
+    rk = rm.select(
+        "m_milli",
+        F.expr("ROW_NUMBER() OVER (ORDER BY m_milli, b)").alias("rn"),
+    )
+    lo = rk.where(F.col("rn") == 2).select(
+        F.col("m_milli").alias("boot_lo_milli")
+    )
+    hi = rk.where(F.col("rn") == _BOOT_B - 1).select(
+        F.col("m_milli").alias("boot_hi_milli")
+    )
+    ob = u.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("qy").cast("long").alias("sy"),
+    )
+    return (
+        ob.select(
+            "n_users",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            F.expr(
+                "CAST(FLOOR((CAST(sy AS DOUBLE) / 10000.0"
+                " / CAST(n_users AS DOUBLE)) * 1000.0) AS BIGINT)"
+            ).alias("point_mean_milli"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

@@ -496,6 +496,8 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "poststratified_effect": "broadcast 1-row population-total scalar x ~10-row stratum table",
         "theil_sen_trend": "broadcast 1-row sign-count scalar x 1-row median row",
         "bh_fdr_token_selection": "broadcast 1-row corpus-size scalar + 1-row step-up cutoff x vocab table",
+        "bias_baseline_recommender": "broadcast 1-row global-mean scalar x item/user bias tables",
+        "poisson_bootstrap_ci": "broadcast 1-row lo/hi order statistics x 1-row point estimate",
     }
     offenders = {}
     for name, fn in all_queries().items():

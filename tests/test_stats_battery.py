@@ -154,3 +154,38 @@ def test_assortativity_and_clustering(spark, sf_dir):
     assert sum(r.n_triangle_corners for r in rows) == 3 * tri_total
     for r in rows:
         assert 0 <= r.avg_coef_ppm <= 1000000
+
+
+def test_ridge_shrinkage_monotone(spark, sf_dir):
+    rows = all_queries()["ridge_regression_path"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    w = {(r.penalty, r.pos): r.w_nano for r in rows}
+    # slope weights (pos 2, 3) shrink toward zero as lambda grows
+    for pos in (2, 3):
+        assert abs(w[("l_large", pos)]) <= abs(w[("l_small", pos)])
+        assert abs(w[("l_small", pos)]) <= abs(w[("l0", pos)]) or (
+            # tiny-lambda tie after nano-flooring is acceptable
+            abs(abs(w[("l_small", pos)]) - abs(w[("l0", pos)])) <= 1
+        )
+    # lambda = 0 must reproduce ols_normal_equations exactly
+    ols = {
+        r.pos: r.w_nano
+        for r in all_queries()["ols_normal_equations"](spark, sf_dir).collect()
+    }
+    for pos in (1, 2, 3):
+        assert w[("l0", pos)] == ols[pos]
+
+
+def test_bias_baseline_beats_mean(spark, sf_dir):
+    r = all_queries()["bias_baseline_recommender"](spark, sf_dir).collect()[0]
+    assert r.n_ratings > 0 and r.n_items > 0 and r.n_users > 0
+    # the bias model must beat predicting the global mean in-sample
+    assert r.rmse_micro < r.rmse_mu_micro
+
+
+def test_poisson_bootstrap_brackets_point(spark, sf_dir):
+    r = all_queries()["poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.n_replicates == 32
+    assert r.boot_lo_milli <= r.boot_hi_milli
+    # the interval should bracket the point estimate on these fixtures
+    assert r.boot_lo_milli <= r.point_mean_milli <= r.boot_hi_milli
