@@ -293,6 +293,7 @@ def all_queries() -> dict[str, QueryFn]:
         relational,
         retrieval,
         stats_tests,
+        stats_tests2,
         storage_duals,
         streaming_duals,
         tpch,

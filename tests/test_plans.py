@@ -498,6 +498,8 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "bh_fdr_token_selection": "broadcast 1-row corpus-size scalar + 1-row step-up cutoff x vocab table",
         "bias_baseline_recommender": "broadcast 1-row global-mean scalar x item/user bias tables",
         "poisson_bootstrap_ci": "broadcast 1-row lo/hi order statistics x 1-row point estimate",
+        "ks_two_sample_test": "broadcast 1-row arm-total scalar x bounded value-axis cum table",
+        "cramers_v_association": "broadcast 1-row N/r/c scalar x 1-row cell-sum fold",
     }
     offenders = {}
     for name, fn in all_queries().items():
