@@ -3790,3 +3790,236 @@ def bias_baseline_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# modularity of the brand partition on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# Per-community modularity contribution q_c = e_c/m - (d_c/2m)^2 from
+# exact integer edge/degree sums; the only IEEE arithmetic is this one
+# shared string, micro-floored per community (25 brands).
+_MOD_QC = (
+    "((CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE))"
+    " - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"
+    "   * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))"
+)
+
+
+@query(
+    "modularity_brand_partition",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_SQL},
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+bu AS (SELECT p_partkey, p_brand FROM part),
+eb AS (
+  SELECT pa.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM e0 JOIN bu pa ON pa.p_partkey = e0.u
+          JOIN bu pb ON pb.p_partkey = e0.v
+  WHERE pa.p_brand = pb.p_brand
+  GROUP BY 1
+),
+db AS (
+  SELECT b.p_brand AS brand, CAST(SUM(deg.d) AS BIGINT) AS d_c,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg JOIN bu b ON b.p_partkey = deg.u
+  GROUP BY 1
+)
+SELECT db.brand, db.n_nodes,
+       CAST(COALESCE(eb.e_in, 0) AS BIGINT) AS e_in, db.d_c,
+       CAST(FLOOR({_MOD_QC.replace("e_in", "COALESCE(eb.e_in, 0)")}
+            * 1000000.0) AS BIGINT) AS q_contrib_micro
+FROM db LEFT JOIN eb ON eb.brand = db.brand CROSS JOIN m
+""",
+)
+def modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the co-purchase
+    graph — does co-purchasing concentrate within part brands?  The
+    partition-quality measure community detection optimizes (Newman &
+    Girvan 2004), here evaluated for the domain-given brand communities:
+    per brand c, q_c = e_c/m - (d_c/2m)^2, whose sum over the 25 brands
+    is the graph's modularity Q.  A label_propagation_step consumer
+    uses exactly this query (swap the community column) to score the
+    discovered partition.
+
+    Exactness: within-community edge counts e_c, degree sums d_c, and
+    the edge total m are exact BIGINTs; q_c is one shared IEEE string
+    over those integers, micro-floored per community.  Brands with
+    nodes but zero internal edges report e_in = 0 via the left join —
+    their (negative) degree-penalty term still counts.
+
+    Scale shape: the support>=2 co-purchase edge build (one lineitem
+    self-join on the order key), two part-keyed equi-joins to attach
+    endpoint brands, a 25-row community agg, a |V|-sized degree agg
+    joined to brands, and a 1-row edge-total broadcast cross — every
+    join keyed, everything downstream of the edge build bounded by
+    |V| + 25 rows."""
+    raw = copurchase_edges(spark, sf_dir).persist()
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    m = raw.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    eb = (
+        raw.join(
+            part.select(F.col("pk").alias("u"), F.col("brand").alias("bu")),
+            "u",
+        )
+        .join(
+            part.select(F.col("pk").alias("v"), F.col("brand").alias("bv")),
+            "v",
+        )
+        .where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    db = (
+        deg.join(part.select(F.col("pk").alias("u"), "brand"), "u")
+        .groupBy("brand")
+        .agg(
+            F.sum("d").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    out = (
+        db.join(eb, "brand", "left")
+        .select(
+            "brand",
+            "n_nodes",
+            F.expr("CAST(COALESCE(e_in, 0) AS BIGINT)").alias("e_in"),
+            "d_c",
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    return out.select(
+        "brand",
+        "n_nodes",
+        "e_in",
+        "d_c",
+        F.expr(f"CAST(FLOOR({_MOD_QC} * 1000000.0) AS BIGINT)").alias(
+            "q_contrib_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality from the top-degree seed set (3-hop truncated)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "harmonic_centrality_seeds",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_SQL},
+seeds AS (
+  SELECT u AS seed FROM deg ORDER BY d DESC, u LIMIT 4
+),
+f1 AS (
+  SELECT DISTINCT s.seed, e.v AS node
+  FROM seeds s JOIN sym e ON e.u = s.seed
+  WHERE e.v <> s.seed
+),
+f2 AS (
+  SELECT DISTINCT f1.seed, e.v AS node
+  FROM f1 JOIN sym e ON e.u = f1.node
+  WHERE e.v <> f1.seed
+    AND NOT EXISTS (SELECT 1 FROM f1 x
+                    WHERE x.seed = f1.seed AND x.node = e.v)
+),
+f3 AS (
+  SELECT DISTINCT f2.seed, e.v AS node
+  FROM f2 JOIN sym e ON e.u = f2.node
+  WHERE e.v <> f2.seed
+    AND NOT EXISTS (SELECT 1 FROM f1 x
+                    WHERE x.seed = f2.seed AND x.node = e.v)
+    AND NOT EXISTS (SELECT 1 FROM f2 y
+                    WHERE y.seed = f2.seed AND y.node = e.v)
+)
+SELECT s.seed,
+       CAST(COALESCE(c1.n, 0) AS BIGINT) AS n1,
+       CAST(COALESCE(c2.n, 0) AS BIGINT) AS n2,
+       CAST(COALESCE(c3.n, 0) AS BIGINT) AS n3,
+       CAST(6 * COALESCE(c1.n, 0) + 3 * COALESCE(c2.n, 0)
+            + 2 * COALESCE(c3.n, 0) AS BIGINT) AS harmonic_sixths
+FROM seeds s
+LEFT JOIN (SELECT seed, COUNT(*) AS n FROM f1 GROUP BY seed) c1
+       ON c1.seed = s.seed
+LEFT JOIN (SELECT seed, COUNT(*) AS n FROM f2 GROUP BY seed) c2
+       ON c2.seed = s.seed
+LEFT JOIN (SELECT seed, COUNT(*) AS n FROM f3 GROUP BY seed) c3
+       ON c3.seed = s.seed
+""",
+)
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (3-hop truncated) of the four highest-degree
+    co-purchase hubs — the reachability-weighted influence measure
+    (Boldi & Vigna 2014) that, unlike closeness, handles disconnected
+    graphs gracefully: sum of 1/d over nodes at distance d from each
+    seed.  With d in {{1,2,3}} the harmonic sum is EXACT in sixths:
+    6*n1 + 3*n2 + 2*n3 — zero IEEE arithmetic anywhere in the query.
+
+    Seeds are a deterministic order-statistic selection (degree desc,
+    id asc, LIMIT 4 — a TakeOrdered, no global sort materialized).
+    Each BFS ring is a seed-labeled frontier equi-join on the edge
+    list with anti-joins against the previous rings (the
+    reachability_frontier_bfs device, 4 seeds at once): working set
+    bounded by 4*|V| at any density.
+
+    Scale shape: the support>=2 edge build, then 3 rounds of
+    (frontier x sym) keyed equi-join + left-anti dedup — frontiers are
+    vertex-bounded, never corpus-sized; the final fold is 4 rows."""
+    raw = copurchase_edges(spark, sf_dir).persist()
+    sym = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("u"))
+        .limit(4)
+        .select(F.col("u").alias("seed"))
+        .persist()
+    )
+    f1 = (
+        seeds.join(sym, seeds.seed == sym.u)
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .persist()
+    )
+    f2 = (
+        f1.join(sym, f1.node == sym.u)
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .join(f1, ["seed", "node"], "left_anti")
+        .persist()
+    )
+    f3 = (
+        f2.join(sym, f2.node == sym.u)
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .join(f1, ["seed", "node"], "left_anti")
+        .join(f2, ["seed", "node"], "left_anti")
+    )
+    c1 = f1.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    c2 = f2.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c3 = f3.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    return (
+        seeds.join(c1, "seed", "left")
+        .join(c2, "seed", "left")
+        .join(c3, "seed", "left")
+        .select(
+            "seed",
+            F.expr("CAST(COALESCE(n1, 0) AS BIGINT)").alias("n1"),
+            F.expr("CAST(COALESCE(n2, 0) AS BIGINT)").alias("n2"),
+            F.expr("CAST(COALESCE(n3, 0) AS BIGINT)").alias("n3"),
+            F.expr(
+                "CAST(6 * COALESCE(n1, 0) + 3 * COALESCE(n2, 0)"
+                " + 2 * COALESCE(n3, 0) AS BIGINT)"
+            ).alias("harmonic_sixths"),
+        )
+    )

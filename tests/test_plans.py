@@ -500,6 +500,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "poisson_bootstrap_ci": "broadcast 1-row lo/hi order statistics x 1-row point estimate",
         "ks_two_sample_test": "broadcast 1-row arm-total scalar x bounded value-axis cum table",
         "cramers_v_association": "broadcast 1-row N/r/c scalar x 1-row cell-sum fold",
+        "modularity_brand_partition": "broadcast 1-row edge-total scalar x 25-row brand table",
     }
     offenders = {}
     for name, fn in all_queries().items():
