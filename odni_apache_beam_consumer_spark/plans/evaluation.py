@@ -1747,3 +1747,134 @@ def poststratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_nano",
         F.sum("term_nano").over(w_all).cast("long").alias("effect_total_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration via the max-min (PAV) formula over score deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+           AS s_milli
+  FROM embeddings
+),
+bounds AS (
+  SELECT MIN(s_milli) AS lo, MAX(s_milli) AS hi FROM scored
+),
+norm AS (
+  SELECT y,
+         CAST((s_milli - lo) * 1000000 // (hi - lo + 1) AS BIGINT) AS p_ppm
+  FROM scored CROSS JOIN bounds
+),
+bins AS (
+  SELECT CAST(p_ppm * 10 // 1000000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM norm GROUP BY 1
+),
+pairs AS (
+  SELECT j.bin AS jb, l.bin AS lb
+  FROM bins j JOIN bins l ON j.bin <= l.bin
+),
+iv AS (
+  SELECT p.jb, p.lb,
+         CAST(SUM(b.n_pos) * 1000000 // SUM(b.n) AS BIGINT) AS rate_ppm
+  FROM pairs p JOIN bins b ON b.bin BETWEEN p.jb AND p.lb
+  GROUP BY p.jb, p.lb
+),
+mn AS (
+  SELECT i.bin, v.jb,
+         CAST(MIN(v.rate_ppm) AS BIGINT) AS m
+  FROM bins i JOIN iv v ON v.jb <= i.bin AND v.lb >= i.bin
+  GROUP BY i.bin, v.jb
+),
+fit AS (
+  SELECT bin, CAST(MAX(m) AS BIGINT) AS iso_fit_ppm FROM mn GROUP BY bin
+)
+SELECT b.bin, b.n, b.n_pos,
+       CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS raw_rate_ppm,
+       f.iso_fit_ppm
+FROM bins b JOIN fit f ON f.bin = b.bin
+""",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the embedding classifier via pool-
+    adjacent-violators, computed with the exact max-min formula
+    fitted_i = max_{j<=i} min_{l>=i} mean(y over bins j..l) (Ayer et
+    al. 1955; Robertson, Wright & Dykstra) — the monotone recalibration
+    every production scoring pipeline applies when calibration_bins
+    shows a non-monotone reliability curve.
+
+    The entire fit is INTEGER-EXACT: interval rates are ppm integral
+    divisions of exact BIGINT pos/count sums, and because floor
+    commutes with min/max selection over a finite set, the floored
+    max-min equals the floor of the true rational PAV fit — zero IEEE
+    arithmetic anywhere (pinned against a plain-Python fractions PAV
+    in tests).
+
+    Scale shape: the corpus collapses to <= 10 decile bins first (one
+    hash agg with map-side partials — the calibration_bins dataflow);
+    the max-min machinery (55 intervals, 550 (i,j) cells) runs on the
+    BIN axis, corpus-size-independent.  The bin-range joins are
+    broadcast crosses of a 10-row table (whitelisted)."""
+    scored = _scored_embeddings(spark, sf_dir)
+    bounds = scored.agg(
+        F.min("s_milli").alias("lo"), F.max("s_milli").alias("hi")
+    )
+    norm = scored.crossJoin(F.broadcast(bounds)).select(
+        "y",
+        F.expr(
+            "CAST((s_milli - lo) * 1000000 DIV (hi - lo + 1) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    bins = (
+        norm.groupBy(
+            F.expr("CAST(p_ppm * 10 DIV 1000000 AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .persist()
+    )
+    j = bins.select(F.col("bin").alias("jb"))
+    l = bins.select(F.col("bin").alias("lb"))
+    pairs = j.join(F.broadcast(l), F.col("jb") <= F.col("lb"))
+    iv = (
+        pairs.join(
+            F.broadcast(bins.select("bin", "n", "n_pos")),
+            F.expr("bin BETWEEN jb AND lb"),
+        )
+        .groupBy("jb", "lb")
+        .agg(
+            F.expr(
+                "CAST(SUM(n_pos) * 1000000 DIV SUM(n) AS BIGINT)"
+            ).alias("rate_ppm")
+        )
+    )
+    mn = (
+        bins.select(F.col("bin"))
+        .join(
+            F.broadcast(iv),
+            F.expr("jb <= bin AND lb >= bin"),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("rate_ppm").cast("long").alias("m"))
+    )
+    fit = mn.groupBy("bin").agg(
+        F.max("m").cast("long").alias("iso_fit_ppm")
+    )
+    return bins.join(fit, "bin").select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
+            "raw_rate_ppm"
+        ),
+        "iso_fit_ppm",
+    )

@@ -4023,3 +4023,110 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("harmonic_sixths"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# item-item cosine similarity (collaborative-filtering neighbors)
+# ---------------------------------------------------------------------------
+
+# Cosine over binary user-item interactions: co / sqrt(ni * nj) — the
+# one shared IEEE string (exact BIGINT co-counts and item frequencies
+# underneath), micro-floored BEFORE the top-k rank so the selection is
+# an integer order statistic with (i, j) tie-breaks.
+_IIC_COS = (
+    "(CAST(co AS DOUBLE)"
+    " / sqrt(CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))"
+)
+
+
+@query(
+    "item_item_cosine_topk",
+    oracle=f"""
+WITH r AS (
+  SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+ni AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY item),
+co AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS co
+  FROM r a JOIN r b ON a.usr = b.usr
+  WHERE a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sc AS (
+  SELECT co.i, co.j, co.co, x.n AS ni, y.n AS nj,
+         CAST(FLOOR({_IIC_COS} * 1000000.0) AS BIGINT) AS cos_micro
+  FROM co JOIN ni x ON x.item = co.i JOIN ni y ON y.item = co.j
+)
+SELECT i AS item_i, j AS item_j, co AS n_co_users, ni, nj, cos_micro
+FROM sc
+ORDER BY cos_micro DESC, i, j
+LIMIT 20
+""",
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over binary user-item interactions —
+    the neighborhood model behind "customers who bought X also bought
+    Y" (Sarwar et al. 2001; Linden et al. 2003, the Amazon item-CF
+    paper): distinct (customer, part) baskets, pairwise co-interaction
+    counts with support >= 2, cosine co/sqrt(ni*nj), and the global
+    top-20 most-similar pairs.
+
+    Exactness: co-counts and item frequencies are exact BIGINTs; the
+    cosine is one shared IEEE string, micro-floored BEFORE ranking, so
+    the top-k selection is an integer order statistic with (i, j) id
+    tie-breaks — deterministic on both engines.
+
+    Scale shape: the pair build self-joins the interaction table on
+    the USER key, so the blow-up is bounded by per-user basket size
+    (the copurchase_edges argument on the user axis — baskets are
+    activity-bounded, never corpus-bounded), and support >= 2 prunes
+    the accidental-co-occurrence tail before the frequency joins.
+    Top-20 is a TakeOrdered (per-partition heaps + a 20-row driver
+    merge), never a global sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    r = (
+        l.join(o.select("o_orderkey", "o_custkey"),
+               l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("usr"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+        .persist()
+    )
+    ni = r.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = r.select("usr", F.col("item").alias("i"))
+    b = r.select("usr", F.col("item").alias("j"))
+    co = (
+        a.join(b, "usr")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    sc = (
+        co.join(ni.select(F.col("item").alias("i"), F.col("n").alias("ni")),
+                "i")
+        .join(ni.select(F.col("item").alias("j"), F.col("n").alias("nj")),
+              "j")
+        .select(
+            "i", "j", "co", "ni", "nj",
+            F.expr(
+                f"CAST(FLOOR({_IIC_COS} * 1000000.0) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+    )
+    return (
+        sc.orderBy(F.col("cos_micro").desc(), "i", "j")
+        .limit(20)
+        .select(
+            F.col("i").alias("item_i"),
+            F.col("j").alias("item_j"),
+            F.col("co").alias("n_co_users"),
+            "ni",
+            "nj",
+            "cos_micro",
+        )
+    )

@@ -539,3 +539,197 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hi_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-window EWMA of the daily revenue series
+# ---------------------------------------------------------------------------
+
+# Exponential smoothing with alpha = 1/4 over a 16-day finite window,
+# made INTEGER-EXACT by scaling the geometric weights (3/4)^k by 4^15:
+# W_k = 3^k * 4^(15-k) is an exact BIGINT, so the weighted numerator
+# and the (presence-masked) denominator are exact integer sums — pow()
+# never executes in either engine.  The one IEEE operation is the
+# final num/den divide, centi-floored.
+_EWMA_LAGS = 16
+_EWMA_W = [3**k * 4 ** (_EWMA_LAGS - 1 - k) for k in range(_EWMA_LAGS)]
+_EWMA_NUM = " + ".join(
+    f"COALESCE(l{k}, 0) * CAST({w} AS BIGINT)" for k, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN l{k} IS NULL THEN CAST(0 AS BIGINT)"
+    f" ELSE CAST({w} AS BIGINT) END)"
+    for k, w in enumerate(_EWMA_W)
+)
+_EWMA_VAL = "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) // 100000
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, x,
+         {", ".join(f"LAG(x, {k}) OVER (ORDER BY day) AS l{k}" for k in range(_EWMA_LAGS)) .replace("LAG(x, 0) OVER (ORDER BY day)", "x")}
+  FROM daily
+),
+s AS (
+  SELECT day, x,
+         CAST({_EWMA_NUM} AS BIGINT) AS num,
+         CAST({_EWMA_DEN} AS BIGINT) AS den
+  FROM lagged
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, x AS revenue_kilo,
+       CAST(FLOOR({_EWMA_VAL} * 100.0) AS BIGINT) AS ewma_centikilo
+FROM s
+""",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/4, 16-day
+    finite window) of the daily revenue series — the smoothing behind
+    monitoring dashboards and EWMA control charts (Roberts 1959),
+    computed WITHOUT pow(): the geometric weights (3/4)^k scale to the
+    exact integers W_k = 3^k * 4^(15-k), so the weighted sum and the
+    presence-masked normalizer are exact BIGINT folds and the only
+    IEEE operation is one final divide, centi-floored.  Early days
+    (fewer than 16 predecessors) renormalize over the present terms —
+    the standard adjusted-EWMA convention.
+
+    Overflow bound: num <= 16 * x_max * 4^15 stays under 2^63 for
+    daily revenues up to ~5e8 kilo-units (half a trillion per day) —
+    documented, far past the 1000x synthesis.
+
+    Scale shape: one hash exchange onto the calendar-bounded day axis
+    (~2.4k rows/decade at any corpus size); all 16 lags come from ONE
+    window pass as columns; everything after runs on the bounded
+    axis."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))"
+            " DIV 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    lag_cols = [
+        F.expr(f"LAG(x, {k}) OVER (ORDER BY day)").alias(f"l{k}")
+        for k in range(1, _EWMA_LAGS)
+    ]
+    lagged = daily.select(
+        "day", "x", F.col("x").alias("l0"), *lag_cols
+    )
+    s = lagged.select(
+        "day",
+        "x",
+        F.expr(f"CAST({_EWMA_NUM} AS BIGINT)").alias("num"),
+        F.expr(f"CAST({_EWMA_DEN} AS BIGINT)").alias("den"),
+    )
+    return s.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("revenue_kilo"),
+        F.expr(f"CAST(FLOOR({_EWMA_VAL} * 100.0) AS BIGINT)").alias(
+            "ewma_centikilo"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau (bounded-lag) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_KT_MAX_LAG = 30
+
+_KT_TAU = (
+    "((CAST(c AS DOUBLE) - CAST(d AS DOUBLE)) / CAST(np AS DOUBLE))"
+)
+
+
+@query(
+    "kendall_tau_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(DATE_TRUNC('day', o_orderdate) AS DATE)) AS BIGINT)
+           AS di,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) // 100000
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS xi, b.x AS xj
+  FROM daily a
+  JOIN (SELECT UNNEST(range(1, {_KT_MAX_LAG + 1})) AS k) g ON TRUE
+  JOIN daily b ON b.di = a.di + g.k
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN xj > xi THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN xj < xi THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN xj = xi THEN 1 ELSE 0 END) AS BIGINT) AS ties
+  FROM pairs
+)
+SELECT np AS n_pairs, c AS n_concordant, d AS n_discordant, ties,
+       CAST(FLOOR({_KT_TAU} * 1000000.0) AS BIGINT) AS tau_micro
+FROM t
+""",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau trend statistic (bounded-lag tau-a, the Mann-Kendall
+    trend-test core) of the daily revenue series — the rank-based
+    trend detector that complements theil_sen_trend's slope estimate
+    with a direction statistic: over day pairs at lags 1..{_KT_MAX_LAG},
+    count concordant (later day higher), discordant, and tied pairs;
+    tau = (C - D) / n_pairs.
+
+    Because time indices never tie, concordance reduces to the sign of
+    x_j - x_i — all counts exact BIGINTs; tau is one shared IEEE
+    divide, micro-floored.
+
+    Scale shape: identical to theil_sen_trend — the lag explode turns
+    the pair build into a single EQUI-join on the shifted day index
+    over the calendar-bounded day axis (<= 72k pairs/decade at any
+    corpus size); the only corpus-sized work is the day-grained
+    collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', o_orderdate) AS DATE),"
+            " DATE'1992-01-01') AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))"
+            " DIV 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    a = (
+        daily.select("di", F.col("x").alias("xi"))
+        .withColumn("k", F.explode(F.expr(f"sequence(1, {_KT_MAX_LAG})")))
+        .select("xi", (F.col("di") + F.col("k")).alias("dj"))
+    )
+    b = daily.select(F.col("di").alias("dj"), F.col("x").alias("xj"))
+    t = a.join(b, "dj").groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.expr(
+            "CAST(SUM(CASE WHEN xj > xi THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN xj < xi THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("d"),
+        F.expr(
+            "CAST(SUM(CASE WHEN xj = xi THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("ties"),
+    )
+    return t.select(
+        F.col("np").alias("n_pairs"),
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        "ties",
+        F.expr(f"CAST(FLOOR({_KT_TAU} * 1000000.0) AS BIGINT)").alias(
+            "tau_micro"
+        ),
+    )
