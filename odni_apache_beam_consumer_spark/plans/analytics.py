@@ -2358,3 +2358,110 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (companion to kaplan_meier_survival)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+lt AS (
+  SELECT user_id,
+         (CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+          - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)) // 3600
+           AS lifetime_d,
+         CASE WHEN MAX(ts) <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+by_t AS (
+  SELECT lifetime_d, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(observed) AS BIGINT) AS d
+  FROM lt GROUP BY 1
+),
+rk AS (
+  SELECT lifetime_d, d,
+         CAST(SUM(n_at) OVER (ORDER BY lifetime_d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+  FROM by_t
+),
+hz AS (
+  SELECT lifetime_d, d, n_risk,
+         CAST(d * 1000000000 // n_risk AS BIGINT) AS h_nano
+  FROM rk WHERE d > 0
+)
+SELECT lifetime_d, d AS n_deaths, n_risk, h_nano,
+       CAST(SUM(h_nano) OVER (ORDER BY lifetime_d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumhaz_nano
+FROM hz
+""",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over user lifetimes —
+    kaplan_meier_survival's additive companion (H(t) = sum d_u/n_u;
+    the estimator survival analysis prefers for hazard-rate reading
+    and small risk sets, and the exponent in the Fleming-Harrington
+    survival variant).  Same lifetime/censoring construction as KM:
+    whole-hour lifetimes, observed = last event precedes the horizon
+    minus 1 day, risk set = lifetime >= t.
+
+    UNLIKE the KM product (which needs a pinned multiplication order),
+    Nelson-Aalen is INTEGER-EXACT end-to-end: each step hazard is the
+    integral division d*1e9 DIV n_risk and the cumulative hazard is a
+    BIGINT prefix sum — zero IEEE arithmetic, so the hash is portable
+    by construction.
+
+    Scale shape: one user-keyed exchange, a hash agg onto the bounded
+    lifetime axis (whole hours — calendar-bounded), one descending
+    cumulative window for risk sets and one ascending for the hazard
+    sum, both over the bounded axis."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.groupBy().agg(F.max("ts").alias("max_ts"))
+    lt = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "(CAST(FLOOR(unix_timestamp(t1)) AS BIGINT)"
+                " - CAST(FLOOR(unix_timestamp(t0)) AS BIGINT)) DIV 3600"
+            ).alias("lifetime_d"),
+            F.expr(
+                "CASE WHEN t1 <= max_ts - INTERVAL 1 DAY THEN 1 ELSE 0 END"
+            ).alias("observed"),
+        )
+    )
+    by_t = lt.groupBy("lifetime_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    rk = by_t.select(
+        "lifetime_d",
+        "d",
+        F.expr(
+            "CAST(SUM(n_at) OVER (ORDER BY lifetime_d DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("n_risk"),
+    )
+    hz = rk.where(F.col("d") > 0).select(
+        "lifetime_d",
+        "d",
+        "n_risk",
+        F.expr("CAST(d * 1000000000 DIV n_risk AS BIGINT)").alias("h_nano"),
+    )
+    return hz.select(
+        "lifetime_d",
+        F.col("d").alias("n_deaths"),
+        "n_risk",
+        "h_nano",
+        F.expr(
+            "CAST(SUM(h_nano) OVER (ORDER BY lifetime_d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("cumhaz_nano"),
+    )

@@ -4130,3 +4130,165 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core/border/noise classification (partition-local, cell-blocked)
+# ---------------------------------------------------------------------------
+
+# eps = 1.2 in embedding units -> 1200 milli; distances compare in
+# exact milli^2 integers against eps^2 = 1,440,000.  minPts = 3
+# neighbors (excluding self).
+_DBSCAN_EPS2 = 1200 * 1200
+_DBSCAN_MINPTS = 3
+
+
+@query(
+    "dbscan_core_points",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(4 * (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0
+                        THEN 1 ELSE 0 END)
+              + 2 * (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0.0
+                          THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cell,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+pr AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM q a JOIN q b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.qv, b.qv),
+                                x -> (x[1] - x[2]) * (x[1] - x[2])))
+        <= {_DBSCAN_EPS2}
+),
+nbr AS (
+  SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr
+),
+cnt AS (
+  SELECT i AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs
+  FROM nbr GROUP BY i
+),
+lab AS (
+  SELECT q.vec_id, q.cell,
+         COALESCE(c.n_nbrs, 0) AS n_nbrs,
+         CASE WHEN COALESCE(c.n_nbrs, 0) >= {_DBSCAN_MINPTS} THEN 'core'
+              WHEN EXISTS (
+                SELECT 1 FROM nbr
+                JOIN cnt cc ON cc.vec_id = nbr.j
+                WHERE nbr.i = q.vec_id AND cc.n_nbrs >= {_DBSCAN_MINPTS})
+              THEN 'border'
+              ELSE 'noise' END AS klass
+  FROM q LEFT JOIN cnt c ON c.vec_id = q.vec_id
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN klass = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       CAST(SUM(CASE WHEN klass = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_border,
+       CAST(SUM(CASE WHEN klass = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_noise
+FROM lab GROUP BY cell
+""",
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (Ester et al. 1996) of the
+    embedding corpus into core / border / noise points, in the
+    partition-local form distributed DBSCAN implementations use
+    (MR-DBSCAN / RDD-DBSCAN: partition space, run the epsilon-
+    neighborhood machinery exactly WITHIN each partition): cells are
+    the sign-octants of the first 3 embedding dims, neighborhoods are
+    exact within a cell, and each point is core (>= {_DBSCAN_MINPTS}
+    neighbors within eps), border (neighbor of a core), or noise.
+
+    INTEGER-EXACT: dims quantize to milli BIGINTs, squared L2
+    distances are exact integer folds compared against eps^2 =
+    {_DBSCAN_EPS2} — no sqrt, no IEEE anywhere.
+
+    Scale shape: the pair build is an equi-join on the cell key (the
+    semantic_dedup within-cluster device — at production scale the
+    quantizer is a finer grid over clustered data, keeping cells
+    bucket-capped; the octant cells here exercise the identical
+    dataflow), one neighbor-count agg, a core-neighbor semi-join for
+    the border rule, and an 8-row class rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(4 * (CASE WHEN CAST(element_at(embedding, 1) AS DOUBLE)"
+            " > 0.0 THEN 1 ELSE 0 END)"
+            " + 2 * (CASE WHEN CAST(element_at(embedding, 2) AS DOUBLE)"
+            " > 0.0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN CAST(element_at(embedding, 3) AS DOUBLE)"
+            " > 0.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("cell"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+        ).alias("qv"),
+    ).persist()
+    a = q.select(
+        F.col("cell"), F.col("vec_id").alias("i"), F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("cell"), F.col("vec_id").alias("j"), F.col("qv").alias("qb")
+    )
+    pr = (
+        a.join(b, "cell")
+        .where(F.col("i") < F.col("j"))
+        .where(
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                f" <= {_DBSCAN_EPS2}"
+            )
+        )
+        .select("i", "j")
+    )
+    nbr = pr.unionByName(
+        pr.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).persist()
+    cnt = nbr.groupBy(F.col("i").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs")
+    ).persist()
+    core = cnt.where(F.col("n_nbrs") >= _DBSCAN_MINPTS).select(
+        F.col("vec_id").alias("j")
+    )
+    border_ids = (
+        nbr.join(core, "j")
+        .select(F.col("i").alias("vec_id"))
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(1))
+    )
+    lab = (
+        q.select("vec_id", "cell")
+        .join(cnt, "vec_id", "left")
+        .join(border_ids, "vec_id", "left")
+        .select(
+            "cell",
+            F.expr(
+                f"CASE WHEN COALESCE(n_nbrs, 0) >= {_DBSCAN_MINPTS}"
+                " THEN 'core'"
+                " WHEN has_core_nbr IS NOT NULL THEN 'border'"
+                " ELSE 'noise' END"
+            ).alias("klass"),
+        )
+    )
+    return lab.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.expr(
+            "CAST(SUM(CASE WHEN klass = 'core' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_core"),
+        F.expr(
+            "CAST(SUM(CASE WHEN klass = 'border' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_border"),
+        F.expr(
+            "CAST(SUM(CASE WHEN klass = 'noise' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_noise"),
+    )

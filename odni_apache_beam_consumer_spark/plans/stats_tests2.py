@@ -733,3 +733,110 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test between two classifier variants
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mcnemar_paired_test",
+    oracle="""
+WITH p AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END
+           AS p1,
+         CASE WHEN CAST(embedding[2] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END
+           AS p2
+  FROM embeddings
+),
+c AS (
+  SELECT CASE WHEN p1 = y THEN 1 ELSE 0 END AS c1,
+         CASE WHEN p2 = y THEN 1 ELSE 0 END AS c2
+  FROM p
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01,
+         CAST(SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
+  FROM c
+)
+SELECT n, n11, n10, n01, n00,
+       CAST((n10 - n01) * (n10 - n01) * 1000 // (n10 + n01) AS BIGINT)
+         AS chi2_milli,
+       CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000
+            // (n10 + n01) AS BIGINT) AS chi2_cc_milli
+FROM t
+""",
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two classifier variants on the SAME
+    examples — the correct paired test for "is model B better than
+    model A" (an unpaired two-proportion z-test on overlapping eval
+    sets is anticonservative; McNemar conditions on the discordant
+    pairs): two deterministic threshold rules over the embedding
+    table scored against the binary label, the 2x2 agreement table of
+    per-example correctness, and the (b-c)^2/(b+c) statistic plus its
+    continuity-corrected form.
+
+    INTEGER-EXACT end-to-end: all four agreement cells are exact
+    BIGINT counts and both statistics are integral milli DIVisions —
+    zero IEEE arithmetic anywhere.
+
+    Scale shape: one map-only scoring pass (no join — both rules and
+    the label live on the same row) partially aggregated into a 1-row
+    fold; the canonical eval dataflow at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.expr(
+            "CASE WHEN (CASE WHEN CAST(element_at(embedding, 1) AS DOUBLE)"
+            " > 0.0 THEN 1 ELSE 0 END) = CAST(label % 2 AS BIGINT)"
+            " THEN 1 ELSE 0 END"
+        ).alias("c1"),
+        F.expr(
+            "CASE WHEN (CASE WHEN CAST(element_at(embedding, 2) AS DOUBLE)"
+            " > 0.0 THEN 1 ELSE 0 END) = CAST(label % 2 AS BIGINT)"
+            " THEN 1 ELSE 0 END"
+        ).alias("c2"),
+    )
+    t = c.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n11"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n10"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n01"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n00"),
+    )
+    return t.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST((n10 - n01) * (n10 - n01) * 1000 DIV (n10 + n01)"
+            " AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000"
+            " DIV (n10 + n01) AS BIGINT)"
+        ).alias("chi2_cc_milli"),
+    )

@@ -502,6 +502,7 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "cramers_v_association": "broadcast 1-row N/r/c scalar x 1-row cell-sum fold",
         "modularity_brand_partition": "broadcast 1-row edge-total scalar x 25-row brand table",
         "isotonic_calibration_pav": "broadcast 1-row score bounds + 10-row bin table (bin-range PAV joins)",
+        "nelson_aalen_hazard": "broadcast 1-row horizon (max ts) scalar (KM lifetime construction)",
     }
     offenders = {}
     for name, fn in all_queries().items():
