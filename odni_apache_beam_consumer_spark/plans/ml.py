@@ -107,18 +107,36 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform basket is near-complete (at sf0.1 the unfiltered graph has
     1.2M edges over 2k parts — wedge enumeration then explodes as
     Σdeg²), while support >= 2 keeps the stable, genuinely-associated
-    ~3.5k edges at every sf."""
-    pl = (
+    ~3.5k edges at every sf.
+
+    Shuffle shape (optimization guide §2.4 — remove shuffles outright):
+    ONE order-keyed exchange (map-side partial collect_set dedups
+    (order, part) row multiplicity before the shuffle) + ONE pair-keyed
+    count exchange.  The former distinct + orderkey self-join spent four
+    exchanges on the same answer — distinct on the (order, part) pair
+    key, a re-shuffle of BOTH join inputs to orderkey hash, then the
+    pair-count exchange — and the self-join re-executed its shared scan
+    subtree on each side.  Per-order pair expansion is map-side
+    (sorted-set combinations via nested TRANSFORM, so u < v by
+    construction); blow-up is C(parts-per-order, 2), bounded by basket
+    size exactly as the old join's per-order pair product was."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     return (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
@@ -233,15 +251,19 @@ e0 AS (
 e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
 deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
 n AS (SELECT COUNT(*) AS nv FROM deg),
-contrib AS (
-  SELECT e.v AS node, (CAST(1.0 AS DOUBLE) / n.nv) / deg.outdeg AS c
-  FROM e JOIN deg USING (u) CROSS JOIN n
+bydeg AS (
+  SELECT e.v AS node, deg.outdeg, CAST(COUNT(*) AS BIGINT) AS m
+  FROM e JOIN deg USING (u)
+  GROUP BY 1, 2
 )
 SELECT node,
        ROUND(CAST(0.15 AS DOUBLE) / (SELECT nv FROM n)
-             + CAST(0.85 AS DOUBLE) * SUM(c), 6) AS pagerank,
-       COUNT(*) AS n_in_edges
-FROM contrib GROUP BY node
+             + CAST(0.85 AS DOUBLE) * list_reduce(
+                 LIST(m * ((CAST(1.0 AS DOUBLE) / (SELECT nv FROM n))
+                           / outdeg) ORDER BY outdeg),
+                 (a, b) -> a + b), 6) AS pagerank,
+       CAST(SUM(m) AS BIGINT) AS n_in_edges
+FROM bydeg GROUP BY node
 """,
 )
 def pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,13 +291,31 @@ def pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     nv = deg.count()  # driver-side scalar: |V| (one count job on the persisted edges)
-    contrib = (
+    # Order-robust float update (the token_entropy/PCA fold discipline):
+    # a bare SUM of per-edge double contributions is partial-aggregation-
+    # order-dependent in the last ulp, which held only by luck under a
+    # fixed partitioning (r13 optimization exposed it: the AQE-coalesced
+    # plan summed in a different order and ROUND(x, 6) flipped on a
+    # boundary value).  Contributions depend only on the neighbor's
+    # out-degree, so aggregate the EXACT integer (node, outdeg) edge
+    # counts first (map-side combinable, hub-safe — the hot key arrives
+    # as BIGINT partials), then fold m * ((1/nv)/outdeg) per node in
+    # ascending-outdeg order — bitwise equal to the oracle's
+    # list_reduce(LIST(... ORDER BY outdeg)) left fold, 0.0 + x == x.
+    bydeg = (
         e.join(deg, "u")
-        .select(F.col("v").alias("node"), (F.lit(1.0 / nv) / F.col("outdeg")).alias("c"))
+        .groupBy(F.col("v").alias("node"), "outdeg")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
     )
-    return contrib.groupBy("node").agg(
-        F.round(F.lit(0.15 / nv) + 0.85 * F.sum("c"), 6).alias("pagerank"),
-        F.count(F.lit(1)).alias("n_in_edges"),
+    fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("outdeg", "m"))),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["m"] * (F.lit(1.0 / nv) / x["outdeg"]),
+    )
+    return bydeg.groupBy("node").agg(
+        F.round(F.lit(0.15 / nv) + 0.85 * fold, 6).alias("pagerank"),
+        F.sum("m").cast("long").alias("n_in_edges"),
     )
 
 
@@ -356,6 +396,10 @@ def pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Loop-invariant hoist (guide §2.4): the degree-annotated edge list
+    # e ⋈ deg never changes between rounds — persist it once instead of
+    # re-running the degree aggregation + join inside every round.
+    edeg = e.join(deg, "u").persist()
     nv = deg.count()
     ranks = deg.select(
         F.col("u").alias("node"),
@@ -364,8 +408,7 @@ def pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for _ in range(_PR_ROUNDS):
         inflow = (
-            e.join(deg, "u")
-            .join(ranks.withColumnRenamed("node", "u"), "u")
+            edeg.join(ranks.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
                 F.expr("rank_n DIV outdeg").alias("c"),
@@ -387,7 +430,7 @@ def pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_in_edges",
         ).localCheckpoint(eager=True)
         ranks = out.select("node", F.col("rank_nano").alias("rank_n"))
-    for cached in (e0, e):
+    for cached in (e0, e, edeg):
         cached.unpersist()
     return out
 

@@ -74,11 +74,50 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-driven post-shuffle partitioning (optimization guide §2.2):
+        # with parallelismFirst=true (the default) AQE refuses to coalesce
+        # below the default parallelism, so every reduce stage runs
+        # `cpus` tasks no matter how few bytes the shuffle carries — a
+        # constant tuned for neither local mode nor a cluster.  With it
+        # off, the partition count derives from actual map-output size
+        # against advisoryPartitionSizeInBytes: KB-scale shuffles collapse
+        # to one task, 100 TB shuffles still fan out to
+        # bytes/advisory-size tasks.  The advisory size is env-tunable for
+        # cluster deployments (guide §9 suggests 256m there).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
+        # Let AQE re-plan (coalesce/skew-split) below .persist() caches too
+        # — the iterative drivers (pagerank/kmeans/BFS/dedup components)
+        # all loop over persisted inputs, and without this flag every
+        # cached subtree pins the full static shuffle-partition count.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # Prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1): skips both sort passes; AQE's
+        # skew-split still applies, and SMJ remains the fallback.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime row-group pruning: build a bloom filter from the small
         # side of a selective join and push it into the big side's scan —
         # at 100 TB this skips whole row groups the join would discard.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # zstd for parquet written by the engine (guide §6): markedly
+        # smaller than snappy at similar read speed — at 100 TB the sink
+        # and CDC-snapshot bytes, locally a wash on KB files.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Scan split size (guide §6): default 128m; on clusters with fast
+        # sequential storage 512m-1g cuts the map-task count feeding every
+        # shuffle (§2.2).  Env-tunable so the local bench methodology is
+        # unchanged while a deployment can raise it.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
