@@ -30,6 +30,7 @@ surface; these map to the north-star LLM-pipeline rows of SURVEY.md §2.2.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1260,19 +1261,30 @@ w{t + 1} AS (
 _DRO_STEP_BLOCK = ",\n".join(_doremi_step_ctes(t) for t in range(_DRO_SHARDS))
 
 
-def _doremi_loss_frames(spark: SparkSession, sf_dir: str):
+def _doremi_loss_frames(
+    spark: SparkSession, sf_dir: str, cache_registry: list | None = None
+):
     """Build the corpus-sized half of the DoReMi query: the per-(domain,
     shard) average unigram milli-NLL table, the domain list, and the
     unseen-token fallback NLL column.  Kept as a separate un-checkpointed
     lineage so the plan test can pin the scoring-pass discipline
     (broadcast HASH model probe, map-side partial agg, one keyed
-    exchange) that the checkpoint hides from the final query's plan."""
+    exchange) that the checkpoint hides from the final query's plan.
+
+    The exploded token stream has THREE consumers (the (v, n) scalar
+    pass, the vocab count behind the model, and the scoring join), so it
+    is persisted — without this each consumer re-runs scan + tokenize +
+    explode (r13 optimization; the minhash/prefix-filter
+    ``cache_registry`` discipline).  Callers that materialize their
+    result pass ``cache_registry`` and unpersist."""
     docs = with_tokens(spread(load_table(spark, sf_dir, "documents")))
     tok = docs.select(
         (F.col("doc_id") % _DRO_SHARDS).alias("shard"),
         "lang",
         F.explode("tk").alias("term"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tok)
 
     row = tok.agg(
         (F.countDistinct("term") + 1).cast("long").alias("v"),
@@ -1418,35 +1430,29 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: /root/reference/main.py has no curation surface;
     north-star row per SURVEY.md §2.2 (LLM-pipeline ops).
     """
-    loss, domains, fb = _doremi_loss_frames(spark, sf_dir)
-    # (domains x shards)- and domains-sized; checkpoint so the per-step
-    # broadcast-cross scalars below never re-trigger the corpus scan.
+    caches: list = []
+    loss, domains, fb = _doremi_loss_frames(spark, sf_dir, caches)
+    # (domains x shards)- and domains-sized; checkpoint so the MW steps
+    # below never re-trigger the corpus scan.
     loss = loss.localCheckpoint(eager=True)
     domains = domains.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
 
-    w = domains.withColumn("w", F.lit(1000000).cast("long"))
-    for t in range(_DRO_SHARDS):
-        cur = (
-            w.join(
-                loss.where(F.col("shard") == t).select("lang", "l"),
-                "lang",
-                "left",
-            )
-            .select("lang", "w", F.coalesce("l", fb).alias("l"))
-        )
-        lbar = cur.agg(F.expr("SUM(l) DIV COUNT(*)").cast("long").alias("lbar"))
-        tilted = cur.crossJoin(F.broadcast(lbar)).select(
-            "lang",
-            F.expr(
-                f"w * GREATEST(1000 + (l - lbar) DIV {_DRO_ETA_DIV}, 1)"
-            ).alias("u"),
-        )
-        tot = tilted.agg(F.sum("u").alias("su"))
-        w = tilted.crossJoin(F.broadcast(tot)).select(
-            "lang", F.expr("(u * 1000000) DIV su").cast("long").alias("w")
-        )
-
-    pivoted = (
+    # The MW trajectory runs on the PIVOTED domains-sized frame with
+    # whole-frame window aggregates instead of the former per-step
+    # (join + 1-row aggregate + broadcast crossJoin) x2 chain: the shard
+    # losses pivot wide ONCE, and each step's two scalars (shard mean,
+    # weight normalizer) are integer SUM/COUNT windows OVER () — exact
+    # BIGINT sums, so the trajectory is unchanged bit for bit while the
+    # executed plan collapses from ~5 stages per step (broadcast builds
+    # included) to one single-partition exchange + a stacked window
+    # chain (r13 optimization; guide §2.4 — two operations keyed the
+    # same way share one exchange, here ALL steps share one).  The
+    # frame is domains-sized (thousands at worst), so the single
+    # partition IS the scale shape, exactly like the former 1-row
+    # broadcast-scalar crosses it replaces.
+    x = (
         domains.join(loss, "lang", "left")
         .groupBy("lang")
         .agg(
@@ -1459,8 +1465,29 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for t in range(_DRO_SHARDS)
             ]
         )
+        .withColumn("w", F.lit(1000000).cast("long"))
     )
-    return pivoted.join(w, "lang").select(
+    for t in range(_DRO_SHARDS):
+        x = (
+            x.withColumn(
+                "lbar",
+                F.expr(
+                    f"SUM(loss_s{t}) OVER () DIV COUNT(1) OVER ()"
+                ).cast("long"),
+            )
+            .withColumn(
+                "u",
+                F.expr(
+                    f"w * GREATEST(1000 + (loss_s{t} - lbar) DIV {_DRO_ETA_DIV}, 1)"
+                ),
+            )
+            .withColumn(
+                "w",
+                F.expr("(u * 1000000) DIV (SUM(u) OVER ())").cast("long"),
+            )
+            .drop("lbar", "u")
+        )
+    return x.select(
         "lang",
         *[f"loss_s{t}" for t in range(_DRO_SHARDS)],
         F.col("w").alias("weight_ppm"),

@@ -648,9 +648,15 @@ def kmeans_lloyd_rounds(
         if seed_ids is None
         else F.col("vid").isin([int(i) for i in seed_ids])
     )
+    # spread (guide §2.5 input skew / catalog.spread): the embeddings
+    # fixture scans as ONE split, so the dominant per-round map stage —
+    # the k-centroid argmin fold over every vector — would run on one
+    # core no matter how many are idle.  At 100 TB the input has
+    # thousands of row groups and spread() is a no-op.  The repartition
+    # cannot shift results: assignment is per-row and the centroid
+    # rebuild sums exact FLOOR integers (order-independent).
     v = (
-        with_vec(corpus, vec_col)
-        .select(F.col(id_col).alias("vid"), "vec")
+        spread(with_vec(corpus, vec_col).select(F.col(id_col).alias("vid"), "vec"))
         .persist()
     )
     cents = (
@@ -4130,6 +4136,14 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge), never a global sort."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # NOTE (r13 optimization round): the copurchase_edges rework
+    # (collect_set baskets + map-side TRANSFORM pair expansion, one
+    # exchange) was tried here and REVERTED — measured 3x SLOWER.  The
+    # asymmetry: per-ORDER baskets hold <= ~7 parts, so the expansion is
+    # tiny codegen-free work; per-USER baskets hold hundreds of items,
+    # and O(|basket|^2) struct allocation through interpreted
+    # higher-order lambdas loses badly to the whole-stage-codegen'd
+    # equi-join + hash count below.  The join form is kept deliberately.
     r = (
         l.join(o.select("o_orderkey", "o_custkey"),
                l.l_orderkey == o.o_orderkey)

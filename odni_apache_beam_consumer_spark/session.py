@@ -74,17 +74,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-driven post-shuffle partitioning (optimization guide §2.2):
-        # with parallelismFirst=true (the default) AQE refuses to coalesce
-        # below the default parallelism, so every reduce stage runs
-        # `cpus` tasks no matter how few bytes the shuffle carries — a
-        # constant tuned for neither local mode nor a cluster.  With it
-        # off, the partition count derives from actual map-output size
-        # against advisoryPartitionSizeInBytes: KB-scale shuffles collapse
-        # to one task, 100 TB shuffles still fan out to
-        # bytes/advisory-size tasks.  The advisory size is env-tunable for
-        # cluster deployments (guide §9 suggests 256m there).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE coalescing keeps the parallelism-first default: an r13 A/B
+        # (OPTIMIZATION_r13.md) measured parallelismFirst=false — pure
+        # byte-driven coalescing — as net NEGATIVE here, because byte
+        # counts are blind to CPU-heavy-per-byte reduce stages (pair
+        # joins, per-round graph aggregations) which it serializes onto
+        # one core (item_item_cosine_topk 3.3x, the graph loop family
+        # 1.3-1.4x, vs only ~3% total win elsewhere).  The advisory size
+        # stays env-tunable for cluster deployments (guide §9 suggests
+        # 256m there).
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
