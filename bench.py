@@ -103,8 +103,41 @@ def main(argv: list[str]) -> int:
             _log(f"canary[{tag}] {cname}: {sec:.3f}s (base {base:.3f}s)")
         return out
 
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    def _factor_of(c: dict[str, float]) -> float | None:
+        vals = [c[n] / CANARY_BASE_SF01[n] for n in c if n in CANARY_BASE_SF01]
+        return _median(vals) if vals else None
+
     canaries_apply = abs(_sf_from_dir(sf_dir) - 0.1) < 1e-9
     canary_pre = run_canaries("pre") if canaries_apply else {}
+    # Degraded-box guard (r13 verdict item 2): BENCH_r13 started on a box
+    # running 3.5x slower than the canary base and the whole cross-round
+    # comparison was unusable.  If the pre-canary says the box is >1.5x
+    # degraded, pause once and re-measure — a transient neighbor (another
+    # bench, a GC storm) often clears; a genuinely slow box stays slow and
+    # the artifact records both readings so the reader can adjudicate.
+    canary_pre_first: dict[str, float] = {}
+    pre_f0 = _factor_of(canary_pre)
+    if pre_f0 is not None and pre_f0 > 1.5:
+        _log(
+            f"WARNING: degraded box — canary_factor_pre {pre_f0:.3f} > 1.5;"
+            " sleeping 60s and re-measuring the pre-canaries once"
+        )
+        time.sleep(60)
+        retry = run_canaries("pre2")
+        if retry:
+            canary_pre_first = canary_pre
+            canary_pre = retry
+            pre_f1 = _factor_of(retry)
+            _log(
+                f"pre-canary retry: factor {pre_f0:.3f} -> {pre_f1:.3f}"
+                + ("" if pre_f1 and pre_f1 <= 1.5 else
+                   " — STILL DEGRADED; treat this run's numbers accordingly")
+            )
 
     def restart_session() -> None:
         # Long bench sessions accumulate JVM state (codegen cache, shuffle
@@ -117,8 +150,16 @@ def main(argv: list[str]) -> int:
         holder["spark"].stop()
         holder["spark"] = get_spark(app_name="odni-spark-bench")
         run_plan(warm)
+        # Mid-run canary (r13 verdict item 2): BENCH_r13's box recovered
+        # from 3.5x to 1.05x *sometime* during the run; a third reading at
+        # the restart lets a reader see when.  Record-only — the reported
+        # canary_factor stays the pre/post mean so it remains comparable
+        # with earlier rounds.
+        if canaries_apply:
+            canary_mid.update(run_canaries("mid"))
 
     restart_at = len(names) // 2 if len(names) > 100 else -1
+    canary_mid: dict[str, float] = {}
 
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
@@ -158,11 +199,6 @@ def main(argv: list[str]) -> int:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     if canary_pre and canary_post:
-        def _median(vals: list[float]) -> float:
-            s = sorted(vals)
-            mid = len(s) // 2
-            return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
-
         # Honest estimator (r12 verdict): min(pre, post) understates a
         # mid-run box degradation; per canary use the mean of the two
         # factors (== the 2-point median), and report pre/post medians
@@ -182,6 +218,10 @@ def main(argv: list[str]) -> int:
         result["canary_pre"] = canary_pre
         result["canary_post"] = canary_post
         result["canary_base"] = CANARY_BASE_SF01
+        if canary_mid:
+            result["canary_mid"] = canary_mid
+        if canary_pre_first:
+            result["canary_pre_first"] = canary_pre_first
         result["canary_factor_pre"] = round(pre_f, 3)
         result["canary_factor_post"] = round(post_f, 3)
         result["canary_factor"] = round(factor, 3)

@@ -25,6 +25,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.catalog import load_table, spread
+from odni_apache_beam_consumer_spark.operators.kmeans_kernel import (
+    assign_stats_kernel,
+)
 from odni_apache_beam_consumer_spark.operators.similarity import dot, with_vec
 from odni_apache_beam_consumer_spark.operators.text_ops import with_tokens
 from odni_apache_beam_consumer_spark.plans.registry import query
@@ -469,6 +472,10 @@ def pagerank(
     spark = edges.sparkSession
     e = edges.select("u", "v").persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # Loop-invariant hoist (guide §2.4, the pagerank_rounds r13 change
+    # propagated to the library driver): e ⋈ deg never changes between
+    # rounds — persist it once instead of re-joining every round.
+    edeg = e.join(deg, "u").persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -479,7 +486,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / nv).alias("rank")).localCheckpoint()
     for _ in range(n_iters):
         flowing = (
-            e.join(deg, "u")
+            edeg
             .join(ranks.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
@@ -515,7 +522,7 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    for cached in (e, deg, nodes):
+    for cached in (e, deg, edeg, nodes):
         cached.unpersist()
     return ranks
 
@@ -650,7 +657,7 @@ def kmeans_lloyd_rounds(
     )
     # spread (guide §2.5 input skew / catalog.spread): the embeddings
     # fixture scans as ONE split, so the dominant per-round map stage —
-    # the k-centroid argmin fold over every vector — would run on one
+    # the k-centroid argmin over every vector — would run on one
     # core no matter how many are idle.  At 100 TB the input has
     # thousands of row groups and spread() is a no-op.  The repartition
     # cannot shift results: assignment is per-row and the centroid
@@ -659,75 +666,62 @@ def kmeans_lloyd_rounds(
         spread(with_vec(corpus, vec_col).select(F.col(id_col).alias("vid"), "vec"))
         .persist()
     )
-    cents = (
-        v.where(seed_pred)
-        .select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
-        .localCheckpoint(eager=True)
+    # r14 (guide §4.2): the per-round argmin + integer-stat pass runs as
+    # ONE numpy mapInArrow kernel instead of the interpreted Catalyst
+    # higher-order fold (r13's documented #1 deferred item).  The kernel
+    # reproduces the fold's IEEE arithmetic exactly — sequential
+    # dimension-order accumulation, (score, cid) argmin tie-break, exact
+    # FLOOR int64 stats — see operators/kmeans_kernel.py; equivalence is
+    # pinned bitwise against the retained HOF reference implementation
+    # (tests/test_r14_optimizations.py) on top of the unchanged Python-
+    # replay and oracle-hash gates.  Centroids cross the driver as k-row
+    # exact-integer stats per round (the parameter-server shape — the
+    # same k-sized materialization localCheckpoint did eagerly before),
+    # so each round's plan is: cached scan -> ArrowEval (emits <= k
+    # partial rows per batch) -> ONE k-group integer aggregation.
+    seed_rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["vec"]])
+        for r in v.where(seed_pred)
+        .select(F.col("vid").alias("cid"), "vec")
+        .collect()
+    )
+    cids = [c for c, _ in seed_rows]
+    cvecs = [cv for _, cv in seed_rows]
+    out_schema = (
+        "cid long, "
+        + ", ".join(f"s{i} long" for i in range(dim))
+        + ", cnt long"
     )
     stats = None
-    for _ in range(n_rounds):
-        # Assignment is MAP-ONLY: the k centroids collapse to a single
-        # 1-row array column (collect_list of (cid, cvec, |c|^2)),
-        # broadcast-crossed into the corpus scan, and the argmin folds
-        # inside ONE Catalyst aggregate() per vector — score =
-        # |c|^2 - 2<v,c> exactly as before (same expressions, same
-        # left-to-right dot fold, so the trajectory is bit-identical),
-        # ties to the smallest cid, which makes the fold independent of
-        # collect_list's order.  The earlier form ranked a corpus x k
-        # crossJoin through a per-vector window — a shuffle of k copies
-        # of every vector per round; this shuffles nothing at all until
-        # the k-group stats aggregation.
-        c = cents.select("cid", "cvec", dot("cvec", "cvec").alias("cdd"))
-        carr = c.agg(F.collect_list(F.struct("cid", "cvec", "cdd")).alias("cs"))
-
-        def _fold(acc, cand):
-            sc = cand["cdd"] - 2 * dot(F.col("vec"), cand["cvec"])
-            better = (
-                acc["cid"].isNull()
-                | (sc < acc["s"])
-                | ((sc == acc["s"]) & (cand["cid"] < acc["cid"]))
-            )
-            return F.when(
-                better,
-                F.struct(sc.alias("s"), cand["cid"].alias("cid")),
-            ).otherwise(acc)
-
-        best = F.aggregate(
-            F.col("cs"),
-            F.struct(
-                F.lit(None).cast("double").alias("s"),
-                F.lit(None).cast("long").alias("cid"),
-            ),
-            _fold,
-        )
-        assigned = v.crossJoin(F.broadcast(carr)).select(
-            "vid", best.getField("cid").alias("cid"), "vec"
-        )
+    for rnd in range(n_rounds):
+        kern = assign_stats_kernel(cids, cvecs, dim, _KM_SCALE)
         stats = (
-            assigned.groupBy("cid")
+            v.select("vec")
+            .mapInArrow(kern, out_schema)
+            .groupBy("cid")
             .agg(
                 *[
-                    F.sum(
-                        F.floor(F.element_at("vec", i + 1) * float(_KM_SCALE))
-                    )
-                    .cast("long")
-                    .alias(f"s{i}")
+                    F.sum(f"s{i}").cast("long").alias(f"s{i}")
                     for i in range(dim)
                 ],
-                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("cnt").cast("long").alias("n_members"),
             )
-            .localCheckpoint(eager=True)
         )
-        cents = stats.select(
-            "cid",
-            F.array(
-                *[
-                    F.col(f"s{i}").cast("double")
-                    / (F.col("n_members").cast("double") * float(_KM_SCALE))
+        if rnd < n_rounds - 1:
+            # k-row exact-integer collect; the new centroid component
+            # CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) is one IEEE
+            # divide — identical in Python and Catalyst.
+            rows = sorted(
+                (int(r["cid"]), r) for r in stats.collect()
+            )
+            cids = [c for c, _ in rows]
+            cvecs = [
+                [
+                    float(r[f"s{i}"]) / (float(r["n_members"]) * float(_KM_SCALE))
                     for i in range(dim)
                 ]
-            ).alias("cvec"),
-        )
+                for _, r in rows
+            ]
     v.unpersist()
     return stats.select(
         "cid",
@@ -4156,9 +4150,24 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ni = r.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = r.select("usr", F.col("item").alias("i"))
     b = r.select("usr", F.col("item").alias("j"))
+    # r14 (guide §2.3 "aggregate before you shuffle" — inverted here by
+    # measurement): the pair stream is 97% UNIQUE keys (13.1M pairs,
+    # 12.7M distinct at sf0.1 — co-pairs repeat only across users, and a
+    # map task holds a user subset), so the map-side partial aggregate
+    # built a 13M-entry hash table that reduced almost nothing.  The
+    # explicit repartition makes the exchange pure (map side just writes
+    # shuffle rows) and the count runs once, reduce-side: same single
+    # exchange, measured 4.2-5.6 s -> 3.3-4.0 s on the co stage.  A numpy
+    # sort-count kernel after the repartition was tried and was SLOWER
+    # (4.7 s — the 13M-row Arrow boundary costs more than the hash agg
+    # saves); prefix-filter pruning is inapplicable: the global top-20
+    # cosine is ~0.141 here, and the frequency upper bound
+    # sqrt(min(ni,nj)/max(ni,nj)) prunes nothing at that threshold.
     co = (
         a.join(b, "usr")
         .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .repartition("i", "j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .where(F.col("co") >= 2)

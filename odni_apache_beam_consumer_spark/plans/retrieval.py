@@ -657,70 +657,76 @@ def bpe_train_rounds(
     ``merges_out`` (a list) collects the learned (a, b) pair per round —
     one 1-row ``first()`` per round on the already-materialized argmax,
     metadata-sized — so :func:`bpe_apply_merges` can replay the merge
-    table in priority order (the inference half)."""
-    w_pos = Window.partitionBy("w").orderBy("pos")
+    table in priority order (the inference half).
+
+    r14 (guide §2.4): the segmentation lives as ONE array column per
+    word instead of an exploded (w, pos, sym) table.  Pair counting
+    explodes adjacent pairs map-side into the same hash aggregation as
+    before, and the greedy even-offset-island merge collapses to a
+    map-side left-to-right array fold (:func:`_greedy_merge_fold` —
+    provably the same semantics, see its docstring), removing every
+    per-round word-keyed window and (w, pos) join: per round the plan
+    is exactly ONE pair-count exchange plus ONE 1-row vocab-size
+    aggregate, where the exploded form paid a lead() window, two
+    row_number() windows, a left-anti and a left join, and a renumber
+    window — all shuffling the |vocab| x word-length symbol table.
+    All arithmetic is integer/string — no float enters, so the
+    trajectory is bit-identical by construction; the adversarial
+    greedy-reference tests (test_retrieval.py) and the unchanged
+    unrolled DuckDB oracle pin it."""
     s = (
-        words.select(
-            "w",
-            "freq",
-            F.posexplode(F.split("w", "")).alias("pos0", "sym"),
-        )
-        .select("w", "freq", (F.col("pos0") + 1).cast("long").alias("pos"), "sym")
+        words.select("w", "freq", F.split("w", "").alias("syms"))
         .localCheckpoint(eager=True)
     )
     metrics = []
     for r in range(1, n_rounds + 1):
-        p = s.withColumn("nxt", F.lead("sym").over(w_pos))
-        top = (
-            p.where(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        pairs = (
+            s.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (x, i) -> struct(x AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .localCheckpoint(eager=True)
         )
         if merges_out is not None:
             t = top.first()
             merges_out.append((t["a"], t["b"]))
-        paug = p.crossJoin(F.broadcast(top))
-        cand = (
-            paug.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")))
-            .select("w", "pos")
-            .withColumn("rn", F.row_number().over(w_pos))
-            .withColumn("island", F.col("pos") - F.col("rn"))
-        )
-        valid = (
-            cand.withColumn(
-                "off",
-                F.row_number().over(
-                    Window.partitionBy("w", "island").orderBy("pos")
-                )
-                - 1,
-            )
-            .where(F.col("off") % 2 == 0)
-            .select("w", "pos")
-        )
-        consumed = valid.select("w", (F.col("pos") + 1).alias("pos"))
+        # NOTE (r14, measured): dropping this per-round checkpoint and
+        # letting later rounds re-run the fold chain map-side was tried
+        # and REVERTED — warm A/B bpe_train 3.7 -> 6.6 s, bpe_apply
+        # 3.7 -> 5.9 s.  The fold's O(len^2) array allocation is cheap
+        # once but not r times per round; materializing each round wins
+        # (the inverse of the DSIR persist result — guide §5 cuts both
+        # ways, measure each case).
         s = (
-            paug.join(consumed, ["w", "pos"], "left_anti")
-            .join(valid.withColumn("_st", F.lit(1)), ["w", "pos"], "left")
+            s.crossJoin(F.broadcast(top))
             .select(
                 "w",
                 "freq",
-                "pos",
-                F.when(
-                    F.col("_st").isNotNull(), F.concat("a", "b")
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+                _greedy_merge_fold(
+                    F.col("syms"), F.col("a"), F.col("b")
+                ).alias("syms"),
             )
-            .withColumn("pos", F.row_number().over(w_pos).cast("long"))
             .localCheckpoint(eager=True)
         )
         metrics.append(
             top.crossJoin(
                 F.broadcast(
-                    s.agg(F.count(F.lit(1)).cast("long").alias("vocab_symbols"))
+                    s.agg(
+                        F.sum(F.size("syms"))
+                        .cast("long")
+                        .alias("vocab_symbols")
+                    )
                 )
             ).select(
                 F.lit(r).cast("long").alias("round"),
@@ -733,6 +739,44 @@ def bpe_train_rounds(
     for m in metrics[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _greedy_merge_fold(syms, a, b):
+    """One BPE merge rule applied as a map-side left-to-right array fold
+    — exactly the even-offset-island greedy semantics of the exploded
+    form it replaces (r14):
+
+    * island semantics: candidates are positions where (sym, nxt) =
+      (a, b) in the ROUND-START segmentation; within a run of
+      overlapping candidates the even offsets merge.
+    * fold semantics: append each round-start token x unless the
+      accumulator's last token equals ``a`` and x equals ``b``, in
+      which case replace it with ``a || b``.
+
+    These coincide because a token CREATED by this fold (always the
+    string a || b, strictly longer than ``a``) can never itself match
+    as the ``a`` of a later step — so ``element_at(acc, -1) = a`` holds
+    exactly for unconsumed round-start tokens, which is the island
+    rule's "candidate whose left side is not already consumed".  Runs
+    of a repeated symbol (a = b) alternate merge/append — the even
+    offsets.  Pinned against the plain-Python Sennrich reference by
+    tests/test_retrieval.py on adversarial vocabularies (runs,
+    overlaps, merged-symbol chains)."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: (
+            F.when(F.size(acc) == 0, F.array(x))
+            .when(
+                (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
 
 
 def bpe_apply_merges(
@@ -753,57 +797,23 @@ def bpe_apply_merges(
     parallel on the word key and corpus-size-independent (the same
     BPE-at-scale property as training); real tokenizer deployments apply
     thousands of rules this way as a map-side loop, then join the
-    segmented vocab back to the corpus by word."""
-    w_pos = Window.partitionBy("w").orderBy("pos")
-    s = (
-        words.select(
-            "w",
-            "freq",
-            F.posexplode(F.split("w", "")).alias("pos0", "sym"),
-        )
-        .select("w", "freq", (F.col("pos0") + 1).cast("long").alias("pos"), "sym")
-        .localCheckpoint(eager=True)
-    )
+    segmented vocab back to the corpus by word.
+
+    r14 (guide §2.4): the whole replay is now ZERO-shuffle — every rule
+    is one :func:`_greedy_merge_fold` over the word's symbol array with
+    (a, b) as literals, chained in a single map-side projection (the
+    exploded form paid one lead() window + two row_number() windows +
+    two (w, pos) joins + a renumber window + an eager localCheckpoint
+    PER RULE, and a final collect_list groupBy).  Same greedy
+    even-offset-island semantics — see _greedy_merge_fold."""
+    col = F.split("w", "")
     for a, b in merges:
-        p = s.withColumn("nxt", F.lead("sym").over(w_pos))
-        cand = (
-            p.where((F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)))
-            .select("w", "pos")
-            .withColumn("rn", F.row_number().over(w_pos))
-            .withColumn("island", F.col("pos") - F.col("rn"))
-        )
-        valid = (
-            cand.withColumn(
-                "off",
-                F.row_number().over(
-                    Window.partitionBy("w", "island").orderBy("pos")
-                )
-                - 1,
-            )
-            .where(F.col("off") % 2 == 0)
-            .select("w", "pos")
-        )
-        consumed = valid.select("w", (F.col("pos") + 1).alias("pos"))
-        s = (
-            p.join(consumed, ["w", "pos"], "left_anti")
-            .join(valid.withColumn("_st", F.lit(1)), ["w", "pos"], "left")
-            .select(
-                "w",
-                "freq",
-                "pos",
-                F.when(F.col("_st").isNotNull(), F.lit(a + b))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .withColumn("pos", F.row_number().over(w_pos).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-    return s.groupBy("w", "freq").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, sym))),"
-            " x -> x.sym), ' ')"
-        ).alias("tokens"),
+        col = _greedy_merge_fold(col, F.lit(a), F.lit(b))
+    return words.select(
+        "w",
+        "freq",
+        F.size(col).cast("long").alias("n_tokens"),
+        F.array_join(col, " ").alias("tokens"),
     )
 
 

@@ -76,11 +76,27 @@ def _autoheal_witness_manifest() -> None:
 _autoheal_witness_manifest()
 
 
+# Test-session core count (r14, VERDICT item 1 — suite runtime): the
+# fixtures are KB-sized, so on local[32] every tiny shuffle stage pays 32
+# task launches and the suite is dominated by scheduler constants, not
+# work.  Measured on a quiet box (tests/test_stats_battery.py): local[32]
+# 82 s, local[8] 48 s, local[4] 62 s — 8 is the sweet spot.  Queries are
+# partition-count-invariant by contract (that is what the oracle hashes
+# prove), so this changes no result; it is also an extra every-run check
+# that nothing silently depends on the bench's 32-way layout.  The bench
+# itself is untouched (bench.py still honors $SPARK_GRAFT_CPUS).
+TEST_CPUS = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+
+
 @pytest.fixture(scope="session")
 def spark():
     from odni_apache_beam_consumer_spark.session import get_spark
 
-    s = get_spark(app_name="engine-tests")
+    s = get_spark(
+        app_name="engine-tests",
+        master=f"local[{TEST_CPUS}]",
+        shuffle_partitions=TEST_CPUS,
+    )
     yield s
 
 

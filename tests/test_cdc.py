@@ -4,6 +4,8 @@ isolate — resurrect attempts, same-ts delete ranking, marker replay."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -88,6 +90,7 @@ def test_lww_marker_replay_is_noop(spark):
         shutil.rmtree(store, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_cdc_readstream_end_to_end(spark, tmp_path):
     """Debezium envelopes through a REAL readStream file replay +
     foreachBatch lww_upsert_merger: the full Kafka-shaped CDC path with

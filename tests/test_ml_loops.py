@@ -8,6 +8,8 @@ the skew cap the orientation exists for.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
         assert math.isclose(v, 0.25, abs_tol=1e-6)
 
 
+@pytest.mark.slow
 def test_pagerank_mass_conserved_and_hub_ranked_first(spark):
     # Star: every spoke points at the hub, hub points back at spoke 1.
     e = _edges(spark, [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)])
@@ -48,6 +51,7 @@ def test_pagerank_handles_dangling_nodes(spark):
     assert math.isclose(total, 1.0, abs_tol=1e-6), total
 
 
+@pytest.mark.slow
 def test_pagerank_fixed_point(spark):
     # Converged ranks must be (near-)invariant under one more iteration.
     und = [(1, 2), (2, 3), (1, 3), (3, 4)]

@@ -7,6 +7,8 @@ recall against the exact baseline.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.operators import dedup as D
@@ -195,6 +197,7 @@ def test_connected_components_transitivity(spark):
     assert m[10] == m[11] == 10
 
 
+@pytest.mark.slow
 def test_components_star_matches_propagation_on_chain(spark):
     """Large-star/small-star contraction must agree with min-label
     propagation, including on a LONG CHAIN — the diameter-heavy shape

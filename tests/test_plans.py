@@ -504,15 +504,29 @@ def test_no_accidental_cartesian_or_nlj_fleet_wide(spark):
         "isotonic_calibration_pav": "broadcast 1-row score bounds + 10-row bin table (bin-range PAV joins)",
         "nelson_aalen_hazard": "broadcast 1-row horizon (max ts) scalar (KM lifetime construction)",
     }
-    offenders = {}
-    for name, fn in all_queries().items():
+    # r14 (suite runtime, guide §2.6 overlap independent jobs): plan
+    # construction is independent per query — 293 serial builds (several
+    # with eager iterative sub-jobs) took 223 s; a small driver-side
+    # thread pool overlaps the construction jobs.  Caches are cleared
+    # once at the end instead of per query: the assertions below read
+    # only the planned join strategy, which cache state cannot change.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         df = fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in nlj_whitelist:
-            offenders[name] = "unwhitelisted BroadcastNestedLoopJoin"
-        spark.catalog.clearCache()
+            return name, "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan and name not in nlj_whitelist:
+            return name, "unwhitelisted BroadcastNestedLoopJoin"
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = dict(
+            r for r in pool.map(check, all_queries().items()) if r
+        )
+    spark.catalog.clearCache()
     assert not offenders, offenders
 
 
@@ -600,6 +614,7 @@ def test_similar_docs_topk_reads_cached_pairs_on_both_union_branches(
             df.unpersist()
 
 
+@pytest.mark.slow
 def test_method_comparison_and_similar_docs_release_their_caches(
     spark, sf_dir
 ):

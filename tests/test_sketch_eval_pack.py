@@ -5,6 +5,8 @@ DuckDB oracles can't express."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from odni_apache_beam_consumer_spark.plans.registry import all_queries
@@ -76,6 +78,7 @@ def test_prefix_filter_join_equals_unpruned_inverted_index(spark, sf_dir):
     assert pf == {(a, b, j) for a, b, j in full}
 
 
+@pytest.mark.slow
 def test_prefix_filter_lossless_at_nondyadic_thresholds(spark, sf_dir):
     """Losslessness must hold for thresholds that are NOT exactly
     representable in binary (0.7, 0.8): float ceil(t*n) can round UP

@@ -122,6 +122,7 @@ def test_redelivery_chunks_are_a_real_adversary(spark, sf_dir, tmp_path):
     assert per_id.where(F.col("n") == 1).count() + dups.count() == n_events
 
 
+@pytest.mark.slow
 def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir):
     purchases = R.read_stream(spark, replay_dir).where(F.col("event_type") == "purchase")
     clicks = R.read_stream(spark, replay_dir).where(F.col("event_type") == "click")
@@ -138,6 +139,7 @@ def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir):
     assert want.count() > 0  # the equivalence is not vacuous
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_equivalence(spark, sf_dir, replay_dir):
     """Outer emission is the hard part: unmatched purchases must surface
     with NULL click columns once the watermark proves no match can
@@ -223,6 +225,7 @@ def test_replay_many_sentinels_valid_and_increasing(spark, sf_dir, tmp_path):
     assert all(s.year == 2100 for s in stamps)
 
 
+@pytest.mark.slow
 def test_late_data_dropped(spark, tmp_path):
     """Watermark drop semantics: a chunk of old events arriving AFTER the
     watermark has advanced past them is provably excluded.
@@ -544,6 +547,7 @@ def test_fan_out_sink_two_destinations_consistent(spark, sf_dir, tmp_path):
         assert got.select("event_id").distinct().count() == n_want
 
 
+@pytest.mark.slow
 def test_update_mode_converges_to_batch_counts(spark, sf_dir, tmp_path):
     """Update output mode: every micro-batch emits the CURRENT value of
     each changed aggregate (no watermark-close needed).  The latest
@@ -742,6 +746,7 @@ def test_algebraic_merger_min_max_measures(spark, sf_dir, tmp_path):
     assert got_avg == want_avg
 
 
+@pytest.mark.slow
 def test_ingest_dedup_against_corpus_equivalence(spark, sf_dir, replay_dir):
     """Streaming ingest dedup: records already in the corpus key table
     never come out; fresh records come out exactly once (the replay
@@ -766,6 +771,7 @@ def test_ingest_dedup_against_corpus_equivalence(spark, sf_dir, replay_dir):
     assert got.where(F.col("event_id") >= 0).count() == len(got_ids)
 
 
+@pytest.mark.slow
 def test_stream_stream_full_outer_join_equivalence(spark, sf_dir, replay_dir):
     """Full outer adds the second held side: clicks with no preceding
     purchase must also surface (null purchase columns) after the

@@ -40,6 +40,7 @@ def long_replay_dir(spark, sf_dir, tmp_path_factory) -> str:
     )
 
 
+@pytest.mark.slow
 def test_state_bounded_over_many_batches(spark, sf_dir, long_replay_dir):
     listener = StateMetricsListener().attach(spark)
     try:
@@ -111,6 +112,7 @@ def test_state_bounded_over_many_batches(spark, sf_dir, long_replay_dir):
     )
 
 
+@pytest.mark.slow
 def test_listener_metrics_match_query_progress(spark, sf_dir, long_replay_dir):
     """The listener's accumulated totals must agree with the query's own
     recentProgress — no double-counted or dropped batch events."""

@@ -92,6 +92,7 @@ def test_read_missing_version_raises(spark, table):
         table.read(version=7)
 
 
+@pytest.mark.slow
 def test_model_based_random_op_sequences(spark, tmp_path):
     """Model-based check: a random sequence of append/merge/delete ops
     applied to the table must match a plain-dict model at every step,
