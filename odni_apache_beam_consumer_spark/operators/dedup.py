@@ -652,6 +652,25 @@ def jaccard_prefix_filter_pairs(
     four consumers (df ranks, prefix build, both verify sides); verify
     joins touch only candidate pairs.  ``cache_registry``: see
     minhash_lsh_pairs.
+
+    r14 (profiled at sf0.1 — warm stage split: pref 1.8 s, cand 3.5 s of
+    a 7.3 s query; plans/r14 + OPTIMIZATION_r14.md):
+
+    * ``pref`` is PERSISTED — both sides of the candidate self-join read
+      it, and without the persist the full df-rank pipeline (shingle
+      join + doc window) executed twice (guide §5).
+    * the per-doc set size folds into the SAME doc-keyed window pass as
+      the prefix rank (``count over (partition by id)`` — identical
+      value to the ``sizes`` aggregate, which remains for the final
+      verify joins), dropping one aggregate + join from the pref path
+      (guide §2.4: operations keyed the same way share one exchange).
+    * the candidate self-join keys on ``xxhash64(shingle)`` — 8 bytes
+      instead of a multi-word shingle string (guide §2.3: shuffle keys,
+      not payloads).  LOSSLESS: equal shingles hash equal, so the
+      candidate set can only GROW on a hash collision, and the exact
+      verify joins (which keep the real shingle strings) filter any
+      collision pair — the output is bit-identical either way, which
+      the brute-force oracle proves on every driver run.
     """
     sh = shingle_table(df, shingle_words, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -668,20 +687,24 @@ def jaccard_prefix_filter_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    wu = Window.partitionBy(id_col)
     pref = (
         sh.join(dfreq, "shingle")
         .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, id_col)
+        .withColumn("_nsh", F.count(F.lit(1)).over(wu))
         .where(
             F.col("_rk")
-            <= F.col("nsh")
+            <= F.col("_nsh")
             - F.expr(
-                f"(nsh * {t_ppm}L + 999999L) DIV 1000000L"
+                f"(_nsh * {t_ppm}L + 999999L) DIV 1000000L"
             )
             + 1
         )
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), F.xxhash64("shingle").alias("_k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(pref)
     # The candidate pair set is PERSISTED: three consumers read it (the
     # doc-id projection for the semi-join reduction below feeds two
     # verify branches, plus the intersection join itself), and without
@@ -690,8 +713,8 @@ def jaccard_prefix_filter_pairs(
     # corpus-sized shuffle volume (measured: the unpersisted form
     # exhausted 78 GB of shuffle disk at 300x before finishing).
     cand = (
-        pref.select(F.col(id_col).alias("_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("_b"), "shingle"), "shingle")
+        pref.select(F.col(id_col).alias("_a"), "_k")
+        .join(pref.select(F.col(id_col).alias("_b"), "_k"), "_k")
         .where(F.col("_a") < F.col("_b"))
         .select("_a", "_b")
         .distinct()
