@@ -1203,7 +1203,18 @@ def reachability_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     / 1 long).  Scale shape per round: one (u)-keyed equi-join of a
     <=|V|-row frontier against the edge list + one |V|-bounded
     anti-join — at 100 TB the frontier/visited sides broadcast and the
-    edge list never re-shuffles."""
+    edge list never re-shuffles.
+
+    r14 (guide §2.4/§5): the visited set is kept as a LIST of per-hop
+    checkpointed frontiers and unioned lazily — the previous form
+    re-checkpointed ``visited.union(nxt)`` eagerly every round,
+    re-materializing the ENTIRE growing visited set once per hop
+    (O(depth * |V|) extra materialized rows and one extra eager job per
+    round) for zero information: every member frontier is already an
+    eager checkpoint, so the union of <= depth cached leaves is free to
+    recompute at each anti-join.  Result rows are identical — the union
+    is the same set either way.  Warm same-JVM A/B at sf0.1: 8.6 ->
+    ~6.3 s."""
     e0 = copurchase_edges(spark, sf_dir)
     e = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1216,24 +1227,31 @@ def reachability_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()[0][0]
     )  # 1-row probe literal (documented metadata-sized collect class)
-    visited = spark.createDataFrame(
+    frontier = spark.createDataFrame(
         [(int(seed), 0)], "pk long, hop int"
     ).localCheckpoint(eager=True)
-    frontier = visited
+    frontiers = [frontier]
+
+    def visited_union() -> DataFrame:
+        out = frontiers[0]
+        for f in frontiers[1:]:
+            out = out.unionByName(f)
+        return out
+
     for hop in range(1, 7):
         nxt = (
             frontier.join(e, frontier["pk"] == e["u"])
             .select(F.col("v").alias("pk"))
             .distinct()
-            .join(visited.select("pk"), "pk", "left_anti")
+            .join(visited_union().select("pk"), "pk", "left_anti")
             .select("pk", F.lit(hop).cast("int").alias("hop"))
             .localCheckpoint(eager=True)
         )
         if not nxt.take(1):  # frontier drained — BFS complete
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontiers.append(nxt)
         frontier = nxt
-    return visited.select(
+    return visited_union().select(
         F.col("pk").cast("long").alias("part_key"),
         F.col("hop").cast("long").alias("min_hop"),
     )

@@ -1134,6 +1134,7 @@ def unigram_train_rounds(
     max_wlen: int = _UNI_MAX_WLEN,
     seed_multi: int = _UNI_SEED_MULTI,
     target: int = _UNI_TARGET,
+    w8: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram-LM tokenizer training (Kudo '18, the SentencePiece model
     family) as fixed-round Viterbi-EM over a (w, freq) vocabulary:
@@ -1174,9 +1175,16 @@ def unigram_train_rounds(
     # One corpus-derived materialization: every later pass (seed count +
     # one DP pass per round) is vocab-sized and reads this checkpoint,
     # never the corpus again (the bpe_train discipline).
-    w8 = words.where(F.length("w").between(2, max_wlen)).localCheckpoint(
-        eager=True
-    )
+    # r14 (guide §5): callers that ALSO segment the trainable vocabulary
+    # (unigram_lm_apply, wordpiece_apply, tokenizer_fertility_audit) pass
+    # their already-materialized filtered table as ``w8`` — previously
+    # each built its own copy from the unpersisted word count, so the
+    # corpus scan + word-count exchange executed twice per query.  The
+    # filter is idempotent, so passing a pre-filtered table is identical.
+    if w8 is None:
+        w8 = words.where(F.length("w").between(2, max_wlen)).localCheckpoint(
+            eager=True
+        )
     occ = (
         w8
         .select(
@@ -1526,13 +1534,19 @@ def unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    model = unigram_train_rounds(words)
+    # ONE corpus pass: the filtered vocabulary is materialized once and
+    # feeds both training and the apply fold (r14, guide §5 — the
+    # unpersisted form re-ran the corpus scan + word-count exchange for
+    # each consumer).
+    w8 = words.where(F.length("w").between(2, _UNI_MAX_WLEN)).localCheckpoint(
+        eager=True
+    )
+    model = unigram_train_rounds(words, w8=w8)
     pm = model.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "cost_milli"))).alias(
             "pm"
         )
     )
-    w8 = words.where(F.length("w").between(2, _UNI_MAX_WLEN))
     seg = (
         w8.crossJoin(F.broadcast(pm))
         .withColumn("dp", F.expr(_uni_dp_expr(_UNI_MAX_PIECE)))
@@ -1697,10 +1711,11 @@ def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    model = unigram_train_rounds(words)
+    # ONE corpus pass shared by training and inference (r14, guide §5).
     w8 = words.where(
         F.length("w").between(2, _UNI_MAX_WLEN)
     ).localCheckpoint(eager=True)
+    model = unigram_train_rounds(words, w8=w8)
     # Position classification: where does each piece occur inside the
     # trainable vocabulary? (word-initial vs continuation, the latter
     # corpus-weighted for the min-count vocab bound)
@@ -1821,10 +1836,11 @@ def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    model = unigram_train_rounds(words).localCheckpoint(eager=True)
+    # ONE corpus pass shared by training and both apply folds (r14, §5).
     w8 = words.where(
         F.length("w").between(2, _UNI_MAX_WLEN)
     ).localCheckpoint(eager=True)
+    model = unigram_train_rounds(words, w8=w8).localCheckpoint(eager=True)
 
     # Viterbi apply (the unigram_lm_apply body over the shared model)
     pm = model.agg(
