@@ -120,9 +120,18 @@ def main(argv: list[str]) -> int:
     # degraded, pause once and re-measure — a transient neighbor (another
     # bench, a GC storm) often clears; a genuinely slow box stays slow and
     # the artifact records both readings so the reader can adjudicate.
+    # Arm the retry only at the canary base's own core count: the base
+    # times were recorded at 32 cores, so at a lower $SPARK_GRAFT_CPUS a
+    # factor > 1.5 is parallelism, not degradation, and sleeping would
+    # just slow the driver's scaling run (the factor itself is still
+    # recorded for the reader at any core count).
     canary_pre_first: dict[str, float] = {}
     pre_f0 = _factor_of(canary_pre)
-    if pre_f0 is not None and pre_f0 > 1.5:
+    if (
+        pre_f0 is not None
+        and pre_f0 > 1.5
+        and int(os.environ.get("SPARK_GRAFT_CPUS", "32")) >= 32
+    ):
         _log(
             f"WARNING: degraded box — canary_factor_pre {pre_f0:.3f} > 1.5;"
             " sleeping 60s and re-measuring the pre-canaries once"
