@@ -722,6 +722,11 @@ def kmeans_lloyd_rounds(
                 ]
                 for _, r in rows
             ]
+    # r14 (guide §5): the final round's stats are k rows — materialize
+    # them eagerly BEFORE releasing the vector cache; the old lazy form
+    # re-ran the assignment kernel + aggregation in the returned plan
+    # after the unpersist (one full extra pass of the dominant stage).
+    stats = stats.localCheckpoint(eager=True)
     v.unpersist()
     return stats.select(
         "cid",
@@ -1383,10 +1388,14 @@ def logreg_gd_rounds(
             w[j] - _LR_STEP * (float(rec[f"g{j}"]) / (float(n) * float(_LR_SCALE)))
             for j in range(k)
         ]
+    # r14 (guide §5): the final-round gradient is 1 row — materialize it
+    # eagerly BEFORE releasing the feature cache; the old lazy form
+    # re-ran the whole feature pipeline in the returned plan after the
+    # unpersist (the kcore/label_propagation final-round discipline).
     g_final = rows.agg(
         *_logreg_grad_cols(w, dim=dim),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     rows.unpersist()
     per_pos = g_final.select(
         F.inline(
@@ -1663,7 +1672,15 @@ def bradley_terry_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned plan (n_matches = half the over-() window sum of pair
     counts on 25 rows, no collect)."""
     m, players = _bt_matches(spark, sf_dir)
-    m = m.persist()
+    # r14 (guide §5): eager localCheckpoint, not persist — m is <=
+    # K*(K-1) = 600 sufficient-stat rows, and the old persist was
+    # unpersisted BEFORE the returned (lazy) final round executed, so
+    # the noop/driver pass silently re-ran the whole match build (the
+    # only corpus-scaled stage) a second time.  The checkpoint
+    # materializes once and every consumer — the GD rounds AND the
+    # returned plan — reads the 600 cached rows; nothing leaks to the
+    # caller (the kcore/label_propagation final-round discipline).
+    m = m.localCheckpoint(eager=True)
     # k derived from the actual player table (metadata-sized count, the
     # parameter-server probe class) — a hardcoded 25 would index
     # element_at out of range if a synthesis ever yields more brands
@@ -1696,7 +1713,6 @@ def bradley_terry_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pair").cast("long").alias("cnt"),
         )
     )
-    m.unpersist()
     s_arr = F.array(*[F.lit(float(v)) for v in s])
     w_all = W.partitionBy()
     n_tot = F.call_function("div", F.sum("cnt").over(w_all), F.lit(2))
@@ -2997,7 +3013,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d^2 per round, corpus-independent, which is why power iteration is
     THE distributed eigensolver shape."""
     d = _PCA_DIM
-    gram = _pca_gram(spark, sf_dir).persist()
+    # r14 (guide §5): eager localCheckpoint, not persist — the Gram is
+    # d^2 = 256 rows, and the old persist was unpersisted before the
+    # returned (lazy) final matvec executed, so the driver pass re-ran
+    # the entire corpus Gram aggregation a second time.
+    gram = _pca_gram(spark, sf_dir).localCheckpoint(eager=True)
     rows = gram.collect()  # 256 longs: the Gram IS the model statistic
     G = {(r["i"], r["j"]): r["g"] for r in rows}
     q = [1.0] + [0.0] * (d - 1)
@@ -3058,7 +3078,6 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    gram.unpersist()
     return out
 
 

@@ -190,13 +190,30 @@ def test_kmeans_lloyd_trajectory_matches_hof_reference_loop(spark, sf_dir):
 
 
 def test_kmeans_lloyd_plan_uses_arrow_kernel(spark, sf_dir):
-    """r14 plan pin: the final round's plan runs the assignment through
-    a (Map)InArrow/ArrowEval node — not a BatchEvalPython (row-pickling)
-    node and not the interpreted aggregate() HOF projection."""
+    """r14 plan pin: the assignment runs through a (Map)InArrow node —
+    not BatchEvalPython, not the interpreted aggregate() HOF — and the
+    RETURNED plan is checkpoint-rooted (k-row, metadata-sized): the
+    final round's stats are eagerly materialized before the vector
+    cache is released, so the driver's consuming pass reads k rows
+    instead of re-running the kernel on the unpersisted corpus."""
+    from odni_apache_beam_consumer_spark.operators.kmeans_kernel import (
+        assign_stats_kernel,
+    )
+
+    # the kernel node itself, pinned on a direct construction
+    vdf = spark.createDataFrame([([0.0, 1.0],)], "vec array<double>")
+    kdf = vdf.mapInArrow(
+        assign_stats_kernel([0], [[0.0, 0.0]], 2, 1_000_000),
+        "cid long, s0 long, s1 long, cnt long",
+    )
+    kplan = _fmt(kdf)
+    assert re.search(r"MapInArrow|ArrowEvalPython|PythonMapInArrow", kplan), kplan
+    # the registered query's returned plan: checkpoint-rooted, no Python
+    # eval, no HOF argmin anywhere above the materialized leaves
     df = all_queries()["kmeans_lloyd"](spark, sf_dir)
     plan = _fmt(df)
     spark.catalog.clearCache()
-    assert re.search(r"MapInArrow|ArrowEvalPython|PythonMapInArrow", plan), plan
+    assert "ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "aggregate(" not in plan, plan
 
